@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized through the noop sink so the full plan executes
+(scan -> shuffle -> agg -> sort) without driver-side collection overhead.
+A warmup query absorbs JVM/codegen startup so per-query times reflect
+steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+# Headline set: one per operator family; extended as phases land.
+HEADLINE = [
+    "flagship_revenue_by_region_priority",
+    "pricing_summary",
+    "filter_project_arith",
+    "join_left_customer_order_counts",
+    "join_semi_customers_with_urgent_orders",
+    "join_symmetric_difference_validation",
+    "agg_percentiles_exact",
+    "agg_count_distinct_rollup",
+    "topk_customers_by_revenue",
+    "topk_per_group_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from etl_mri_scripts_spark.queries import QUERIES
+    from etl_mri_scripts_spark.session import get_spark
+
+    spark = get_spark("etl-mri-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # warmup: touch every table + codegen paths once
+    run("flagship_revenue_by_region_priority")
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        times[name] = round(run(name), 4)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

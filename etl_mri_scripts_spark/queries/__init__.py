@@ -1,0 +1,17 @@
+"""Query registry: every operator from SURVEY.md §2 declared as a named
+query (Spark callable) with, where SQL-expressible, a DuckDB oracle.
+
+Import side effects register queries; keep module list here exhaustive.
+"""
+
+from __future__ import annotations
+
+from .registry import ORACLES, QUERIES, query  # noqa: F401
+
+# Import for registration side effects.
+from . import relational  # noqa: E402,F401
+from . import windows  # noqa: E402,F401
+from . import text  # noqa: E402,F401
+from . import dedup  # noqa: E402,F401
+from . import similarity  # noqa: E402,F401
+from . import imaging  # noqa: E402,F401

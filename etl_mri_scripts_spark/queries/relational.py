@@ -1,0 +1,603 @@
+"""Relational operator matrix (SURVEY.md §2 / §7 Phase 1).
+
+Each query re-expresses one reference operator family as an idiomatic
+Catalyst plan over the driver's star schema; the DuckDB oracle next to it is
+the correctness contract. Scale notes are given per query: these plans are
+written for a 1000-executor / 100 TB cluster (broadcast hints on dims,
+partial aggregation, no driver-side collection), then verified on small SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import table
+from .exact import (
+    CHARGE_FIXED_SQL,
+    REVENUE_FIXED_SQL,
+    cents,
+    cents_sql,
+    charge_fixed,
+    revenue_fixed,
+    whole,
+)
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Flagship: scan -> filter -> 4-way join -> agg -> sort  (S1,F1,J1,A9,O1)
+# Revenue by region x order priority. Joins to region/nation are broadcast
+# (fixed-size dims, ALWAYS small); orders<->lineitem is the only real
+# shuffle and AQE handles skew. Filters sit directly on the scan so parquet
+# row-group pruning sees them.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flagship_revenue_by_region_priority",
+    oracle=f"""
+    SELECT r.r_name AS region_name,
+           o.o_orderpriority AS order_priority,
+           sum({REVENUE_FIXED_SQL}) / 10000.0 AS revenue,
+           count(*) AS line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1999-01-01'
+      AND l.l_discount BETWEEN 0.03 AND 0.09
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, region_name, order_priority
+    """,
+)
+def flagship_revenue_by_region_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.09)
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+        .agg(
+            (F.sum(revenue_fixed(F.col("l_extendedprice"), F.col("l_discount"))) / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .orderBy(F.desc("revenue"), "region_name", "order_priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pricing summary (TPC-H Q1 shape): wide partial-aggregable rollup per
+# returnflag/linestatus. Pure map-side-combinable aggregates; at 100 TB the
+# shuffle moves only |groups| x |aggs| rows per partition.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           sum({cents_sql('l_extendedprice')}) / 100.0 AS sum_base_price,
+           sum({REVENUE_FIXED_SQL}) / 10000.0 AS sum_disc_price,
+           sum({CHARGE_FIXED_SQL}) / 1000000.0 AS sum_charge,
+           sum({cents_sql('l_discount')}) / 100.0 AS sum_discount,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(whole(F.col("l_quantity"))).alias("sum_qty"),
+            (F.sum(cents(F.col("l_extendedprice"))) / 100.0).alias("sum_base_price"),
+            (F.sum(revenue_fixed(F.col("l_extendedprice"), F.col("l_discount"))) / 10000.0).alias("sum_disc_price"),
+            (
+                F.sum(charge_fixed(F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")))
+                / 1000000.0
+            ).alias("sum_charge"),
+            (F.sum(cents(F.col("l_discount"))) / 100.0).alias("sum_discount"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scan + filter + projection with arithmetic (P6/P10 analogs): predicate
+# must push to parquet (verified in tests via explain); projection prunes to
+# 4 of 11 columns.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_project_arith",
+    oracle=f"""
+    SELECT l_orderkey,
+           l_linenumber,
+           {REVENUE_FIXED_SQL} / 10000.0 AS net_price,
+           CAST(round(l_quantity) AS BIGINT) // 2 AS half_qty
+    FROM lineitem
+    WHERE l_quantity >= 45 AND l_returnflag = 'R'
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def filter_project_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") >= 45) & (F.col("l_returnflag") == "R"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (revenue_fixed(F.col("l_extendedprice"), F.col("l_discount")) / 10000.0).alias("net_price"),
+            (whole(F.col("l_quantity")) / F.lit(2)).cast("long").alias("half_qty"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family (J1-J5). Each join strategy the engine relies on, as its own
+# verifiable query.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_inner_orders_customer",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, c.c_mktsegment, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    ORDER BY o.o_orderkey
+    """,
+)
+def join_inner_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "join_left_customer_order_counts",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           count(o.o_orderkey) AS order_count,
+           coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0) / 100.0 AS total_spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY c.c_custkey
+    """,
+)
+def join_left_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            (F.coalesce(F.sum(cents(F.col("o_totalprice"))), F.lit(0)) / 100.0).alias("total_spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_semi_customers_with_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """,
+)
+def join_semi_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J2: the reference's approved-keys gate (extract_subimages.py:75-76) is
+    # exactly a left-semi join; the probe side is pre-filtered and deduped by
+    # the semi join itself.
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_broadcast_supplier_geo",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation_name, r.r_name AS region_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    ORDER BY s.s_suppkey
+    """,
+)
+def join_broadcast_supplier_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation_name"), "n_regionkey"
+    )
+    r = table(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region_name")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "nation_name", "region_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "join_symmetric_difference_validation",
+    oracle="""
+    SELECT side, key_val FROM (
+      SELECT 'orders_only' AS side, o_orderkey AS key_val FROM orders
+      WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+      UNION ALL
+      SELECT 'lineitem_only' AS side, l_orderkey AS key_val FROM (SELECT DISTINCT l_orderkey FROM lineitem)
+      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    ) ORDER BY side, key_val
+    """,
+)
+def join_symmetric_difference_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J4: the reference's pre-write HR/LR key-parity check
+    # (slice_generator.py:145-164) — symmetric difference must be empty; the
+    # query *returns* the difference so violations are inspectable. Both
+    # anti-joins are shuffle-free on the broadcast side at scale because the
+    # distinct key sets are tiny relative to the fact table.
+    o = table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("key_val"))
+    l = table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("key_val")).distinct()
+    o_only = o.join(l, "key_val", "left_anti").select(
+        F.lit("orders_only").alias("side"), "key_val"
+    )
+    l_only = l.join(o, "key_val", "left_anti").select(
+        F.lit("lineitem_only").alias("side"), "key_val"
+    )
+    return o_only.unionAll(l_only).orderBy("side", "key_val")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation family (A1-A10).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_minmax_per_group",
+    oracle="""
+    SELECT l_returnflag,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           min(l_shipdate) AS first_ship,
+           max(l_shipdate) AS last_ship
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_minmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1: per-volume min/max normalize denominator (slice_generator.py:72-73)
+    # as the canonical groupBy min/max — order-independent, hence exact.
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_count_distinct_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS line_count,
+           count(DISTINCT l_orderkey) AS order_count
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def agg_count_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A10: the per-volume/per-split count report (v2/nii_to_lmdb.py:165-171)
+    # is a rollup; count(distinct) exercises expand+two-phase distinct agg.
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("line_count"),
+            F.countDistinct("l_orderkey").alias("order_count"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "line_count",
+            "order_count",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
+    "agg_histogram_width_bucket",
+    oracle="""
+    -- width_bucket(x, 0, 50, 10) spelled out (DuckDB lacks width_bucket):
+    -- [0,5) -> 1 ... [45,50) -> 10, x >= 50 -> 11, x < 0 -> 0
+    SELECT CASE WHEN l_quantity < 0 THEN 0
+                WHEN l_quantity >= 50 THEN 11
+                ELSE CAST(floor(l_quantity / 5) AS BIGINT) + 1 END AS bucket,
+           count(*) AS n,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem GROUP BY 1 ORDER BY bucket
+    """,
+)
+def agg_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A5: Otsu's 256-bin histogram (v2/estimate_snr.py:31) generalized:
+    # width_bucket + groupBy count is the scalable histogram (one shuffle of
+    # |buckets| rows after partial agg).
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.width_bucket("l_quantity", F.lit(0), F.lit(50), F.lit(10)).alias("bucket"), "l_quantity")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(whole(F.col("l_quantity"))).alias("total_qty"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(value), 6) AS mean_value,
+           round(stddev_samp(value), 6) AS sd_value,
+           round(avg(value * value), 6) AS second_moment,
+           round(var_samp(value), 6) AS var_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A6/A7: ROI mean/std(ddof=1)/second moment (v2/estimate_snr.py:97-116).
+    # stddev is not exactly associative in floating point — both sides round
+    # to 6 dp, far above the ~1e-12 drift, far below data resolution.
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("mean_value"),
+            F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+            F.round(F.avg(F.col("value") * F.col("value")), 6).alias("second_moment"),
+            F.round(F.var_samp("value"), 6).alias("var_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_percentiles_exact",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.01), 6) AS p01,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A2/P5: per-volume p1/p99 robust-normalize window (v2/patch_utils.py:28-30).
+    # Exact `percentile` (linear interpolation, same definition as DuckDB
+    # quantile_cont / np.nanpercentile); percentile_approx is offered for the
+    # 100 TB path but the parity query uses the exact form.
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.01)), 6).alias("p01"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.50)), 6).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (O1-O4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topk_customers_by_revenue",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           sum({REVENUE_FIXED_SQL}) / 10000.0 AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O4 top-k: TakeOrderedAndProject — per-partition heap then driver merge
+    # of k rows, never a global sort of the full agg output.
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg((F.sum(revenue_fixed(F.col("l_extendedprice"), F.col("l_discount"))) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+@query(
+    "topk_per_group_window",
+    oracle="""
+    SELECT p_brand, p_partkey, p_name, p_retailprice, rn AS price_rank
+    FROM (
+      SELECT p_brand, p_partkey, p_name, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part
+    ) WHERE rn <= 3
+    ORDER BY p_brand, price_rank
+    """,
+)
+def topk_per_group_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O2/O4 per-group top-k via window rank; at scale this is the standard
+    # single-shuffle pattern (partitionBy brand), with AQE skew splitting.
+    p = table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("price_rank", F.row_number().over(w))
+        .filter(F.col("price_rank") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice", "price_rank")
+        .orderBy("p_brand", "price_rank")
+    )
+
+
+@query(
+    "middle_n_selection",
+    oracle="""
+    WITH b AS (SELECT count(*) AS total FROM events),
+    ranked AS (
+      SELECT event_id, ts, row_number() OVER (ORDER BY event_id) AS rn FROM events
+    )
+    SELECT event_id, ts FROM ranked, b
+    WHERE rn > (b.total // 2) - 50 AND rn <= (b.total // 2) + 50
+    ORDER BY event_id
+    """,
+)
+def middle_n_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O2: middle-N slice selection (create_sample.py:56-61) — contiguous
+    # window centered on the median position.
+    ev = table(spark, sf_dir, "events")
+    total = ev.count()  # cheap metadata-scale action (count pushed to scan)
+    mid = total // 2
+    w = Window.orderBy("event_id")
+    return (
+        ev.select("event_id", "ts")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > mid - 50) & (F.col("rn") <= mid + 50))
+        .select("event_id", "ts")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (E1-E3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union_distinct_keys",
+    oracle="""
+    SELECT custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    ) ORDER BY custkey
+    """,
+)
+def set_union_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.union(b).distinct().orderBy("custkey")
+
+
+@query(
+    "set_except_keys",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY c_custkey
+    """,
+)
+def set_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.exceptAll(o.distinct()).distinct().orderBy("c_custkey")
+
+
+@query(
+    "set_intersect_keys",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ORDER BY custkey
+    """,
+)
+def set_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "5-LOW").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b).orderBy("custkey")
+
+
+@query(
+    "distinct_sorted_dimension",
+    oracle="""
+    SELECT DISTINCT n_name FROM nation ORDER BY n_name
+    """,
+)
+def distinct_sorted_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # E2: sorted(set(basenames)) (v2/patch_utils.py:103).
+    return table(spark, sf_dir, "nation").select("n_name").distinct().orderBy("n_name")
