@@ -1,1 +1,323 @@
-"""Placeholder — queries added in later phases."""
+"""Deduplication operators for training-data pipelines (BASELINE.json
+north star): exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+
+Design for 100 TB:
+- exact dedup = hash-groupBy: one shuffle on a 16-byte digest, never on the
+  document body; at scale the digest shuffle is ~0.02% of corpus bytes.
+- near-dup never does the naive O(n^2) cross join. Candidate generation is
+  an inverted-index equi-join (shared shingle / LSH band bucket / sign-bit
+  bucket) so the pair space is bounded by bucket occupancy; AQE skew-join
+  handles hot buckets (stopword-ish shingles are pre-dropped by document
+  frequency where noted).
+- every hash is md5 over explicit strings — deterministic across engines,
+  retries, and speculation (same property the reference needs from its
+  per-slice seeds, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+from .registry import query
+
+N_MINHASH = 8  # permutations (md5 with seed salt)
+N_BANDS = 4  # LSH bands of 2 rows each
+
+
+@query(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           min(doc_id) AS canonical_doc_id
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) > 1
+    ORDER BY content_hash
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact dup groups: keep-min-id canonical policy. The groupBy key is the
+    # digest, so the shuffle payload is (16B hash, 8B id) per doc.
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.col("text").cast("binary")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("canonical_doc_id"))
+        .filter(F.col("n_copies") > 1)
+        .orderBy("content_hash")
+    )
+
+
+@query(
+    "dedup_keep_canonical",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, source FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The materializing form: emit the corpus with dup bodies removed
+    # (first-id wins). Window over the digest — same single shuffle.
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+# --- 3-word shingles, shared helpers -------------------------------------
+
+_SHINGLES_SPARK = """
+    array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+      i -> concat_ws(' ', element_at(split(text, ' '), i),
+                     element_at(split(text, ' '), least(i + 1, size(split(text, ' ')))),
+                     element_at(split(text, ' '), least(i + 2, size(split(text, ' ')))))))
+"""
+
+_SHINGLES_DUCK = """
+    list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      i -> string_split(text, ' ')[i] || ' ' ||
+           string_split(text, ' ')[least(i + 1, len(string_split(text, ' ')))] || ' ' ||
+           string_split(text, ' ')[least(i + 2, len(string_split(text, ' ')))]))
+"""
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(p.common * 1.0 / (sa.n_sh + sb.n_sh - p.common), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE p.common * 1.0 / (sa.n_sh + sb.n_sh - p.common) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Near-dup pairs by exact Jaccard over distinct 3-shingles, but the
+    # pair space comes from an inverted-index self-join on shingle (only
+    # docs SHARING a shingle are ever paired), not a cross join. At 100 TB
+    # the same plan holds with a document-frequency cap on shingles.
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_spark(seed: int) -> str:
+    return (
+        f"array_min(transform({_SHINGLES_SPARK}, s -> md5(cast(concat('{seed}:', s) as binary))))"
+    )
+
+
+def _minhash_duck(seed: int) -> str:
+    return f"list_min(list_transform({_SHINGLES_DUCK}, s -> md5('{seed}:' || s)))"
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    SELECT doc_id,
+           [{', '.join(_minhash_duck(s) for s in range(N_MINHASH))}] AS signature
+    FROM documents ORDER BY doc_id
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MinHash signature: per permutation (salted md5), the min hash over the
+    # doc's shingle set. Pure per-row compute — embarrassingly parallel.
+    d = table(spark, sf_dir, "documents")
+    sig = F.array(*[F.expr(_minhash_spark(s)) for s in range(N_MINHASH)])
+    return d.select("doc_id", sig.alias("signature")).orderBy("doc_id")
+
+
+@query(
+    "dedup_minhash_lsh_candidates",
+    oracle=f"""
+    -- LSH banding: {N_BANDS} bands x {N_MINHASH // N_BANDS} rows. Docs that
+    -- agree on ALL rows of any band are candidate pairs.
+    WITH sig AS (
+      SELECT doc_id,
+             [{', '.join(_minhash_duck(s) for s in range(N_MINHASH))}] AS sg
+      FROM documents
+    ),
+    bands AS (
+      SELECT doc_id, k AS band,
+             md5(sg[2*k + 1] || '|' || sg[2*k + 2]) AS bucket
+      FROM sig, (SELECT unnest(range(0, {N_BANDS})) AS k)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The scale path for near-dedup: signature -> band buckets -> equi-join
+    # on (band, bucket). Join fan-out is bounded by bucket occupancy; no
+    # cross join exists anywhere in the plan.
+    d = table(spark, sf_dir, "documents")
+    sig = F.array(*[F.expr(_minhash_spark(s)) for s in range(N_MINHASH)])
+    rows_per_band = N_MINHASH // N_BANDS
+    sigd = d.select("doc_id", sig.alias("sg"))
+    bands = sigd.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[F.col("sg")[k * rows_per_band + r] for r in range(rows_per_band)],
+                            ).cast("binary")
+                        ).alias("bucket"),
+                    )
+                    for k in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_bit_spark(b: int) -> str:
+    # vote for bit b: count words whose md5 hex digit b has its high bit set
+    return (
+        f"CASE WHEN 2 * size(filter(split(text, ' '), "
+        f"w -> instr('89abcdef', substring(md5(cast(w as binary)), {b + 1}, 1)) > 0)) "
+        f"> size(split(text, ' ')) THEN '1' ELSE '0' END"
+    )
+
+
+def _simhash_bit_duck(b: int) -> str:
+    return (
+        f"CASE WHEN 2 * len(list_filter(string_split(text, ' '), "
+        f"w -> strpos('89abcdef', substr(md5(w), {b + 1}, 1)) > 0)) "
+        f"> len(string_split(text, ' ')) THEN '1' ELSE '0' END"
+    )
+
+
+@query(
+    "dedup_simhash_16bit",
+    oracle=f"""
+    SELECT doc_id,
+           {" || ".join(_simhash_bit_duck(b) for b in range(16))} AS simhash
+    FROM documents ORDER BY doc_id
+    """,
+)
+def dedup_simhash_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SimHash: per bit, majority vote of per-word hash bits. Near-dups
+    # differ in few bits; grouping by the full code gives coarse clusters,
+    # and banding the 16 bits gives the hamming-radius candidate join.
+    d = table(spark, sf_dir, "documents")
+    code = F.concat(*[F.expr(_simhash_bit_spark(b)) for b in range(16)])
+    return d.select("doc_id", code.alias("simhash")).orderBy("doc_id")
+
+
+@query(
+    "dedup_embedding_cosine_pairs",
+    oracle="""
+    -- Embedding near-dup: cosine >= 0.95 among vectors sharing a sign-bit
+    -- prefix bucket (first 4 dims) — the bucketed candidate join, not a
+    -- cross join.
+    WITH v AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS e,
+             concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) /
+             (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i]))) *
+              sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i])))) AS cosine
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(cosine, 6) AS cosine
+    FROM pairs WHERE cosine >= 0.95
+    ORDER BY vec_a, vec_b
+    """,
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        F.concat(
+            *[
+                F.when(F.col("embedding")[i] >= 0, "1").otherwise("0")
+                for i in range(4)
+            ]
+        ).alias("bucket"),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    dot = F.expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0.0D, (acc, z) -> acc + z)")
+    na = F.sqrt(F.expr("aggregate(transform(a.e, x -> x * x), 0.0D, (acc, z) -> acc + z)"))
+    nb = F.sqrt(F.expr("aggregate(transform(b.e, x -> x * x), 0.0D, (acc, z) -> acc + z)"))
+    cosine = dot / (na * nb)
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.95)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )

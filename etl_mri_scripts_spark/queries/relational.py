@@ -601,3 +601,425 @@ def set_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinct_sorted_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     # E2: sorted(set(basenames)) (v2/patch_utils.py:103).
     return table(spark, sf_dir, "nation").select("n_name").distinct().orderBy("n_name")
+
+
+# ---------------------------------------------------------------------------
+# String / key functions (T1-T6, P11): the reference's key grammar
+# ({base}__{orient}__slice_{i:03d}__{TAG}_s{idx:03d}) built and normalized
+# with optimizer-visible expressions (never UDFs), exactly as the engine
+# does it in the imaging pipeline.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "key_build_and_normalize",
+    oracle=r"""
+    SELECT printf('vol%03d__%s__slice_%03d__%s_s%03d',
+                  CAST(l_orderkey % 100 AS INT),
+                  CASE l_returnflag WHEN 'A' THEN 'axial' WHEN 'N' THEN 'coronal' ELSE 'sagittal' END,
+                  l_linenumber,
+                  CASE CAST(l_suppkey % 3 AS INT) WHEN 0 THEN 'HR' WHEN 1 THEN 'LRx2' ELSE 'LRx4' END,
+                  CAST(l_partkey % 50 AS INT)) AS full_key,
+           regexp_replace(printf('vol%03d__%s__slice_%03d__%s_s%03d',
+                  CAST(l_orderkey % 100 AS INT),
+                  CASE l_returnflag WHEN 'A' THEN 'axial' WHEN 'N' THEN 'coronal' ELSE 'sagittal' END,
+                  l_linenumber,
+                  CASE CAST(l_suppkey % 3 AS INT) WHEN 0 THEN 'HR' WHEN 1 THEN 'LRx2' ELSE 'LRx4' END,
+                  CAST(l_partkey % 50 AS INT)),
+                  '__(HR|LRx\d+)_(s\d+)$', '__\2') AS norm_key,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY 1, 2 ORDER BY full_key
+    """,
+)
+def key_build_and_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P11 key construction (v2/nii_to_lmdb.py:256) + T1 normalization regex
+    # (v2/patch_utils.py:48-50) as pure Catalyst expressions.
+    li = table(spark, sf_dir, "lineitem")
+    full_key = F.format_string(
+        "vol%03d__%s__slice_%03d__%s_s%03d",
+        (F.col("l_orderkey") % 100).cast("int"),
+        F.when(F.col("l_returnflag") == "A", "axial")
+        .when(F.col("l_returnflag") == "N", "coronal")
+        .otherwise("sagittal"),
+        F.col("l_linenumber"),
+        F.when(F.col("l_suppkey") % 3 == 0, "HR")
+        .when(F.col("l_suppkey") % 3 == 1, "LRx2")
+        .otherwise("LRx4"),
+        (F.col("l_partkey") % 50).cast("int"),
+    )
+    return (
+        li.select(full_key.alias("full_key"))
+        .withColumn(
+            "norm_key",
+            F.regexp_replace("full_key", r"__(HR|LRx\d+)_(s\d+)$", "__$2"),
+        )
+        .groupBy("full_key", "norm_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("full_key")
+    )
+
+
+@query(
+    "path_basename_extract",
+    oracle=r"""
+    SELECT doc_id,
+           printf('/data/ds%03d/anat/sub-%05d_T1w.nii.gz', CAST(doc_id % 7 AS INT), CAST(doc_id AS INT)) AS path,
+           regexp_extract(printf('/data/ds%03d/anat/sub-%05d_T1w.nii.gz', CAST(doc_id % 7 AS INT), CAST(doc_id AS INT)),
+                          '([^/]+?)\.nii\.gz$', 1) AS base,
+           CASE WHEN regexp_matches(printf('/data/ds%03d/anat/sub-%05d_T1w.nii.gz', CAST(doc_id % 7 AS INT), CAST(doc_id AS INT)),
+                          '.*/anat/.*') THEN 1 ELSE 0 END AS matches_anat
+    FROM documents ORDER BY doc_id
+    """,
+)
+def path_basename_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T3 basename/extension strip (slice_generator.py:77) + F1 path-regex
+    # predicate (slice_generator.py:80-81) over a synthesized path column.
+    d = table(spark, sf_dir, "documents")
+    path = F.format_string(
+        "/data/ds%03d/anat/sub-%05d_T1w.nii.gz",
+        (F.col("doc_id") % 7).cast("int"),
+        F.col("doc_id").cast("int"),
+    )
+    return (
+        d.select("doc_id", path.alias("path"))
+        .withColumn("base", F.regexp_extract("path", r"([^/]+?)\.nii\.gz$", 1))
+        .withColumn("matches_anat", F.when(F.col("path").rlike(".*/anat/.*"), 1).otherwise(0))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "field_target_parse",
+    oracle="""
+    SELECT field_str,
+           coalesce(try_cast(replace(replace(lower(field_str), 't', ''), ',', '.') AS DOUBLE), 3.0) AS field_tesla,
+           count(*) AS n
+    FROM (
+      SELECT CASE CAST(o_orderkey % 5 AS INT)
+               WHEN 0 THEN '3T' WHEN 1 THEN '1.5T' WHEN 2 THEN '7t'
+               WHEN 3 THEN '1,5T' ELSE 'bogus' END AS field_str
+      FROM orders
+    ) GROUP BY 1 ORDER BY field_str
+    """,
+)
+def field_target_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T5: '3T' -> 3.0 parser (transform_lower_tesla.py:390-395): lowercase,
+    # strip 't', comma->dot, fallback 3.0.
+    o = table(spark, sf_dir, "orders")
+    field_str = (
+        F.when(F.col("o_orderkey") % 5 == 0, "3T")
+        .when(F.col("o_orderkey") % 5 == 1, "1.5T")
+        .when(F.col("o_orderkey") % 5 == 2, "7t")
+        .when(F.col("o_orderkey") % 5 == 3, "1,5T")
+        .otherwise("bogus")
+    )
+    return (
+        o.select(field_str.alias("field_str"))
+        .withColumn(
+            "field_tesla",
+            F.expr(
+                "coalesce(try_cast(replace(replace(lower(field_str), 't', ''), ',', '.') AS double), 3.0D)"
+            ),
+        )
+        .groupBy("field_str", "field_tesla")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("field_str")
+    )
+
+
+@query(
+    "date_format_monthly_rollup",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           count(*) AS order_count,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS month_total
+    FROM orders GROUP BY 1 ORDER BY order_month
+    """,
+)
+def date_format_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T6 timestamp formatting (slice_generator.py:34) + calendar bucketing.
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            (F.sum(cents(F.col("o_totalprice"))) / 100.0).alias("month_total"),
+        )
+        .orderBy("order_month")
+    )
+
+
+@query(
+    "math_scalar_functions",
+    oracle="""
+    SELECT p_partkey,
+           round(sqrt(p_retailprice), 6) AS sqrt_price,
+           round(ln(p_retailprice), 6) AS ln_price,
+           round(exp(p_retailprice / 1000.0), 6) AS exp_scaled,
+           round(pow(p_size, 2), 6) AS size_sq,
+           round(sin(p_size), 6) AS sin_size,
+           abs(p_size - 25) AS abs_off,
+           CAST(sign(p_size - 25) AS DOUBLE) AS sign_off
+    FROM part ORDER BY p_partkey
+    """,
+)
+def math_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T7: the SQL-expressible slice of the math surface (exp/sin/sqrt/pow),
+    # rounded to 6 dp on both engines to absorb libm last-ulp differences.
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(F.sqrt("p_retailprice"), 6).alias("sqrt_price"),
+        F.round(F.log("p_retailprice"), 6).alias("ln_price"),
+        F.round(F.exp(F.col("p_retailprice") / 1000.0), 6).alias("exp_scaled"),
+        F.round(F.pow("p_size", F.lit(2)), 6).alias("size_sq"),
+        F.round(F.sin("p_size"), 6).alias("sin_size"),
+        F.abs(F.col("p_size") - 25).alias("abs_off"),
+        F.signum(F.col("p_size") - 25).cast("double").alias("sign_off"),
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic splits (M1-M3). The reference's seeded shuffles
+# (sklearn random_state=42, np default_rng(123)) cannot be reproduced
+# engine-independently, so the engine defines splits over md5 key hashes:
+# deterministic under retries/speculation/AQE (SURVEY.md §7 hard parts) and
+# identically computable by any engine — the property that matters.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "split_exact_count_rank",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey,
+             row_number() OVER (ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn,
+             count(*) OVER () AS n
+      FROM orders
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM (
+      SELECT o_orderkey,
+             CASE WHEN rn <= CAST(floor(n * 0.8) AS BIGINT) THEN 'train'
+                  WHEN rn <= CAST(floor(n * 0.8) AS BIGINT) + CAST(floor(n * 0.1) AS BIGINT) THEN 'val'
+                  ELSE 'test' END AS split
+      FROM ranked
+    ) GROUP BY split ORDER BY split
+    """,
+)
+def split_exact_count_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # M1: exact-count split (utils_scripts.py:46-51 semantics) via md5-rank —
+    # train gets exactly floor(n*0.8) rows, matching sklearn's exact-count
+    # slicing rather than Bernoulli randomSplit.
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.md5(F.col("o_orderkey").cast("string").cast("binary")), "o_orderkey")
+    ranked = o.select("o_orderkey").withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    split = (
+        F.when(F.col("rn") <= F.floor(F.col("n") * 0.8), "train")
+        .when(F.col("rn") <= F.floor(F.col("n") * 0.8) + F.floor(F.col("n") * 0.1), "val")
+        .otherwise("test")
+    )
+    return (
+        ranked.select("o_orderkey", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "split_hash_bucket",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < 'f333' THEN 'train'
+                WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < 'fae1' THEN 'val'
+                ELSE 'test' END AS split
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def split_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # M3 at scale: stateless hash-bucket split (0.95/0.03/0.02 like
+    # v2/nii_to_lmdb.py:51) — no global sort, no shuffle, embarrassingly
+    # parallel, stable under data growth. Thresholds are hex prefixes:
+    # 0.95*65536=0xf333, 0.98*65536=0xfae1.
+    o = table(spark, sf_dir, "orders")
+    hx = F.substring(F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 4)
+    split = (
+        F.when(hx < "f333", "train").when(hx < "fae1", "val").otherwise("test")
+    )
+    return o.select("o_orderkey", split.alias("split")).orderBy("o_orderkey")
+
+
+@query(
+    "split_group_consistent",
+    oracle="""
+    WITH cust_split AS (
+      SELECT c_custkey,
+             CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                  WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM customer
+    )
+    SELECT s.split, CAST(count(*) AS BIGINT) AS order_count,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS customer_count
+    FROM orders o JOIN cust_split s ON o.o_custkey = s.c_custkey
+    GROUP BY s.split ORDER BY s.split
+    """,
+)
+def split_group_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # M2/J3: group-consistent split (v2/patch_utils.py:101-111) — split
+    # decided on the parent unit (customer ~ volume base) and joined back so
+    # all child rows land in one split. Parent dim is broadcast.
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    hx = F.substring(F.md5(F.col("c_custkey").cast("string").cast("binary")), 1, 4)
+    cust_split = c.withColumn(
+        "split",
+        F.when(hx < "cccc", "train").when(hx < "e666", "val").otherwise("test"),
+    )
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        o.join(F.broadcast(cust_split), o.o_custkey == cust_split.c_custkey)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.countDistinct("o_custkey").alias("customer_count"),
+        )
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation + pivot (A9 counters-per-category shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "conditional_agg_counters",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS returned,
+           CAST(count(*) FILTER (WHERE l_returnflag = 'A') AS BIGINT) AS accepted,
+           CAST(count(*) FILTER (WHERE l_returnflag = 'N') AS BIGINT) AS neither,
+           CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS big_discount
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def conditional_agg_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A9: per-category counters (v2/nii_to_lmdb.py:193-199) — one pass,
+    # map-side combinable count_if columns instead of N filtered scans.
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.count_if(F.col("l_returnflag") == "R").alias("returned"),
+            F.count_if(F.col("l_returnflag") == "A").alias("accepted"),
+            F.count_if(F.col("l_returnflag") == "N").alias("neither"),
+            F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("big_discount"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "pivot_event_type_counts",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+    FROM events GROUP BY 1 ORDER BY user_bucket
+    """,
+)
+def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A10 report shape as a pivot; values enumerated so Catalyst skips the
+    # extra distinct-discovery job (mandatory at 100 TB).
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+        .orderBy("user_bucket")
+    )
+
+
+@query(
+    "cube_status_priority",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents(F.col("o_totalprice"))) / 100.0).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@query(
+    "two_phase_robust_normalize",
+    oracle="""
+    WITH stats AS (
+      SELECT l_returnflag AS grp,
+             quantile_cont(l_extendedprice, 0.01) AS vmin,
+             quantile_cont(l_extendedprice, 0.99) AS vmax
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+           round(least(greatest((l.l_extendedprice - s.vmin) / (s.vmax - s.vmin + 1e-12), 0.0), 1.0), 6) AS norm_price
+    FROM lineitem l JOIN stats s ON l.l_returnflag = s.grp
+    ORDER BY l.l_orderkey, l.l_linenumber
+    """,
+)
+def two_phase_robust_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A2+P5: THE two-phase pattern of the imaging pipeline — per-volume
+    # robust percentiles precomputed once (v2/nii_to_lmdb_paralel.py:248-257),
+    # broadcast back, applied per row with clip + epsilon guard
+    # (v2/patch_utils.py:25-34). Group stats are tiny => broadcast join, so
+    # the fact table is never shuffled.
+    li = table(spark, sf_dir, "lineitem")
+    stats = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.percentile("l_extendedprice", F.lit(0.01)).alias("vmin"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("vmax"),
+    )
+    norm = F.round(
+        F.least(
+            F.greatest(
+                (F.col("l_extendedprice") - F.col("vmin")) / (F.col("vmax") - F.col("vmin") + F.lit(1e-12)),
+                F.lit(0.0),
+            ),
+            F.lit(1.0),
+        ),
+        6,
+    )
+    return (
+        li.join(F.broadcast(stats), li.l_returnflag == stats.grp)
+        .select("l_orderkey", "l_linenumber", norm.alias("norm_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )

@@ -1,1 +1,182 @@
-"""Placeholder — queries added in later phases."""
+"""Text analysis for training-data pipelines (BASELINE.json north star):
+language-ID, quality scoring, token counting, fingerprinting — all as pure
+Catalyst expressions (no Python UDFs) so they run JVM-side inside
+whole-stage codegen and scale linearly with no shuffle at all (per-row maps;
+the only shuffles are the final reporting groupBys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+from .registry import query
+
+# Per-language stopword marker sets for the n-gram-free heuristic language
+# ID. Tiny on purpose: the point is the *pattern* (vectorized membership
+# scoring + deterministic argmax), swappable for real profiles.
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "value"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "una", "por", "con"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "or", "to", "in")
+
+
+def _words(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def _marker_hits(markers: tuple[str, ...]) -> Column:
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return F.size(F.expr(f"filter(split(text, ' '), w -> w IN ({in_list}))"))
+
+
+def _marker_hits_sql(markers: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(string_split(text, ' '), w -> w IN ({in_list})))"
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars_measured,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           round(length(text) * 1.0 / len(string_split(text, ' ')), 6) AS avg_word_len,
+           round({_marker_hits_sql(STOPWORDS)} * 1.0 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique_words,
+           round(len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')), 6) AS lexical_diversity
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quality features (length / stopword ratio / lexical diversity) used to
+    # filter web-scale corpora; all narrow per-row expressions, no shuffle.
+    d = table(spark, sf_dir, "documents")
+    words = _words()
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        F.size(words).cast("long").alias("n_words"),
+        F.round(F.length("text") * 1.0 / F.size(words), 6).alias("avg_word_len"),
+        F.round(_marker_hits(STOPWORDS) * 1.0 / F.size(words), 6).alias("stopword_ratio"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_unique_words"),
+        F.round(F.size(F.array_distinct(words)) * 1.0 / F.size(words), 6).alias("lexical_diversity"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS actual_lang,
+             {_marker_hits_sql(LANG_MARKERS['en'])} AS s_en,
+             {_marker_hits_sql(LANG_MARKERS['de'])} AS s_de,
+             {_marker_hits_sql(LANG_MARKERS['fr'])} AS s_fr,
+             {_marker_hits_sql(LANG_MARKERS['es'])} AS s_es
+      FROM documents
+    )
+    SELECT doc_id, actual_lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+                WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                WHEN s_es > 0 THEN 'es'
+                ELSE 'und' END AS predicted_lang
+    FROM scored ORDER BY doc_id
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Heuristic language ID: vectorized marker-set scoring with a
+    # deterministic priority argmax (en > de > fr > es on ties).
+    d = table(spark, sf_dir, "documents")
+    s = {k: _marker_hits(v) for k, v in LANG_MARKERS.items()}
+    predicted = (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]) & (s["en"] > 0), "en")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]) & (s["de"] > 0), "de")
+        .when((s["fr"] >= s["es"]) & (s["fr"] > 0), "fr")
+        .when(s["es"] > 0, "es")
+        .otherwise("und")
+    )
+    return d.select(
+        "doc_id", F.col("lang").alias("actual_lang"), predicted.alias("predicted_lang")
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(list_filter(string_split_regex(text, '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS re_tokens,
+           CAST(CAST(ceil(length(text) / 4.0) AS BIGINT) AS BIGINT) AS approx_bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Token counting three ways: whitespace, regex word-split, and the
+    # chars/4 BPE approximation used for corpus budgeting.
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_words()).cast("long").alias("ws_tokens"),
+        F.size(F.expr("filter(split(text, '[^a-z0-9]+'), t -> t <> '')")).cast("long").alias("re_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("approx_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_fingerprint_minshingle",
+    oracle="""
+    -- Winnowing-style document fingerprint: minimum md5 over 3-word
+    -- shingles (the 1-hash special case of minhash).
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(words) >= 3 THEN
+             list_min(list_transform(range(1, len(words) - 1),
+                      i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2])))
+           ELSE md5(array_to_string(words, ' ')) END AS fingerprint
+    FROM w ORDER BY doc_id
+    """,
+)
+def text_fingerprint_minshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    fp = F.expr(
+        """
+        CASE WHEN size(split(text, ' ')) >= 3 THEN
+          array_min(transform(sequence(1, size(split(text, ' ')) - 2),
+            i -> md5(cast(concat_ws(' ', element_at(split(text, ' '), i),
+                                    element_at(split(text, ' '), i + 1),
+                                    element_at(split(text, ' '), i + 2)) as binary))))
+        ELSE md5(cast(text as binary)) END
+        """
+    )
+    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+@query(
+    "text_corpus_stats_by_lang",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+           round(avg(length(text)), 6) AS avg_doc_len
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def text_corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.size(_words()).cast("long")).alias("total_words"),
+            F.round(F.avg(F.length("text")), 6).alias("avg_doc_len"),
+        )
+        .orderBy("lang")
+    )

@@ -1,1 +1,175 @@
-"""Placeholder — queries added in later phases."""
+"""Event-time windowing over the `events` table (SURVEY.md §7 Phase 1.7).
+
+The reference has no streaming (§2.12), but the engine offers the Spark-
+native incremental surface: the same `window`/`session_window` expressions
+used here run unchanged under Structured Streaming with watermarks
+(streaming/pipeline.py). Batch-mode versions are oracle-verifiable.
+
+All window arithmetic happens on micro-truncated timestamps (tables._events)
+so both engines bucket identical instants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import table
+from .registry import query
+
+
+@query(
+    "window_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+)
+def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tumbling event-time window; partial-aggregable, shuffle carries only
+    # (window x type) groups. Identical expression works under readStream +
+    # withWatermark for the incremental mode.
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "window_sliding_hourly_30m",
+    oracle="""
+    -- 1h windows sliding every 30m: each event falls in exactly 2 windows,
+    -- starting at the 30m-grid floor and 30m before it.
+    SELECT window_start, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS window_start,
+             value
+      FROM events, (SELECT unnest([0, 1]) AS k)
+    ) GROUP BY 1 ORDER BY window_start
+    """,
+)
+def window_sliding_hourly_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "window_session_10m_gap",
+    oracle="""
+    -- Session windows, 10-minute inactivity gap, per user: classic
+    -- gaps-and-islands. Session end = last event + gap (Spark semantics).
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, value)
+                       >= 600000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, value) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, value
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '10 minutes' AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM numbered GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+)
+def window_session_10m_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # session_window merges events with gaps < 10 min; an event exactly at
+    # last+10min starts a NEW session (end-exclusive), mirrored in the
+    # oracle's >= comparison on integer microseconds.
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "window_running_cumulative",
+    oracle="""
+    SELECT user_id, ts, value,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 6) AS running_total,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS event_seq
+    FROM events
+    ORDER BY user_id, event_seq
+    """,
+)
+def window_running_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Running-total analytic window (ordered frame) — the sequential-scan
+    # shape; one shuffle on user_id then in-partition ordered evaluation.
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            "value",
+            F.round(F.sum("value").over(w), 6).alias("running_total"),
+            F.row_number().over(seq).cast("long").alias("event_seq"),
+        )
+        .orderBy("user_id", "event_seq")
+    )
+
+
+@query(
+    "window_lag_lead_delta",
+    oracle="""
+    SELECT user_id, ts,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+    ORDER BY user_id, ts, gap_us
+    """,
+)
+def window_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .orderBy("user_id", "ts", "gap_us")
+    )
