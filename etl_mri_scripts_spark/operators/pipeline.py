@@ -1,0 +1,302 @@
+"""The end-to-end imaging dataflow (SURVEY.md §3.4 target shape):
+
+volumes -> slice explode (P1/P2) + per-volume robust normalize (P5/A2)
+        -> degradation UDF (D1-D15, seed column from xxhash64(key))
+        -> patch grid + crop + dark filter (P8-P10, F3)
+        -> approved-keys semi-join gate (J2) + key-parity validation (J4)
+        -> group-consistent split (M2/J3) -> partitioned sink (K3-K6)
+
+One DataFrame lineage replaces the reference's three disk round-trips
+(PNG tree -> approved_keys.txt -> LMDB; §3.1). Scale design:
+
+- volumes are one row each; per-volume stats (P5) are a per-record map, not
+  a shuffle. The 100 TB hazard is row size (a 960x840x640 f32 volume is
+  ~2 GB): production ingest must decode slab-wise on executors (S5 lazy
+  read) and the Arrow batch size is pinned to 1 row for the volume stage.
+- the volume->slices and slice->patches fan-outs (3x640 slices, then
+  ~12-35 patches/slice) happen inside mapInPandas; a repartition on
+  slice_id between them spreads the explosion across the cluster BEFORE
+  patch work, which is what kills the fan-out skew (§4 physical risks).
+- keys, splits, grids, and the dark verdict are COLUMNS (optimizer-visible)
+  — only pixel payloads are opaque binary.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.volumes import np_to_npy_bytes, npy_bytes_to_np
+from .degradation import degrade_slice_preset
+from .filters import patch_is_dark
+from .patches import make_crop_spaces, crop_with_edge_pad, normalize_key, patch_key, slice_key
+
+SLICE_SCHEMA = (
+    "base string, orient string, slice_i int, slice_id string, h int, w int, "
+    "vmin double, vmax double, pixels binary"
+)
+
+PATCH_SCHEMA = (
+    "full_key string, key string, resolution string, base string, orient string, "
+    "slice_i int, x int, y int, h int, w int, c int, dtype string, "
+    "is_dark boolean, value binary"
+)
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Geometry defaults follow the v2 sequential driver (crop 128/step 64,
+    ref v2/nii_to_lmdb.py:343-344); scales and preset per its CLI."""
+
+    crop_hr: int = 32
+    step_hr: int = 16
+    thresh_size: int = 0
+    scales: tuple[int, ...] = (2,)
+    preset: str = "3tFlash"
+    dtype_out: str = "float32"
+    pmin: float = 1.0
+    pmax: float = 99.0
+    split_ratios: tuple[float, float, float] = (0.95, 0.03, 0.02)
+    split_unit: str = "volume"  # volume (group-consistent) | slice
+    extra: dict = field(default_factory=dict)
+
+
+# --------------------------------------------------------------------------
+# Stage 1: volume -> oriented slices, robust-normalized per volume
+# --------------------------------------------------------------------------
+
+
+def explode_slices(volumes: DataFrame, config: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """P1/P2 orientation transpose + slice explode with P5 per-volume robust
+    percentile normalization.
+
+    Orientation slice counts keep the reference's quirk: coronal iterates
+    the SAME z extent as axial (ref v2/nii_to_lmdb.py:77-79), sagittal
+    iterates sy.
+    """
+    pmin, pmax = config.pmin, config.pmax
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                vol = npy_bytes_to_np(r.voxels).astype(np.float32)
+                vmin = float(np.nanpercentile(vol, pmin))
+                vmax = float(np.nanpercentile(vol, pmax))
+                vol01 = np.clip((vol - vmin) / max(vmax - vmin, 1e-12), 0.0, 1.0)
+                oriented = {
+                    "axial": vol01,
+                    "coronal": vol01.transpose(1, 0, 2),
+                    "sagittal": vol01.transpose(2, 0, 1),
+                }
+                counts = {
+                    "axial": vol01.shape[2],
+                    "coronal": vol01.shape[2],  # reference quirk: sz, not sy
+                    "sagittal": r.sy,
+                }
+                for orient, ov in oriented.items():
+                    n = min(counts[orient], ov.shape[2])
+                    for i in range(n):
+                        sl = np.ascontiguousarray(ov[:, :, i], dtype=np.float32)
+                        rows.append(
+                            {
+                                "base": r.base,
+                                "orient": orient,
+                                "slice_i": i,
+                                "slice_id": slice_key(r.base, orient, i),
+                                "h": sl.shape[0],
+                                "w": sl.shape[1],
+                                "vmin": vmin,
+                                "vmax": vmax,
+                                "pixels": np_to_npy_bytes(sl),
+                            }
+                        )
+            yield pd.DataFrame(rows)
+
+    return volumes.mapInPandas(gen, schema=SLICE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Stage 2: slice -> degraded HR/LR patch rows
+# --------------------------------------------------------------------------
+
+
+def degrade_and_patch(slices: DataFrame, config: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """D14 degradation + P8 grid + P9 pad + P10 LR derivation + F3 dark
+    verdict, one Arrow pass per slice.
+
+    The per-slice seed is a column (xxhash64 of slice_id) so retried or
+    speculated tasks regenerate identical noise (§4 determinism rule).
+    LR grids are DERIVED from the HR grid (x//scale), never recomputed —
+    the invariant that guarantees HR/LR key parity (J4).
+    """
+    crop, step, thresh = config.crop_hr, config.step_hr, config.thresh_size
+    scales, preset, dtype_out = tuple(config.scales), config.preset, config.dtype_out
+
+    slices = slices.withColumn(
+        "seed", F.xxhash64("slice_id").bitwiseAND(F.lit(0x7FFFFFFF))
+    ).repartition(F.col("slice_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                hr = npy_bytes_to_np(r.pixels).astype(np.float32)
+                h_space, w_space = make_crop_spaces(r.h, r.w, crop, step, thresh)
+                idx = 0
+                hr_patches = []
+                for y in h_space:
+                    for x in w_space:
+                        idx += 1
+                        tile = crop_with_edge_pad(hr, y, x, crop)
+                        hr_patches.append((idx, x, y, tile, patch_is_dark(tile)))
+                for idx, x, y, tile, dark in hr_patches:
+                    fk = patch_key(r.base, r.orient, r.slice_i, "HR", idx)
+                    rows.append(
+                        {
+                            "full_key": fk,
+                            "key": normalize_key(fk),
+                            "resolution": "HR",
+                            "base": r.base,
+                            "orient": r.orient,
+                            "slice_i": r.slice_i,
+                            "x": x,
+                            "y": y,
+                            "h": crop,
+                            "w": crop,
+                            "c": 1,
+                            "dtype": dtype_out,
+                            "is_dark": bool(dark),
+                            "value": np_to_npy_bytes(tile, dtype_out),
+                        }
+                    )
+                for s in scales:
+                    res = degrade_slice_preset(hr, preset, seed=int(r.seed), fator_reducao=s)
+                    lr = res["lr"]
+                    crop_lr = crop // s
+                    for idx, x, y, _tile, _dark in hr_patches:
+                        fk = patch_key(r.base, r.orient, r.slice_i, f"LRx{s}", idx)
+                        tile_lr = crop_with_edge_pad(lr, y // s, x // s, crop_lr)
+                        rows.append(
+                            {
+                                "full_key": fk,
+                                "key": normalize_key(fk),
+                                "resolution": f"LRx{s}",
+                                "base": r.base,
+                                "orient": r.orient,
+                                "slice_i": r.slice_i,
+                                "x": x // s,
+                                "y": y // s,
+                                "h": crop_lr,
+                                "w": crop_lr,
+                                "c": 1,
+                                "dtype": dtype_out,
+                                "is_dark": None,
+                                "value": np_to_npy_bytes(tile_lr, dtype_out),
+                            }
+                        )
+            yield pd.DataFrame(rows)
+
+    return slices.mapInPandas(gen, schema=PATCH_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Stage 3: dark-gate semi-join + key-parity validation
+# --------------------------------------------------------------------------
+
+
+def gate_approved(patches: DataFrame) -> DataFrame:
+    """J2: LR patches survive only if their normalized key was approved on
+    HR (dark filter runs on HR only — HR-gates-LR ordering). The approved
+    key set is small relative to patch bytes; Spark broadcasts it under
+    AQE when it fits."""
+    hr_kept = patches.filter((F.col("resolution") == "HR") & (~F.col("is_dark")))
+    approved = hr_kept.select("key")
+    lr_kept = patches.filter(F.col("resolution") != "HR").join(approved, "key", "left_semi")
+    return hr_kept.unionByName(lr_kept)
+
+
+def key_parity_violations(gated: DataFrame) -> DataFrame:
+    """J4: per resolution, the normalized key sets must match HR exactly.
+    Returns the symmetric difference (empty == valid) instead of raising,
+    so the check is a query the driver can run."""
+    hr = gated.filter(F.col("resolution") == "HR").select("key").distinct()
+    out = None
+    resolutions = [
+        r["resolution"]
+        for r in gated.select("resolution").distinct().collect()
+        if r["resolution"] != "HR"
+    ]
+    for res in resolutions:
+        lr = gated.filter(F.col("resolution") == res).select("key").distinct()
+        missing = hr.join(lr, "key", "left_anti").select(
+            F.lit(res).alias("resolution"), F.lit("missing_in_lr").alias("kind"), "key"
+        )
+        extra = lr.join(hr, "key", "left_anti").select(
+            F.lit(res).alias("resolution"), F.lit("extra_in_lr").alias("kind"), "key"
+        )
+        part = missing.unionByName(extra)
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        return gated.sparkSession.createDataFrame([], "resolution string, kind string, key string")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Stage 4: deterministic group-consistent split
+# --------------------------------------------------------------------------
+
+
+def assign_split(df: DataFrame, config: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """M2/M3: hash-bucket split on the parent unit (volume base by default)
+    so every HR/LR patch of a volume lands in one split — stateless,
+    shuffle-free, stable under retries and data growth (vs the reference's
+    in-memory seeded shuffles, utils_scripts.py:46-51)."""
+    tr, va, _te = config.split_ratios
+    unit = F.col("base") if config.split_unit == "volume" else F.col("key")
+    t1 = format(int((tr) * 65536), "04x")
+    t2 = format(int((tr + va) * 65536), "04x")
+    hx = F.substring(F.md5(unit.cast("string").cast("binary")), 1, 4)
+    return df.withColumn(
+        "split", F.when(hx < t1, "train").when(hx < t2, "val").otherwise("test")
+    )
+
+
+# --------------------------------------------------------------------------
+# Stage 5: sink (Parquet system-of-record, K3-K8)
+# --------------------------------------------------------------------------
+
+
+def write_dataset(df: DataFrame, out_dir: str) -> None:
+    """Partitioned by (resolution, split) — the same store layout the
+    reference keeps as separate LMDB environments
+    (v2/nii_to_lmdb_paralel.py:298-305), but parallel-writable. The
+    meta_info sidecar line format is preserved as a column
+    (ref: v2/lmdb_npy.py:48)."""
+    (
+        df.withColumn(
+            "meta_line",
+            F.format_string("%s.npy (%d,%d,%d) %s", F.col("key"), F.col("h"), F.col("w"), F.col("c"), F.col("dtype")),
+        )
+        .write.mode("overwrite")
+        .partitionBy("resolution", "split")
+        .parquet(out_dir)
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    volumes: DataFrame,
+    config: PipelineConfig = PipelineConfig(),
+) -> DataFrame:
+    """Full lineage: volumes -> gated, split patch records (not yet written)."""
+    # Volume rows are huge; keep Arrow batches tiny for the explode stage.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    slices = explode_slices(volumes, config)
+    patches = degrade_and_patch(slices, config)
+    gated = gate_approved(patches)
+    return assign_split(gated, config)

@@ -1,1 +1,213 @@
-"""Placeholder — queries added in later phases."""
+"""Imaging-pipeline queries (SURVEY.md §2.3/§2.6 + §7 Phase 2).
+
+The grid/key/gating ARITHMETIC is SQL-expressible and oracle-verified here
+on synthetic shape/key tables derived from the star schema. The pixel
+operators (degradation, crops, dark filter) are exercised end-to-end by the
+rows-only queries at the bottom (deterministic seeded synthetic volumes)
+and golden-tested in tests/test_degradation.py / test_pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.patches import crop_space_col
+from ..tables import table
+from .registry import query
+
+CROP, STEP, THRESH = 32, 16, 0
+
+
+@query(
+    "imaging_patch_grid",
+    oracle=f"""
+    -- crop-grid arithmetic with the trailing-edge rule
+    -- (v2/patch_utils.py:36-46): starts = range(0, dim-crop+1, step),
+    -- plus dim-crop if the remainder past the last window > thresh.
+    WITH shapes AS (
+      SELECT p_partkey AS shape_id,
+             64 + CAST(p_partkey % 128 AS INT) AS h,
+             48 + CAST((p_partkey * 7) % 160 AS INT) AS w
+      FROM part
+    ),
+    grids AS (
+      SELECT shape_id, h, w,
+             CASE WHEN h - (list_last(range(0, greatest(h - {CROP}, 0) + 1, {STEP})) + {CROP}) > {THRESH}
+                  THEN list_append(range(0, greatest(h - {CROP}, 0) + 1, {STEP}), h - {CROP})
+                  ELSE range(0, greatest(h - {CROP}, 0) + 1, {STEP}) END AS h_space,
+             CASE WHEN w - (list_last(range(0, greatest(w - {CROP}, 0) + 1, {STEP})) + {CROP}) > {THRESH}
+                  THEN list_append(range(0, greatest(w - {CROP}, 0) + 1, {STEP}), w - {CROP})
+                  ELSE range(0, greatest(w - {CROP}, 0) + 1, {STEP}) END AS w_space
+      FROM shapes
+    )
+    SELECT shape_id, h, w,
+           CAST(len(h_space) AS INT) AS n_y,
+           CAST(len(w_space) AS INT) AS n_x,
+           CAST(len(h_space) * len(w_space) AS INT) AS n_patches,
+           CAST(list_last(h_space) AS INT) AS last_y,
+           CAST(list_last(w_space) AS INT) AS last_x
+    FROM grids ORDER BY shape_id
+    """,
+)
+def imaging_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    shapes = p.select(
+        F.col("p_partkey").alias("shape_id"),
+        (64 + (F.col("p_partkey") % 128).cast("int")).alias("h"),
+        (48 + ((F.col("p_partkey") * 7) % 160).cast("int")).alias("w"),
+    )
+    g = shapes.withColumn("h_space", crop_space_col(F.col("h"), CROP, STEP, THRESH)).withColumn(
+        "w_space", crop_space_col(F.col("w"), CROP, STEP, THRESH)
+    )
+    return g.select(
+        "shape_id",
+        "h",
+        "w",
+        F.size("h_space").alias("n_y"),
+        F.size("w_space").alias("n_x"),
+        (F.size("h_space") * F.size("w_space")).alias("n_patches"),
+        F.element_at("h_space", -1).cast("int").alias("last_y"),
+        F.element_at("w_space", -1).cast("int").alias("last_x"),
+    ).orderBy("shape_id")
+
+
+@query(
+    "imaging_slice_plan",
+    oracle="""
+    -- metadata-only slice enumeration (M3/P2, v2/nii_to_lmdb.py:47-120):
+    -- slice counts from shapes alone, with the reference's coronal quirk
+    -- (coronal iterates sz, like axial; sagittal iterates sy).
+    WITH vols AS (
+      SELECT s_suppkey AS vol_id,
+             printf('sub-%03d_T1w', CAST(s_suppkey AS INT)) AS base,
+             32 + CAST(s_suppkey % 16 AS INT) AS sx,
+             32 + CAST((s_suppkey * 3) % 16 AS INT) AS sy,
+             8 + CAST(s_suppkey % 6 AS INT) AS sz
+      FROM supplier
+    ),
+    plan AS (
+      SELECT base, orient,
+             CASE orient WHEN 'sagittal' THEN sy ELSE sz END AS n_slices
+      FROM vols, (SELECT unnest(['axial', 'coronal', 'sagittal']) AS orient)
+    )
+    SELECT base, orient,
+           printf('%s__%s__slice_%03d', base, orient, i) AS slice_id
+    FROM plan, LATERAL (SELECT unnest(range(0, n_slices)) AS i)
+    ORDER BY base, orient, slice_id
+    """,
+)
+def imaging_slice_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    vols = s.select(
+        F.format_string("sub-%03d_T1w", F.col("s_suppkey").cast("int")).alias("base"),
+        (32 + (F.col("s_suppkey") % 16).cast("int")).alias("sx"),
+        (32 + ((F.col("s_suppkey") * 3) % 16).cast("int")).alias("sy"),
+        (8 + (F.col("s_suppkey") % 6).cast("int")).alias("sz"),
+    )
+    plan = vols.select(
+        "base",
+        F.explode(F.array(F.lit("axial"), F.lit("coronal"), F.lit("sagittal"))).alias("orient"),
+        "sy",
+        "sz",
+    ).withColumn(
+        "n_slices", F.when(F.col("orient") == "sagittal", F.col("sy")).otherwise(F.col("sz"))
+    )
+    return (
+        plan.select(
+            "base",
+            "orient",
+            F.explode(F.sequence(F.lit(0), F.col("n_slices") - 1)).alias("i"),
+        )
+        .select("base", "orient", F.format_string("%s__%s__slice_%03d", "base", "orient", "i").alias("slice_id"))
+        .orderBy("base", "orient", "slice_id")
+    )
+
+
+@query(
+    "imaging_key_parity_gate",
+    oracle="""
+    -- J2 approved-keys gate + J4 parity check on synthetic patch keys:
+    -- HR dark verdict derived from md5(key); LR keeps only approved keys;
+    -- the output must show lr_kept == hr_kept and zero violations.
+    WITH hr AS (
+      SELECT printf('vol%02d__axial__slice_%03d__s%03d',
+                    CAST(l_orderkey % 20 AS INT), l_linenumber,
+                    CAST(l_partkey % 30 AS INT)) AS key
+      FROM lineitem
+      GROUP BY 1
+    ),
+    verdicts AS (
+      SELECT key, substr(md5(key), 1, 1) IN ('0', '1', '2', '3') AS is_dark FROM hr
+    ),
+    approved AS (SELECT key FROM verdicts WHERE NOT is_dark),
+    lr AS (SELECT key FROM hr),
+    lr_kept AS (SELECT l.key FROM lr l WHERE EXISTS (SELECT 1 FROM approved a WHERE a.key = l.key))
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM hr) AS hr_total,
+      (SELECT CAST(count(*) AS BIGINT) FROM approved) AS hr_kept,
+      (SELECT CAST(count(*) AS BIGINT) FROM lr_kept) AS lr_kept,
+      (SELECT CAST(count(*) AS BIGINT) FROM approved a
+        WHERE NOT EXISTS (SELECT 1 FROM lr_kept l WHERE l.key = a.key)) AS parity_violations
+    """,
+)
+def imaging_key_parity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    hr = li.select(
+        F.format_string(
+            "vol%02d__axial__slice_%03d__s%03d",
+            (F.col("l_orderkey") % 20).cast("int"),
+            F.col("l_linenumber"),
+            (F.col("l_partkey") % 30).cast("int"),
+        ).alias("key")
+    ).distinct()
+    verdicts = hr.withColumn(
+        "is_dark", F.substring(F.md5(F.col("key").cast("binary")), 1, 1).isin("0", "1", "2", "3")
+    )
+    approved = verdicts.filter(~F.col("is_dark")).select("key")
+    lr_kept = hr.join(approved, "key", "left_semi")
+    violations = approved.join(lr_kept, "key", "left_anti")
+    return spark.range(1).select(
+        F.lit(hr.count()).cast("long").alias("hr_total"),
+        F.lit(approved.count()).cast("long").alias("hr_kept"),
+        F.lit(lr_kept.count()).cast("long").alias("lr_kept"),
+        F.lit(violations.count()).cast("long").alias("parity_violations"),
+    )
+
+
+# --- rows-only end-to-end pipeline queries (non-SQL-expressible pixels) ---
+
+
+@query("imaging_pipeline_patches")
+def imaging_pipeline_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full imaging dataflow on deterministic synthetic volumes: returns
+    per-patch metadata + a payload checksum. Pixel semantics are golden-
+    tested in pytest; this exposes the whole lineage to the driver."""
+    from ..operators.pipeline import PipelineConfig, run_pipeline
+    from ..sources.volumes import synthetic_volumes
+
+    cfg = PipelineConfig(crop_hr=16, step_hr=8, scales=(2,))
+    vols = synthetic_volumes(spark, 2, (32, 32, 6), seed=11)
+    return (
+        run_pipeline(spark, vols, cfg)
+        .select("key", "resolution", "split", "x", "y", "h", "w", "dtype",
+                F.md5("value").alias("checksum"))
+        .orderBy("key", "resolution")
+    )
+
+
+@query("imaging_snr_metrics")
+def imaging_snr_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-volume SNR analytics table (A5-A7/F6-F7) on synthetic volumes."""
+    from ..operators.snr import snr_metrics
+    from ..sources.volumes import synthetic_volumes
+
+    vols = synthetic_volumes(spark, 3, (24, 24, 8), seed=5)
+    m = snr_metrics(vols, mode="chi", n_coils=8)
+    return m.select(
+        "base",
+        F.round("otsu_threshold", 4).alias("otsu_threshold"),
+        F.round("brain_frac", 6).alias("brain_frac"),
+        F.round("snr_corrected", 4).alias("snr_corrected"),
+        "noise_mode",
+    ).orderBy("base")

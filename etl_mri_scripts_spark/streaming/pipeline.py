@@ -1,0 +1,95 @@
+"""Structured Streaming surface (SURVEY.md §2.12, §7 step 7).
+
+The reference is batch-only; its incremental behaviors (skip-if-exists
+re-runs, append-only audit log, write-as-completed loop) map onto Spark's
+file-source streaming + checkpointing, which is what a 100 TB ingest
+actually wants: new volumes land in a directory, each micro-batch runs the
+SAME pipeline lineage via foreachBatch, checkpoints make re-runs exactly
+this-once per file (F4 idempotency without the per-file exists checks).
+
+The windowed aggregations reuse the identical expressions as the batch
+queries (queries/windows.py) — one definition, two execution modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, in_dir: str, fmt: str = "json") -> DataFrame:
+    """File-source stream of event rows (new files -> new micro-batches)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA).format(fmt)
+    return reader.load(in_dir)
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling hourly counts with late-data handling: identical window
+    expression as the batch `window_tumbling_hourly` query, plus the
+    watermark that bounds state at scale."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def session_stream(events: DataFrame, gap: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Stateful session windows per user (the session_window expression is
+    streaming-native; state eviction rides the watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_incremental_pipeline(
+    spark: SparkSession,
+    volumes_in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    config=None,
+):
+    """Incremental imaging ingest: watch a directory of volume parquet
+    drops; each micro-batch runs the full batch pipeline (explode ->
+    degrade -> patch -> gate -> split) and appends to the partitioned sink.
+    Exactly-once per input file via the checkpoint — the streaming-native
+    form of the reference's --force/skip-if-exists logic.
+    """
+    from ..operators.pipeline import PipelineConfig, assign_split, degrade_and_patch, explode_slices, gate_approved
+    from ..sources.volumes import VOLUME_SCHEMA
+
+    cfg = config or PipelineConfig(crop_hr=16, step_hr=8, scales=(2,))
+    stream = spark.readStream.schema(VOLUME_SCHEMA).parquet(volumes_in_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        patches = assign_split(
+            gate_approved(degrade_and_patch(explode_slices(batch_df, cfg), cfg)), cfg
+        )
+        (
+            patches.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("resolution", "split")
+            .parquet(out_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

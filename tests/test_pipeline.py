@@ -1,0 +1,133 @@
+"""End-to-end imaging pipeline on synthetic volumes: the invariants the
+reference enforces at runtime (SURVEY.md §5) — key parity, patch counts
+from grid arithmetic, split group-consistency, determinism, sink layout."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_mri_scripts_spark.operators.patches import make_crop_spaces
+from etl_mri_scripts_spark.operators.pipeline import (
+    PipelineConfig,
+    degrade_and_patch,
+    explode_slices,
+    gate_approved,
+    key_parity_violations,
+    run_pipeline,
+    write_dataset,
+)
+from etl_mri_scripts_spark.sources.volumes import npy_bytes_to_np, synthetic_volumes
+
+CFG = PipelineConfig(crop_hr=16, step_hr=8, scales=(2,), preset="3tFlash")
+SHAPE = (32, 32, 6)
+
+
+@pytest.fixture(scope="module")
+def volumes(spark):
+    return synthetic_volumes(spark, n_volumes=2, shape=SHAPE, seed=11).cache()
+
+
+@pytest.fixture(scope="module")
+def gated(spark, volumes):
+    return run_pipeline(spark, volumes, CFG).cache()
+
+
+def test_volume_source_deterministic(spark):
+    a = synthetic_volumes(spark, 2, SHAPE, seed=11).select("base", F.md5("voxels").alias("h")).collect()
+    b = synthetic_volumes(spark, 2, SHAPE, seed=11).select("base", F.md5("voxels").alias("h")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_slice_explode_counts_and_quirk(spark, volumes):
+    slices = explode_slices(volumes, CFG)
+    counts = {
+        (r["orient"]): r["n"]
+        for r in slices.groupBy("orient").agg(F.count("*").alias("n")).collect()
+    }
+    sx, sy, sz = SHAPE
+    n_vol = 2
+    assert counts["axial"] == n_vol * sz
+    assert counts["coronal"] == n_vol * sz  # the reference's coronal quirk
+    assert counts["sagittal"] == n_vol * sy
+
+
+def test_slice_normalization_bounds(spark, volumes):
+    slices = explode_slices(volumes, CFG)
+    row = slices.first()
+    arr = npy_bytes_to_np(row["pixels"])
+    assert arr.dtype == np.float32
+    assert 0.0 <= float(arr.min()) and float(arr.max()) <= 1.0
+    assert row["vmax"] > row["vmin"]
+
+
+def test_patch_counts_match_grid_arithmetic(spark, volumes):
+    slices = explode_slices(volumes, CFG).limit(4).cache()
+    patches = degrade_and_patch(slices, CFG)
+    per_slice = (
+        patches.filter(F.col("resolution") == "HR")
+        .groupBy("base", "orient", "slice_i")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    h, w = SHAPE[0], SHAPE[1]  # axial slices are (sx, sy)
+    hs, ws = make_crop_spaces(h, w, CFG.crop_hr, CFG.step_hr, CFG.thresh_size)
+    expected = len(hs) * len(ws)
+    for r in per_slice:
+        assert r["n"] == expected, (r, expected)
+    # LR patch shape arithmetic: crop_lr = crop_hr // scale
+    lr = patches.filter(F.col("resolution") == "LRx2").first()
+    assert lr["h"] == CFG.crop_hr // 2 and lr["w"] == CFG.crop_hr // 2
+    tile = npy_bytes_to_np(lr["value"])
+    assert tile.shape == (CFG.crop_hr // 2, CFG.crop_hr // 2)
+
+
+def test_key_parity_holds(gated):
+    violations = key_parity_violations(gated)
+    assert violations.count() == 0
+
+
+def test_key_parity_detects_breakage(spark, gated):
+    # drop one LR row -> exactly one missing_in_lr violation
+    victim = gated.filter(F.col("resolution") == "LRx2").select("key").first()["key"]
+    broken = gated.filter(~((F.col("resolution") == "LRx2") & (F.col("key") == victim)))
+    v = key_parity_violations(broken).collect()
+    assert len(v) == 1 and v[0]["kind"] == "missing_in_lr" and v[0]["key"] == victim
+
+
+def test_split_group_consistency(gated):
+    # every base maps to exactly one split (M2 invariant)
+    multi = (
+        gated.groupBy("base").agg(F.countDistinct("split").alias("k")).filter(F.col("k") > 1)
+    )
+    assert multi.count() == 0
+
+
+def test_gate_removes_dark_only(spark, volumes):
+    patches = degrade_and_patch(explode_slices(volumes, CFG), CFG).cache()
+    gated = gate_approved(patches)
+    n_dark = patches.filter((F.col("resolution") == "HR") & F.col("is_dark")).count()
+    n_hr_all = patches.filter(F.col("resolution") == "HR").count()
+    n_hr_kept = gated.filter(F.col("resolution") == "HR").count()
+    assert n_hr_kept == n_hr_all - n_dark
+    assert n_dark > 0  # synthetic corners are dark; the gate must really fire
+    patches.unpersist()
+
+
+def test_pipeline_determinism(spark, volumes):
+    df1 = run_pipeline(spark, volumes, CFG).select("key", "resolution", F.md5("value").alias("h"))
+    df2 = run_pipeline(spark, volumes, CFG).select("key", "resolution", F.md5("value").alias("h"))
+    assert df1.exceptAll(df2).count() == 0 and df2.exceptAll(df1).count() == 0
+
+
+def test_write_dataset_layout(spark, gated, tmp_path):
+    out = str(tmp_path / "patches")
+    write_dataset(gated, out)
+    back = spark.read.parquet(out)
+    assert back.count() == gated.count()
+    # partition columns survive round-trip
+    assert {"resolution", "split"} <= set(back.columns)
+    # meta sidecar line format (v2/lmdb_npy.py:48)
+    m = back.select("meta_line").first()["meta_line"]
+    assert m.endswith(("float32", "float16")) and ".npy (" in m

@@ -1,0 +1,71 @@
+"""Sink surfaces: KV-store export (single-writer contract + sidecar),
+append-mode audit log + idempotency anti-join, split report."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_mri_scripts_spark.sources.audit import (
+    already_processed,
+    log_processed,
+    read_log,
+    split_report,
+)
+from etl_mri_scripts_spark.sources.lmdb_export import export_kv_stores, read_store_keys
+
+
+@pytest.fixture(scope="module")
+def patches(spark):
+    from etl_mri_scripts_spark.operators.pipeline import PipelineConfig, run_pipeline
+    from etl_mri_scripts_spark.sources.volumes import synthetic_volumes
+
+    cfg = PipelineConfig(crop_hr=16, step_hr=8, scales=(2,))
+    vols = synthetic_volumes(spark, 1, (24, 24, 4), seed=3)
+    return run_pipeline(spark, vols, cfg).cache()
+
+
+def test_export_kv_stores_layout(spark, patches, tmp_path):
+    out = str(tmp_path / "stores")
+    paths = export_kv_stores(patches, out)
+    assert paths, "no stores exported"
+    for p in paths:
+        assert os.path.exists(os.path.join(p, "meta_info.txt"))
+        name = os.path.basename(p)
+        res = name.split("_")[0]
+        keys = read_store_keys(p)
+        assert keys == sorted(keys)  # deterministic sorted store order
+        n = patches.filter(
+            (F.col("resolution") == res) & (F.col("split") == name.split("_", 1)[1])
+        ).count()
+        assert len(keys) == n
+
+
+def test_store_key_scan_regex_limit(spark, patches, tmp_path):
+    out = str(tmp_path / "stores2")
+    paths = export_kv_stores(patches, out)
+    keys = read_store_keys(paths[0], limit=3)
+    assert len(keys) <= 3
+    axial = read_store_keys(paths[0], regex="__axial__")
+    assert all("__axial__" in k for k in axial)
+
+
+def test_audit_log_append_and_idempotency(spark, tmp_path):
+    log_dir = str(tmp_path / "log")
+    log_processed(spark, log_dir, ["a.nii.gz", "b.nii.gz"])
+    log_processed(spark, log_dir, ["c.nii.gz"], force=True)
+    df = read_log(spark, log_dir)
+    assert df.count() == 3
+    assert df.filter(F.col("force")).count() == 1
+    seen = already_processed(spark, log_dir)
+    incoming = spark.createDataFrame([("a.nii.gz",), ("d.nii.gz",)], "file string")
+    todo = incoming.join(seen, "file", "left_anti").collect()
+    assert [r["file"] for r in todo] == ["d.nii.gz"]
+
+
+def test_split_report_rollup(spark, patches):
+    rep = split_report(patches).collect()
+    totals = [r for r in rep if r["split"] == "ALL"]
+    assert totals and totals[0]["n_patches"] == patches.count()

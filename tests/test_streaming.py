@@ -1,0 +1,88 @@
+"""Streaming surface: windowed agg parity with batch, incremental pipeline
+exactly-once semantics across restarts."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_mri_scripts_spark.streaming.pipeline import (
+    hourly_counts_stream,
+    run_incremental_pipeline,
+    stream_events,
+)
+
+
+def _wait(q, timeout=60):
+    q.awaitTermination(timeout * 1000)
+
+
+def test_streaming_hourly_matches_batch(spark, tmp_path, sf_dir):
+    # feed the events table through the file stream in two chunks; the
+    # streaming result must equal the batch query on the union.
+    from etl_mri_scripts_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    a, b = ev.randomSplit([0.5, 0.5], seed=1)
+    a.write.mode("overwrite").json(in_dir + "/chunk=a")
+    b.write.mode("overwrite").json(in_dir + "/chunk=b")
+
+    stream = stream_events(spark, in_dir + "/*", fmt="json")
+    agg = hourly_counts_stream(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hourly")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _wait(q)
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("select * from hourly").collect()
+    }
+    expected = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        .collect()
+    }
+    assert got == expected
+
+
+def test_incremental_pipeline_exactly_once(spark, tmp_path):
+    from etl_mri_scripts_spark.sources.volumes import synthetic_volumes
+
+    vols_dir = str(tmp_path / "vols")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    v1 = synthetic_volumes(spark, 1, (24, 24, 4), seed=3)
+    v1.write.mode("overwrite").parquet(vols_dir)
+
+    q = run_incremental_pipeline(spark, vols_dir, out_dir, ckpt)
+    _wait(q)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 > 0
+
+    # restart with NO new data: checkpoint must prevent reprocessing
+    q2 = run_incremental_pipeline(spark, vols_dir, out_dir, ckpt)
+    _wait(q2)
+    assert spark.read.parquet(out_dir).count() == n1
+
+    # drop one new volume file -> only its patches are appended
+    v2 = synthetic_volumes(spark, 2, (24, 24, 4), seed=9).filter(F.col("base") == "sub-001_T1w")
+    v2.write.mode("append").parquet(vols_dir)
+    q3 = run_incremental_pipeline(spark, vols_dir, out_dir, ckpt)
+    _wait(q3)
+    n3 = spark.read.parquet(out_dir).count()
+    assert n3 > n1
+    bases = {r["base"] for r in spark.read.parquet(out_dir).select("base").distinct().collect()}
+    assert bases == {"sub-000_T1w", "sub-001_T1w"}
