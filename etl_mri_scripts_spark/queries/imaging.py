@@ -211,3 +211,37 @@ def imaging_snr_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("snr_corrected", 4).alias("snr_corrected"),
         "noise_mode",
     ).orderBy("base")
+
+
+@query("multimodal_feature_extract")
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end (rows-only): synthetic media ->
+    decode -> per-item stats + histogram pseudo-embedding. The codec decode
+    for real formats is stubbed (no image/audio libs in this container);
+    the Spark-side schema/batching/fan-out is the real deliverable."""
+    from ..sources.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=12, seed=21)
+    feats = extract_features(media, embed_dim=16)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+        F.round("dark_frac", 6).alias("dark_frac"),
+        F.size("embedding").alias("embed_dim"),
+    ).orderBy("media_id")
+
+
+@query("multimodal_frame_sample")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out (rows-only): every 2nd frame, payload
+    checksummed so the driver sees deterministic content."""
+    from ..sources.multimodal import sample_frames, synthetic_media
+
+    media = synthetic_media(spark, n=12, seed=21)
+    return (
+        sample_frames(media, every_k=2)
+        .select("media_id", "frame_i", "height", "width", F.md5("payload").alias("checksum"))
+        .orderBy("media_id", "frame_i")
+    )

@@ -1,0 +1,169 @@
+"""Multimodal columns (BASELINE.json north star): image/audio/video as
+opaque binary payloads with typed metadata columns.
+
+The Spark-side plumbing — schema, Arrow batching, partitioning, fan-out
+shape — is real and tested. Codec decode (JPEG/PNG/WAV/MP4) is STUBBED:
+the image/audio libraries are not in this container, so `codec_decode`
+raises NotImplementedError behind an import-try, and the deterministic
+`.npy` payload path stands in for decoded content end-to-end (same
+contract the NIfTI source uses, sources/volumes.py).
+
+Scale notes: payloads never enter group-by keys or join keys; every
+operation below is a narrow per-row map (mapInPandas) or an explode whose
+fan-out Spark can repartition. Feature rows (tiny) separate from payload
+rows (fat) as early as possible so shuffles move features, not media.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .volumes import np_to_npy_bytes, npy_bytes_to_np
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, mime string, payload binary, "
+    "width int, height int, channels int, sample_rate int, n_frames int"
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, mean double, std double, p01 double, p99 double, "
+    "dark_frac double, embedding array<float>"
+)
+
+
+def synthetic_media(spark: SparkSession, n: int = 12, seed: int = 21) -> DataFrame:
+    """Deterministic fake media: images (h, w, c), audio (n,), video
+    (f, h, w) float32 arrays as .npy payloads, generated on executors."""
+    meta = spark.createDataFrame(
+        [(i, ("image", "audio", "video")[i % 3], seed ^ (i * 0x85EBCA6B)) for i in range(n)],
+        "media_id long, kind string, mseed long",
+    ).repartition(4, "media_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rng = np.random.default_rng(int(r.mseed) & 0x7FFFFFFF)
+                if r.kind == "image":
+                    h, w, c = 32 + 8 * int(rng.integers(0, 3)), 32, 3
+                    arr = rng.random((h, w, c), dtype=np.float32)
+                    rows.append(dict(media_id=r.media_id, kind="image", mime="image/x-npy",
+                                     payload=np_to_npy_bytes(arr), width=w, height=h,
+                                     channels=c, sample_rate=0, n_frames=1))
+                elif r.kind == "audio":
+                    sr, n_samp = 16000, 16000
+                    t = np.arange(n_samp) / sr
+                    arr = (0.5 * np.sin(2 * np.pi * (200 + 50 * int(r.media_id)) * t)
+                           + 0.05 * rng.standard_normal(n_samp)).astype(np.float32)
+                    rows.append(dict(media_id=r.media_id, kind="audio", mime="audio/x-npy",
+                                     payload=np_to_npy_bytes(arr), width=0, height=0,
+                                     channels=1, sample_rate=sr, n_frames=0))
+                else:
+                    f, h, w = 8, 24, 24
+                    arr = rng.random((f, h, w), dtype=np.float32)
+                    rows.append(dict(media_id=r.media_id, kind="video", mime="video/x-npy",
+                                     payload=np_to_npy_bytes(arr), width=w, height=h,
+                                     channels=1, sample_rate=0, n_frames=f))
+            yield pd.DataFrame(rows)
+
+    return meta.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def codec_decode(payload: bytes, mime: str) -> np.ndarray:
+    """Real codec decode — STUB. PIL/cv2/soundfile are unavailable here;
+    the .npy mime is the deterministic fake used by tests and the
+    synthetic source."""
+    if mime.endswith("/x-npy"):
+        return npy_bytes_to_np(payload)
+    try:
+        import PIL  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"codec decode for {mime} requires image/audio libraries not "
+            "present in this container; payloads of mime */x-npy decode natively"
+        ) from exc
+    raise NotImplementedError(f"unsupported mime {mime}")
+
+
+def _area_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """NumPy-only resize: exact block mean for integer downscale factors,
+    nearest-neighbor otherwise (P7 analog without cv2)."""
+    h, w = img.shape[:2]
+    if h % out_h == 0 and w % out_w == 0:
+        fy, fx = h // out_h, w // out_w
+        trimmed = img[: out_h * fy, : out_w * fx]
+        shape = (out_h, fy, out_w, fx) + img.shape[2:]
+        return trimmed.reshape(shape).mean(axis=(1, 3)).astype(img.dtype)
+    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[np.ix_(yi, xi)]
+
+
+def extract_features(media: DataFrame, embed_dim: int = 16) -> DataFrame:
+    """Per-item stats + a deterministic pseudo-embedding (histogram-based
+    stand-in for a model encoder; the contract — fixed-dim array<float>
+    per row — is what downstream ANN queries consume)."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codec_decode(bytes(r.payload), r.mime).astype(np.float64)
+                flat = arr.ravel()
+                hist, _ = np.histogram(flat, bins=embed_dim,
+                                       range=(float(flat.min()), float(flat.max()) + 1e-9))
+                emb = (hist / max(flat.size, 1)).astype(np.float32)
+                rows.append(dict(
+                    media_id=r.media_id, kind=r.kind,
+                    mean=float(flat.mean()), std=float(flat.std()),
+                    p01=float(np.percentile(flat, 1)), p99=float(np.percentile(flat, 99)),
+                    dark_frac=float((flat < 0.1).mean()),
+                    embedding=emb.tolist(),
+                ))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Image resize as a payload->payload map; metadata columns updated so
+    the optimizer still never inspects pixels."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "image":
+                    continue
+                arr = codec_decode(bytes(r.payload), r.mime)
+                res = _area_resize(arr, out_h, out_w)
+                out.append(dict(media_id=r.media_id, kind=r.kind, mime=r.mime,
+                                payload=np_to_npy_bytes(res), width=out_w, height=out_h,
+                                channels=r.channels, sample_rate=0, n_frames=1))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Video -> frame rows (the P2 slice-explode shape for video): every
+    k-th frame becomes its own payload row keyed (media_id, frame_i)."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "video":
+                    continue
+                vid = codec_decode(bytes(r.payload), r.mime)
+                for i in range(0, vid.shape[0], every_k):
+                    out.append(dict(media_id=r.media_id, frame_i=i,
+                                    payload=np_to_npy_bytes(vid[i]),
+                                    height=vid.shape[1], width=vid.shape[2]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        gen, schema="media_id long, frame_i int, payload binary, height int, width int"
+    )
