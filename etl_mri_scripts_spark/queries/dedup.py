@@ -79,12 +79,45 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- 3-word shingles, shared helpers -------------------------------------
 
-_SHINGLES_SPARK = """
-    array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-      i -> concat_ws(' ', element_at(split(text, ' '), i),
-                     element_at(split(text, ' '), least(i + 1, size(split(text, ' ')))),
-                     element_at(split(text, ' '), least(i + 2, size(split(text, ' ')))))))
+# 3-word shingles over a pre-split `ws` array column. Keeping the split in
+# its own projection stops CollapseProject from re-inlining the (expensive)
+# split at every lambda reference — split runs once per row.
+_SHINGLES_WS = """
+    array_distinct(transform(sequence(1, greatest(size(ws) - 2, 1)),
+      i -> concat_ws(' ', element_at(ws, i),
+                     element_at(ws, least(i + 1, size(ws))),
+                     element_at(ws, least(i + 2, size(ws))))))
 """
+
+
+def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) rows — each doc's distinct 3-shingles, computed once."""
+    d = table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", F.split("text", " ").alias("ws"))
+    return ws.select("doc_id", F.explode(F.expr(_SHINGLES_WS)).alias("shingle"))
+
+
+def _minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, m0..m7) MinHash signature via explode + groupBy-min.
+
+    Each salted md5 is evaluated exactly once per (shingle, permutation);
+    the aggregate is an optimizer barrier, so downstream band expressions
+    reference cheap attributes instead of re-inlining the whole shingle
+    pipeline (which made the naive formulation ~20x slower). The shuffle
+    payload is (doc_id, 8 x 32B hex) — negligible vs corpus bytes, and
+    map-side partial min keeps the shuffle rows ~= distinct doc_ids.
+    """
+    sh = _exploded_shingles(spark, sf_dir)
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")).cast("binary")).alias(f"h{seed}")
+            for seed in range(N_MINHASH)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{seed}").alias(f"m{seed}") for seed in range(N_MINHASH)]
+    )
 
 _SHINGLES_DUCK = """
     list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
@@ -120,8 +153,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair space comes from an inverted-index self-join on shingle (only
     # docs SHARING a shingle are ever paired), not a cross join. At 100 TB
     # the same plan holds with a document-frequency cap on shingles.
-    d = table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
+    sh = _exploded_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -142,12 +174,6 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_spark(seed: int) -> str:
-    return (
-        f"array_min(transform({_SHINGLES_SPARK}, s -> md5(cast(concat('{seed}:', s) as binary))))"
-    )
-
-
 def _minhash_duck(seed: int) -> str:
     return f"list_min(list_transform({_SHINGLES_DUCK}, s -> md5('{seed}:' || s)))"
 
@@ -162,10 +188,11 @@ def _minhash_duck(seed: int) -> str:
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MinHash signature: per permutation (salted md5), the min hash over the
-    # doc's shingle set. Pure per-row compute — embarrassingly parallel.
-    d = table(spark, sf_dir, "documents")
-    sig = F.array(*[F.expr(_minhash_spark(s)) for s in range(N_MINHASH)])
-    return d.select("doc_id", sig.alias("signature")).orderBy("doc_id")
+    # doc's shingle set — explode + partial-agg min (see _minhash_signature_df).
+    sigs = _minhash_signature_df(spark, sf_dir)
+    return sigs.select(
+        "doc_id", F.array(*[F.col(f"m{s}") for s in range(N_MINHASH)]).alias("signature")
+    ).orderBy("doc_id")
 
 
 @query(
@@ -192,12 +219,12 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The scale path for near-dedup: signature -> band buckets -> equi-join
     # on (band, bucket). Join fan-out is bounded by bucket occupancy; no
-    # cross join exists anywhere in the plan.
-    d = table(spark, sf_dir, "documents")
-    sig = F.array(*[F.expr(_minhash_spark(s)) for s in range(N_MINHASH)])
+    # cross join exists anywhere in the plan. Band buckets are built from
+    # the aggregated signature columns (cheap attribute refs); the self-join
+    # sides share one computation via Spark's exchange reuse.
+    sigs = _minhash_signature_df(spark, sf_dir)
     rows_per_band = N_MINHASH // N_BANDS
-    sigd = d.select("doc_id", sig.alias("sg"))
-    bands = sigd.select(
+    bands = sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -207,7 +234,7 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.md5(
                             F.concat_ws(
                                 "|",
-                                *[F.col("sg")[k * rows_per_band + r] for r in range(rows_per_band)],
+                                *[F.col(f"m{k * rows_per_band + r}") for r in range(rows_per_band)],
                             ).cast("binary")
                         ).alias("bucket"),
                     )

@@ -167,11 +167,14 @@ def imaging_key_parity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     approved = verdicts.filter(~F.col("is_dark")).select("key")
     lr_kept = hr.join(approved, "key", "left_semi")
     violations = approved.join(lr_kept, "key", "left_anti")
-    return spark.range(1).select(
-        F.lit(hr.count()).cast("long").alias("hr_total"),
-        F.lit(approved.count()).cast("long").alias("hr_kept"),
-        F.lit(lr_kept.count()).cast("long").alias("lr_kept"),
-        F.lit(violations.count()).cast("long").alias("parity_violations"),
+    # One plan, one action: each count is a single-row agg, cross-joined.
+    # (Four driver-side .count() calls would recompute the distinct over
+    # lineitem four times; here exchange reuse shares the common subplan.)
+    return (
+        hr.agg(F.count(F.lit(1)).alias("hr_total"))
+        .crossJoin(approved.agg(F.count(F.lit(1)).alias("hr_kept")))
+        .crossJoin(lr_kept.agg(F.count(F.lit(1)).alias("lr_kept")))
+        .crossJoin(violations.agg(F.count(F.lit(1)).alias("parity_violations")))
     )
 
 
