@@ -125,7 +125,9 @@ def explode_slices(volumes: DataFrame, config: PipelineConfig = PipelineConfig()
 # --------------------------------------------------------------------------
 
 
-def degrade_and_patch(slices: DataFrame, config: PipelineConfig = PipelineConfig()) -> DataFrame:
+def degrade_and_patch(
+    slices: DataFrame, config: PipelineConfig = PipelineConfig(), *, gated: bool = False
+) -> DataFrame:
     """D14 degradation + P8 grid + P9 pad + P10 LR derivation + F3 dark
     verdict, one Arrow pass per slice.
 
@@ -133,6 +135,15 @@ def degrade_and_patch(slices: DataFrame, config: PipelineConfig = PipelineConfig
     speculated tasks regenerate identical noise (§4 determinism rule).
     LR grids are DERIVED from the HR grid (x//scale), never recomputed —
     the invariant that guarantees HR/LR key parity (J4).
+
+    ``gated=True`` fuses the J2 approved-keys gate into this pass: the gate
+    is slice-local (an LR key is approved iff the SAME slice's HR patch is
+    non-dark — exactly the reference's in-job gating, v2/nii_to_lmdb.py:
+    252-278), so fusing costs zero shuffles and skips LR crop work for
+    rejected patches. The relational semi-join form stays available as
+    ``gate_approved`` — but on a 1000-executor cluster the fused path runs
+    the expensive degradation UDF exactly once, where branching the UDF
+    output into HR/approved/LR subplans would re-execute it per branch.
     """
     crop, step, thresh = config.crop_hr, config.step_hr, config.thresh_size
     scales, preset, dtype_out = tuple(config.scales), config.preset, config.dtype_out
@@ -154,6 +165,8 @@ def degrade_and_patch(slices: DataFrame, config: PipelineConfig = PipelineConfig
                         idx += 1
                         tile = crop_with_edge_pad(hr, y, x, crop)
                         hr_patches.append((idx, x, y, tile, patch_is_dark(tile)))
+                if gated:
+                    hr_patches = [p for p in hr_patches if not p[4]]
                 for idx, x, y, tile, dark in hr_patches:
                     fk = patch_key(r.base, r.orient, r.slice_i, "HR", idx)
                     rows.append(
@@ -199,7 +212,8 @@ def degrade_and_patch(slices: DataFrame, config: PipelineConfig = PipelineConfig
                                 "value": np_to_npy_bytes(tile_lr, dtype_out),
                             }
                         )
-            yield pd.DataFrame(rows)
+            cols = [f.split(" ")[0] for f in PATCH_SCHEMA.split(", ")]
+            yield pd.DataFrame(rows, columns=cols)
 
     return slices.mapInPandas(gen, schema=PATCH_SCHEMA)
 
@@ -293,10 +307,13 @@ def run_pipeline(
     volumes: DataFrame,
     config: PipelineConfig = PipelineConfig(),
 ) -> DataFrame:
-    """Full lineage: volumes -> gated, split patch records (not yet written)."""
+    """Full lineage: volumes -> gated, split patch records (not yet written).
+
+    Uses the fused in-UDF gate (see degrade_and_patch): one degradation pass,
+    no recompute of the UDF across HR/approved/LR plan branches.
+    """
     # Volume rows are huge; keep Arrow batches tiny for the explode stage.
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
     slices = explode_slices(volumes, config)
-    patches = degrade_and_patch(slices, config)
-    gated = gate_approved(patches)
+    gated = degrade_and_patch(slices, config, gated=True)
     return assign_split(gated, config)

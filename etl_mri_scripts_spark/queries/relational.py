@@ -439,12 +439,17 @@ def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantile_cont / np.nanpercentile); percentile_approx is offered for the
     # 100 TB path but the parity query uses the exact form.
     li = table(spark, sf_dir, "lineitem")
+    # One percentile aggregate with an array of percentages: a single value
+    # buffer and a single sort per group, vs 3x of each with separate aggs.
+    pcts = F.percentile("l_extendedprice", F.array(F.lit(0.01), F.lit(0.50), F.lit(0.99)))
     return (
         li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.01)), 6).alias("p01"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.50)), 6).alias("p50"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"),
+        .agg(pcts.alias("ps"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("ps")[0], 6).alias("p01"),
+            F.round(F.col("ps")[1], 6).alias("p50"),
+            F.round(F.col("ps")[2], 6).alias("p99"),
         )
         .orderBy("l_returnflag")
     )

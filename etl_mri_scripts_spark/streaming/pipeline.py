@@ -68,7 +68,7 @@ def run_incremental_pipeline(
     Exactly-once per input file via the checkpoint — the streaming-native
     form of the reference's --force/skip-if-exists logic.
     """
-    from ..operators.pipeline import PipelineConfig, assign_split, degrade_and_patch, explode_slices, gate_approved
+    from ..operators.pipeline import PipelineConfig, assign_split, degrade_and_patch, explode_slices
     from ..sources.volumes import VOLUME_SCHEMA
 
     cfg = config or PipelineConfig(crop_hr=16, step_hr=8, scales=(2,))
@@ -77,8 +77,10 @@ def run_incremental_pipeline(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # Fused in-UDF gate: one degradation pass per micro-batch (see
+        # degrade_and_patch(gated=True)).
         patches = assign_split(
-            gate_approved(degrade_and_patch(explode_slices(batch_df, cfg), cfg)), cfg
+            degrade_and_patch(explode_slices(batch_df, cfg), cfg, gated=True), cfg
         )
         (
             patches.withColumn("batch_id", F.lit(batch_id))
