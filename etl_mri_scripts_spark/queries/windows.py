@@ -151,6 +151,76 @@ def window_running_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_last_view",
+    oracle="""
+    -- As-of join: each click matched to the user's most recent view at or
+    -- before it. DuckDB has a native ASOF JOIN; Spark does not — the
+    -- engine's formulation is union + ordered window (see the Spark side).
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+      SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT c.click_id, c.user_id, c.ts,
+           v.view_id AS matched_view_id,
+           epoch_us(c.ts) - epoch_us(v.ts) AS view_age_us
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    ORDER BY c.user_id, c.ts, c.click_id
+    """,
+)
+def join_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # As-of join the scale-correct way: union both sides tagged, one shuffle
+    # on user_id, one in-partition sort, then last(ignorenulls) carries the
+    # most recent view forward. No range join, no per-row probe — at 100 TB
+    # this is a single exchange where a naive inequality join would explode
+    # into a partial cross product. Views sort before clicks at equal ts
+    # (side 0 < 1), making the match inclusive like DuckDB's v.ts <= c.ts.
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("view_id"),
+        F.lit(None).cast("timestamp_ntz").alias("view_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "view_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = views.unionByName(clicks).select(
+        "user_id",
+        "ts",
+        "side",
+        "click_id",
+        F.last("view_id", ignorenulls=True).over(w).alias("matched_view_id"),
+        F.last("view_ts", ignorenulls=True).over(w).alias("matched_view_ts"),
+    )
+    return (
+        tagged.filter(F.col("side") == 1)
+        .select(
+            "click_id",
+            "user_id",
+            "ts",
+            "matched_view_id",
+            (F.unix_micros("ts") - F.unix_micros("matched_view_ts")).alias("view_age_us"),
+        )
+        .orderBy("user_id", "ts", "click_id")
+    )
+
+
+@query(
     "window_lag_lead_delta",
     oracle="""
     SELECT user_id, ts,

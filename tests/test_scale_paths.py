@@ -1,0 +1,52 @@
+"""The approximate / scale-path variants of exact operators (SURVEY.md §7
+hard parts): these cannot hash-match a DuckDB oracle (different sketch
+implementations), so they are asserted against their exact twins with
+documented tolerances instead."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_mri_scripts_spark.tables import table
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    # HyperLogLog++ path for 100 TB count-distinct; rsd=0.05 default.
+    li = table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.approx_count_distinct("l_orderkey", rsd=0.05).alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) <= max(0.1 * row["exact"], 16)
+
+
+def test_percentile_approx_tracks_exact(spark, sf_dir):
+    # percentile_approx is the scale substitute for the exact percentile
+    # used in parity queries (A2/P5); accuracy 10000 keeps it within ~1%.
+    li = table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("exact"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.02
+
+
+def test_minhash_lsh_candidates_superset_of_high_jaccard(spark, sf_dir):
+    # LSH recall property: every pair the exact Jaccard query reports at
+    # >= 0.5 similarity should be surfaced by at least the inverted-index
+    # candidate generator; the LSH bands are the probabilistic filter on
+    # top. Here we check candidates ⊇ exact-jaccard-pairs at sf0.001.
+    from etl_mri_scripts_spark.queries import QUERIES
+
+    exact_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_ngram_jaccard_pairs"](spark, sf_dir).collect()
+    }
+    cand_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_minhash_lsh_candidates"](spark, sf_dir).collect()
+    }
+    # with 4 bands x 2 rows at jaccard >= 0.5, P(miss) = (1-s^2)^4 <= 0.32;
+    # the generated near-dups are ~exact copies (s ~= 1), so expect full
+    # recall on this corpus — flag if LSH misses any high-similarity pair.
+    assert exact_pairs <= cand_pairs, f"LSH missed {exact_pairs - cand_pairs}"
