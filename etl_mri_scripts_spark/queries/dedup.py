@@ -321,9 +321,18 @@ def dedup_simhash_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
+    # Norms are per-vector: compute them below the self-join (once per
+    # vector), not per candidate pair — same arithmetic, bit-identical
+    # scores, one lambda per pair instead of three.
     v = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(cast(embedding as array<double>), x -> x * x),"
+                " 0.0D, (acc, z) -> acc + z)"
+            )
+        ).alias("nrm"),
         F.concat(
             *[
                 F.when(F.col("embedding")[i] >= 0, "1").otherwise("0")
@@ -334,9 +343,7 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = v.alias("a")
     b = v.alias("b")
     dot = F.expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0.0D, (acc, z) -> acc + z)")
-    na = F.sqrt(F.expr("aggregate(transform(a.e, x -> x * x), 0.0D, (acc, z) -> acc + z)"))
-    nb = F.sqrt(F.expr("aggregate(transform(b.e, x -> x * x), 0.0D, (acc, z) -> acc + z)"))
-    cosine = dot / (na * nb)
+    cosine = dot / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(

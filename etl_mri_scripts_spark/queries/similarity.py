@@ -27,7 +27,7 @@ N_QUERIES = 5  # vec_id < 5 used as the query set
 TOP_K = 10
 
 _COS_SPARK_DOT = "aggregate(zip_with(q.e, c.e, (x, y) -> x * y), 0.0D, (acc, z) -> acc + z)"
-_NORM_SPARK = "sqrt(aggregate(transform({side}.e, x -> x * x), 0.0D, (acc, z) -> acc + z))"
+_NORM_SPARK = "sqrt(aggregate(transform(cast(embedding as array<double>), x -> x * x), 0.0D, (acc, z) -> acc + z))"
 
 _COS_DUCK = """
   list_sum(list_transform(range(1, 65), i -> q.e[i] * c.e[i])) /
@@ -36,11 +36,22 @@ _COS_DUCK = """
 """
 
 
+def _vectors(emb: DataFrame, *extra: str) -> DataFrame:
+    """(vec_id, e, nrm, *extra): vector norms are a per-VECTOR quantity, so
+    they are computed once here, below the candidate join — not per pair.
+    Same arithmetic sequence as a per-pair norm, so scores are bit-identical
+    to the oracle's per-pair form, but the join stage evaluates one lambda
+    (the dot product) instead of three."""
+    return emb.select(
+        "vec_id",
+        *extra,
+        F.col("embedding").cast("array<double>").alias("e"),
+        F.expr(_NORM_SPARK).alias("nrm"),
+    )
+
+
 def _cosine() -> Column:
-    dot = F.expr(_COS_SPARK_DOT)
-    nq = F.expr(_NORM_SPARK.format(side="q"))
-    nc = F.expr(_NORM_SPARK.format(side="c"))
-    return dot / (nq * nc)
+    return F.expr(_COS_SPARK_DOT) / (F.col("q.nrm") * F.col("c.nrm"))
 
 
 @query(
@@ -69,7 +80,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window top-k. Ranking on the ROUNDED score so result order is
     # engine-independent at equal cosine (ties broken by neighbor_id).
     emb = table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    v = _vectors(emb)
     q = v.filter(F.col("vec_id") < N_QUERIES).alias("q")
     c = v.alias("c")
     scored = (
@@ -126,9 +137,7 @@ def ann_bucketed_signbit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.concat(
         *[F.when(F.col("embedding")[i] >= 0, "1").otherwise("0") for i in range(6)]
     )
-    v = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e"), bucket.alias("bucket")
-    )
+    v = _vectors(emb.withColumn("bucket", bucket), "bucket")
     q = v.filter(F.col("vec_id") < N_QUERIES).alias("q")
     c = v.alias("c")
     scored = (
@@ -178,7 +187,7 @@ def ann_ivf_by_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (df.write.bucketBy(centroid)), so this probe join is shuffle-free on
     # the corpus side — only the tiny query set moves.
     emb = table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+    v = _vectors(emb, "label")
     q = v.filter(F.col("vec_id") < N_QUERIES).alias("q")
     c = v.alias("c")
     scored = (
