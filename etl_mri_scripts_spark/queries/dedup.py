@@ -174,6 +174,73 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DF_CAP = 5  # shingles appearing in more than DF_CAP docs are dropped
+
+
+@query(
+    "dedup_jaccard_dfcap",
+    oracle=f"""
+    -- Jaccard near-dup with a document-frequency cap: shingles present in
+    -- more than {DF_CAP} docs are boilerplate/stopword-ish and are dropped
+    -- BEFORE the inverted-index self-join — the skew control that keeps
+    -- bucket fan-out bounded at corpus scale.
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
+    ),
+    df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+    rare AS (
+      SELECT s.doc_id, s.shingle FROM sh s JOIN df ON s.shingle = df.shingle
+      WHERE df.df <= {DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM rare GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+      FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(p.common * 1.0 / (sa.n_sh + sb.n_sh - p.common), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE p.common * 1.0 / (sa.n_sh + sb.n_sh - p.common) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The hot-key guard for the inverted-index join: per-shingle document
+    # frequency is one groupBy over (shingle), the hot set is tiny (29 of
+    # 16k shingles at sf0.01) so the anti-join broadcasts under AQE, and
+    # the pair join then never sees a bucket wider than DF_CAP docs —
+    # worst-case fan-out per shingle is DF_CAP^2 instead of corpus^2.
+    sh = _exploded_shingles(spark, sf_dir)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("shingle")
+    )
+    rare = sh.join(hot, "shingle", "left_anti")
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = rare.alias("a")
+    b = rare.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def _minhash_duck(seed: int) -> str:
     return f"list_min(list_transform({_SHINGLES_DUCK}, s -> md5('{seed}:' || s)))"
 

@@ -30,9 +30,9 @@ def _words(col: str = "text") -> Column:
     return F.split(F.col(col), " ")
 
 
-def _marker_hits(markers: tuple[str, ...]) -> Column:
+def _marker_hits(markers: tuple[str, ...], over: str = "split(text, ' ')") -> Column:
     in_list = ", ".join(f"'{m}'" for m in markers)
-    return F.size(F.expr(f"filter(split(text, ' '), w -> w IN ({in_list}))"))
+    return F.size(F.expr(f"filter({over}, w -> w IN ({in_list}))"))
 
 
 def _marker_hits_sql(markers: tuple[str, ...]) -> str:
@@ -56,16 +56,26 @@ def _marker_hits_sql(markers: tuple[str, ...]) -> str:
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Quality features (length / stopword ratio / lexical diversity) used to
     # filter web-scale corpora; all narrow per-row expressions, no shuffle.
+    # Staged projections: the words array (and each count over it) is
+    # computed once per row — multi-referenced non-cheap expressions keep
+    # CollapseProject from re-inlining split() per feature.
     d = table(spark, sf_dir, "documents")
-    words = _words()
-    return d.select(
+    staged = d.select("doc_id", F.length("text").alias("n_chars"), _words().alias("ws"))
+    feats = staged.select(
         "doc_id",
-        F.length("text").alias("n_chars_measured"),
-        F.size(words).cast("long").alias("n_words"),
-        F.round(F.length("text") * 1.0 / F.size(words), 6).alias("avg_word_len"),
-        F.round(_marker_hits(STOPWORDS) * 1.0 / F.size(words), 6).alias("stopword_ratio"),
-        F.size(F.array_distinct(words)).cast("long").alias("n_unique_words"),
-        F.round(F.size(F.array_distinct(words)) * 1.0 / F.size(words), 6).alias("lexical_diversity"),
+        "n_chars",
+        F.size("ws").alias("nw"),
+        F.size(F.array_distinct("ws")).alias("nu"),
+        _marker_hits(STOPWORDS, over="ws").alias("sw"),
+    )
+    return feats.select(
+        "doc_id",
+        F.col("n_chars").alias("n_chars_measured"),
+        F.col("nw").cast("long").alias("n_words"),
+        F.round(F.col("n_chars") * 1.0 / F.col("nw"), 6).alias("avg_word_len"),
+        F.round(F.col("sw") * 1.0 / F.col("nw"), 6).alias("stopword_ratio"),
+        F.col("nu").cast("long").alias("n_unique_words"),
+        F.round(F.col("nu") * 1.0 / F.col("nw"), 6).alias("lexical_diversity"),
     ).orderBy("doc_id")
 
 
@@ -92,8 +102,16 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Heuristic language ID: vectorized marker-set scoring with a
     # deterministic priority argmax (en > de > fr > es on ties).
-    d = table(spark, sf_dir, "documents")
-    s = {k: _marker_hits(v) for k, v in LANG_MARKERS.items()}
+    # The words array and the four marker scores are staged so split() runs
+    # once per row and each score once (not per CASE-branch reference).
+    d0 = table(spark, sf_dir, "documents")
+    staged = d0.select("doc_id", "lang", _words().alias("ws"))
+    d = staged.select(
+        "doc_id",
+        "lang",
+        *[_marker_hits(v, over="ws").alias(f"s_{k}") for k, v in LANG_MARKERS.items()],
+    )
+    s = {k: F.col(f"s_{k}") for k in LANG_MARKERS}
     predicted = (
         F.when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]) & (s["en"] > 0), "en")
         .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]) & (s["de"] > 0), "de")
