@@ -85,8 +85,8 @@ def explode_slices(volumes: DataFrame, config: PipelineConfig = PipelineConfig()
             rows = []
             for r in pdf.itertuples(index=False):
                 vol = npy_bytes_to_np(r.voxels).astype(np.float32)
-                vmin = float(np.nanpercentile(vol, pmin))
-                vmax = float(np.nanpercentile(vol, pmax))
+                pcts = np.nanpercentile(vol, [pmin, pmax])  # one pass, both tails
+                vmin, vmax = float(pcts[0]), float(pcts[1])
                 vol01 = np.clip((vol - vmin) / max(vmax - vmin, 1e-12), 0.0, 1.0)
                 oriented = {
                     "axial": vol01,
