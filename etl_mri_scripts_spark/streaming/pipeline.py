@@ -55,6 +55,47 @@ def session_stream(events: DataFrame, gap: str = "10 minutes", watermark: str = 
     )
 
 
+def running_counters_stream(events: DataFrame, gap_timeout: str | None = None) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: cumulative
+    per-event-type counters across micro-batches — the streaming-native form
+    of the reference's write-as-completed counter loop
+    (v2/nii_to_lmdb_paralel.py:338-369, A9), where the driver keeps running
+    totals as slice jobs finish. State per key is one (count, sum) pair, so
+    state size is O(|event types|), independent of stream length.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "event_type string, n_total long, value_total double, n_batches long"
+    state_schema = "n long, v double, b long"
+
+    def update(key, pdfs, state: GroupState):
+        n, v = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        tot_n, tot_v, tot_b = state.get if state.exists else (0, 0.0, 0)
+        state.update((tot_n + n, tot_v + v, tot_b + 1))
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": key[0],
+                    "n_total": tot_n + n,
+                    "value_total": tot_v + v,
+                    "n_batches": tot_b + 1,
+                }
+            ]
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_incremental_pipeline(
     spark: SparkSession,
     volumes_in_dir: str,

@@ -57,6 +57,47 @@ def test_streaming_hourly_matches_batch(spark, tmp_path, sf_dir):
     assert got == expected
 
 
+def test_stateful_counters_accumulate_across_batches(spark, tmp_path, sf_dir):
+    # applyInPandasWithState: totals must ACCUMULATE across micro-batches
+    # (two file drops -> two batches), ending at the batch-query totals.
+    from etl_mri_scripts_spark.streaming.pipeline import running_counters_stream
+    from etl_mri_scripts_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    in_dir = str(tmp_path / "sin")
+    os.makedirs(in_dir)
+    a, b = ev.randomSplit([0.5, 0.5], seed=2)
+    a.write.mode("overwrite").json(in_dir + "/chunk=a")
+
+    stream = stream_events(spark, in_dir + "/*", fmt="json")
+    counters = running_counters_stream(stream)
+    q = (
+        counters.writeStream.format("memory")
+        .queryName("counters")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b.write.mode("overwrite").json(in_dir + "/chunk=b")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # latest state per type (highest n_batches) must equal the batch totals
+    rows = spark.sql("select * from counters").collect()
+    latest = {}
+    for r in sorted(rows, key=lambda r: r["n_batches"]):
+        latest[r["event_type"]] = (r["n_total"], round(r["value_total"], 4))
+    expected = {
+        r["event_type"]: (r["n"], round(r["v"], 4))
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert latest == expected
+
+
 def test_incremental_pipeline_exactly_once(spark, tmp_path):
     from etl_mri_scripts_spark.sources.volumes import synthetic_volumes
 
