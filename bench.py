@@ -31,9 +31,11 @@ HEADLINE = [
     "topk_customers_by_revenue",
     "topk_per_group_window",
     "window_session_10m_gap",
+    "join_asof_last_view",
     "split_hash_bucket",
     "text_quality_scores",
     "dedup_minhash_lsh_candidates",
+    "dedup_jaccard_dfcap",
     "dedup_exact_hash",
     "ann_bruteforce_topk",
     "imaging_patch_grid",
