@@ -90,11 +90,24 @@ _SHINGLES_WS = """
 """
 
 
-def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) rows — each doc's distinct 3-shingles, computed once."""
+def _exploded_shingles(spark: SparkSession, sf_dir: str, cache: bool = False) -> DataFrame:
+    """(doc_id, shingle) rows — each doc's distinct 3-shingles.
+
+    ``cache=True`` persists the exploded table (MEMORY_AND_DISK): queries
+    that branch it into several shuffle keys (pair join on shingle, sizes
+    on doc_id, DF counts on shingle) would otherwise re-run the explode per
+    branch — exchange reuse only dedupes identical exchanges. At corpus
+    scale the same decision shows up as materializing the shingle/signature
+    table once before the joins.
+    """
     d = table(spark, sf_dir, "documents")
     ws = d.select("doc_id", F.split("text", " ").alias("ws"))
-    return ws.select("doc_id", F.explode(F.expr(_SHINGLES_WS)).alias("shingle"))
+    sh = ws.select("doc_id", F.explode(F.expr(_SHINGLES_WS)).alias("shingle"))
+    if cache:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    return sh
 
 
 def _minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,7 +166,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair space comes from an inverted-index self-join on shingle (only
     # docs SHARING a shingle are ever paired), not a cross join. At 100 TB
     # the same plan holds with a document-frequency cap on shingles.
-    sh = _exploded_shingles(spark, sf_dir)
+    sh = _exploded_shingles(spark, sf_dir, cache=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -213,7 +226,7 @@ def dedup_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 16k shingles at sf0.01) so the anti-join broadcasts under AQE, and
     # the pair join then never sees a bucket wider than DF_CAP docs —
     # worst-case fan-out per shingle is DF_CAP^2 instead of corpus^2.
-    sh = _exploded_shingles(spark, sf_dir)
+    sh = _exploded_shingles(spark, sf_dir, cache=True)
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
