@@ -142,7 +142,9 @@ def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
                 out.append(dict(media_id=r.media_id, kind=r.kind, mime=r.mime,
                                 payload=np_to_npy_bytes(res), width=out_w, height=out_h,
                                 channels=r.channels, sample_rate=0, n_frames=1))
-            yield pd.DataFrame(out)
+            # explicit columns: a partition with no image rows must still
+            # yield a frame matching MEDIA_SCHEMA
+            yield pd.DataFrame(out, columns=[f.split(" ")[0] for f in MEDIA_SCHEMA.split(", ")])
 
     return media.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
@@ -162,7 +164,7 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
                     out.append(dict(media_id=r.media_id, frame_i=i,
                                     payload=np_to_npy_bytes(vid[i]),
                                     height=vid.shape[1], width=vid.shape[2]))
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(out, columns=["media_id", "frame_i", "payload", "height", "width"])
 
     return media.mapInPandas(
         gen, schema="media_id long, frame_i int, payload binary, height int, width int"

@@ -84,3 +84,17 @@ def test_extract_features_embedding_contract(media):
     pair = v.alias("a").crossJoin(v.alias("b")).filter(F.col("a.media_id") < F.col("b.media_id"))
     dot = F.expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0.0D, (acc, z) -> acc + z)")
     assert pair.select(dot.alias("d")).filter(F.col("d") > 0).count() > 0
+
+
+def test_kind_filtered_partitions_yield_schema(spark):
+    # a partition containing no image (or no video) rows must still yield a
+    # schema-complete empty frame from the mapInPandas generators
+    from etl_mri_scripts_spark.sources.multimodal import (
+        resize_images,
+        sample_frames,
+        synthetic_media,
+    )
+
+    audio_only = synthetic_media(spark, n=9, seed=4).filter(F.col("kind") == "audio")
+    assert resize_images(audio_only, 16, 16).count() == 0
+    assert sample_frames(audio_only, every_k=2).count() == 0
