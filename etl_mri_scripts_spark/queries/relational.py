@@ -336,6 +336,40 @@ def agg_minmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_grouping_sets",
+    oracle="""
+    -- explicit grouping sets: per (flag,status), per status alone, grand
+    -- total — the report shapes the reference writes as three separate
+    -- passes (split_info / slice_split_info / dataset_meta totals).
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    ORDER BY returnflag, linestatus
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One Expand pass produces all three report granularities in a single
+    # shuffle — vs the reference's three separate counter dictionaries
+    # (v2/nii_to_lmdb.py:165-182, A9/A10).
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return li.sparkSession.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(1) AS n_lines,
+               sum(cast(round(l_quantity) AS BIGINT)) AS total_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        ORDER BY returnflag, linestatus
+        """
+    )
+
+
+@query(
     "agg_count_distinct_rollup",
     oracle="""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
