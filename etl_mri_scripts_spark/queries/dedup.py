@@ -338,13 +338,6 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_bit_spark(b: int) -> str:
-    # vote for bit b: count words whose md5 hex digit b has its high bit set
-    return (
-        f"CASE WHEN 2 * size(filter(split(text, ' '), "
-        f"w -> instr('89abcdef', substring(md5(cast(w as binary)), {b + 1}, 1)) > 0)) "
-        f"> size(split(text, ' ')) THEN '1' ELSE '0' END"
-    )
 
 
 def _simhash_bit_duck(b: int) -> str:
@@ -367,9 +360,29 @@ def dedup_simhash_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SimHash: per bit, majority vote of per-word hash bits. Near-dups
     # differ in few bits; grouping by the full code gives coarse clusters,
     # and banding the 16 bits gives the hamming-radius candidate join.
+    # Relational formulation: explode words -> ONE md5 per word -> 16 scalar
+    # vote columns -> groupBy-sum. Everything is whole-stage-codegen scalar
+    # expressions (no interpreted higher-order lambdas), the shuffle carries
+    # (doc_id, 17 longs) after map-side partial aggregation. The naive
+    # array-filter form evaluated 16 interpreted lambdas over every word.
     d = table(spark, sf_dir, "documents")
-    code = F.concat(*[F.expr(_simhash_bit_spark(b)) for b in range(16)])
-    return d.select("doc_id", code.alias("simhash")).orderBy("doc_id")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    hashed = words.select("doc_id", F.md5(F.col("w").cast("binary")).alias("h"))
+    bits = hashed.select(
+        "doc_id",
+        *[
+            F.when(F.substring("h", b + 1, 1).isin(*"89abcdef"), 1).otherwise(0).alias(f"b{b}")
+            for b in range(16)
+        ],
+    )
+    votes = bits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nw"),
+        *[F.sum(f"b{b}").alias(f"v{b}") for b in range(16)],
+    )
+    code = F.concat(
+        *[F.when(2 * F.col(f"v{b}") > F.col("nw"), "1").otherwise("0") for b in range(16)]
+    )
+    return votes.select("doc_id", code.alias("simhash")).orderBy("doc_id")
 
 
 @query(

@@ -161,9 +161,15 @@ def imaging_key_parity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_partkey") % 30).cast("int"),
         ).alias("key")
     ).distinct()
+    from pyspark import StorageLevel
+
+    # The distinct-keys+verdict table feeds all four count branches, which
+    # aggregate/join on different shapes (no exchange reuse possible) —
+    # persist it so the lineitem scan + distinct runs once, not per branch.
     verdicts = hr.withColumn(
         "is_dark", F.substring(F.md5(F.col("key").cast("binary")), 1, 1).isin("0", "1", "2", "3")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    hr = verdicts.select("key")
     approved = verdicts.filter(~F.col("is_dark")).select("key")
     lr_kept = hr.join(approved, "key", "left_semi")
     violations = approved.join(lr_kept, "key", "left_anti")

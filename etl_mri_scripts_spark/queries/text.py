@@ -161,18 +161,21 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_fingerprint_minshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Staged words array: split(text) runs once per row, not once per
+    # lambda reference inside the shingle transform.
     d = table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", "text", _words().alias("ws"))
     fp = F.expr(
         """
-        CASE WHEN size(split(text, ' ')) >= 3 THEN
-          array_min(transform(sequence(1, size(split(text, ' ')) - 2),
-            i -> md5(cast(concat_ws(' ', element_at(split(text, ' '), i),
-                                    element_at(split(text, ' '), i + 1),
-                                    element_at(split(text, ' '), i + 2)) as binary))))
+        CASE WHEN size(ws) >= 3 THEN
+          array_min(transform(sequence(1, size(ws) - 2),
+            i -> md5(cast(concat_ws(' ', element_at(ws, i),
+                                    element_at(ws, i + 1),
+                                    element_at(ws, i + 2)) as binary))))
         ELSE md5(cast(text as binary)) END
         """
     )
-    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+    return staged.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
 
 
 @query(
