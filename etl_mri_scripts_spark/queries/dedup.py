@@ -389,15 +389,20 @@ def dedup_simhash_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine_pairs",
     oracle="""
     -- Embedding near-dup: cosine >= 0.95 among vectors sharing a sign-bit
-    -- prefix bucket (first 4 dims) — the bucketed candidate join, not a
-    -- cross join.
+    -- prefix bucket (first 8 dims) — the bucketed candidate join, not a
+    -- cross join. 8 bits ~ 256 buckets keeps candidate fan-out ~n^2/256
+    -- while near-identical vectors still collide on every sign bit.
     WITH v AS (
       SELECT vec_id,
              CAST(embedding AS DOUBLE[]) AS e,
              concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
                     CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
                     CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
-                    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+                    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
       FROM embeddings
     ),
     pairs AS (
@@ -429,7 +434,7 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             *[
                 F.when(F.col("embedding")[i] >= 0, "1").otherwise("0")
-                for i in range(4)
+                for i in range(8)
             ]
         ).alias("bucket"),
     )

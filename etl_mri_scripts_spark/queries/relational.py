@@ -1043,9 +1043,11 @@ def two_phase_robust_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (v2/patch_utils.py:25-34). Group stats are tiny => broadcast join, so
     # the fact table is never shuffled.
     li = table(spark, sf_dir, "lineitem")
-    stats = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
-        F.percentile("l_extendedprice", F.lit(0.01)).alias("vmin"),
-        F.percentile("l_extendedprice", F.lit(0.99)).alias("vmax"),
+    # one percentile aggregate (array of percentages): single buffer + sort
+    stats = (
+        li.groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(F.percentile("l_extendedprice", F.array(F.lit(0.01), F.lit(0.99))).alias("ps"))
+        .select("grp", F.col("ps")[0].alias("vmin"), F.col("ps")[1].alias("vmax"))
     )
     norm = F.round(
         F.least(
