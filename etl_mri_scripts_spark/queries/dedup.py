@@ -340,6 +340,73 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@query(
+    "dedup_lsh_verified_pairs",
+    oracle=f"""
+    -- The production near-dedup flow: LSH banding proposes candidates,
+    -- exact Jaccard verifies them. Verification runs ONLY on candidate
+    -- pairs (bounded by bucket occupancy), never on the full pair space.
+    WITH sig AS (
+      SELECT doc_id,
+             [{', '.join(_minhash_duck(s) for s in range(N_MINHASH))}] AS sg
+      FROM documents
+    ),
+    bands AS (
+      SELECT doc_id, k AS band,
+             md5(sg[2*k + 1] || '|' || sg[2*k + 2]) AS bucket
+      FROM sig, (SELECT unnest(range(0, {N_BANDS})) AS k)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sh AS (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT m.doc_a, m.doc_b,
+           round(m.common * 1.0 / (sa.n_sh + sb.n_sh - m.common), 6) AS jaccard
+    FROM common m
+    JOIN sizes sa ON sa.doc_id = m.doc_a
+    JOIN sizes sb ON sb.doc_id = m.doc_b
+    WHERE m.common * 1.0 / (sa.n_sh + sb.n_sh - m.common) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Candidates from the banded signature join; exact Jaccard computed only
+    # for candidate pairs by semi-joining the shingle table down to the
+    # candidate docs first. At corpus scale the shingle re-scan touches only
+    # docs that appear in some candidate pair.
+    cand = dedup_minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    sh = _exploded_shingles(spark, sf_dir, cache=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def _simhash_bit_duck(b: int) -> str:
     return (
         f"CASE WHEN 2 * len(list_filter(string_split(text, ' '), "

@@ -209,6 +209,85 @@ def ann_ivf_by_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 8
+KMEANS_ITERS = 2  # enough to move centroids off init; each iter is 2 jobs
+EMB_DIM = 64
+
+
+@query("ann_ivf_kmeans_topk")
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real IVF: coarse centroids learned by k-means, then each query probes
+    only its nearest centroid's inverted list. Rows-only (iterative training
+    is not SQL-expressible).
+
+    Spark-idiomatic iterative pattern (what MLlib does): the centroid state
+    is tiny (K x dim doubles) and lives on the driver between iterations;
+    the per-vector assignment is a broadcast join + min_by, fully
+    distributed — the corpus never moves to the driver and never shuffles
+    (assignment is a map; only the K x dim partial means aggregate).
+    Determinism: init = lowest-K vec_ids, centroid coordinates rounded to
+    6 dp each iteration so retries reproduce bit-identical clusters.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    v = _vectors(emb)
+
+    # deterministic init: the K lowest vec_ids
+    init = v.orderBy("vec_id").limit(N_CENTROIDS).select("e").collect()
+    centroids = [[round(float(x), 6) for x in r["e"]] for r in init]
+
+    def assign(vdf, cents):
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cid int, ce array<double>"
+        )
+        dist = F.expr(
+            "aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, z) -> acc + z)"
+        )
+        scored = vdf.crossJoin(F.broadcast(cdf)).select(
+            "vec_id", "e", "nrm", "cid", dist.alias("d2")
+        )
+        # per-vector argmin centroid; cid tiebreak keeps it deterministic
+        return scored.groupBy("vec_id").agg(
+            F.min_by(F.struct("cid", "e", "nrm"), F.struct("d2", "cid")).alias("s")
+        ).select("vec_id", F.col("s.cid").alias("cid"), F.col("s.e").alias("e"), F.col("s.nrm").alias("nrm"))
+
+    for _ in range(KMEANS_ITERS):
+        assigned = assign(v, centroids)
+        # per-dimension means via posexplode: 3 narrow expressions instead
+        # of 64 wide aggregate columns (compiles ~10x faster, same result)
+        means = (
+            assigned.select("cid", F.posexplode("e").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, list[float]] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], [0.0] * EMB_DIM)[r["pos"]] = float(r["m"])
+        # empty clusters keep their previous centroid
+        centroids = [by_cid.get(i, centroids[i]) for i in range(N_CENTROIDS)]
+
+    from pyspark import StorageLevel
+
+    # final clustering feeds both probe sides — compute it once
+    clustered = assign(v, centroids).persist(StorageLevel.MEMORY_AND_DISK)
+    q = clustered.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    c = clustered.alias("c")
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("q.cid") == F.col("c.cid")) & (F.col("c.vec_id") != F.col("q.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        F.round(_cosine(), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
 @query(
     "embedding_norm_stats_by_label",
     oracle="""
