@@ -36,6 +36,7 @@ HEADLINE = [
     "text_quality_scores",
     "dedup_minhash_lsh_candidates",
     "dedup_jaccard_dfcap",
+    "dedup_lsh_verified_pairs",
     "dedup_exact_hash",
     "ann_bruteforce_topk",
     "imaging_patch_grid",
