@@ -34,6 +34,14 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # conf may be marked static on some builds
             pass
+    try:
+        # Local mode only: externally-owned sessions default to 200 shuffle
+        # partitions — pure task overhead at test scale (AQE coalesces down,
+        # never up, so we must NOT cap a real cluster this way).
+        if spark.sparkContext.master.startswith("local"):
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
     return spark
 
 
