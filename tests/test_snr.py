@@ -124,3 +124,28 @@ def test_snr_metrics_spark_surface(spark):
         assert r["snr_corrected"] > 0
         assert 0 < r["brain_frac"] < 1
         assert r["noise_mode"] == "chi"
+
+
+def test_degenerate_volumes_no_nan():
+    # zero/constant volumes (real at scan edges) must not produce NaN or
+    # crash: zero-noise SNR is the inf sentinel, everything else finite
+    import numpy as np
+
+    from etl_mri_scripts_spark.operators.snr import compute_snr_volume
+
+    for vol in (np.zeros((16, 16, 8), np.float32), np.full((16, 16, 8), 3.0, np.float32)):
+        m = compute_snr_volume(vol, mode="chi", n_coils=8)
+        assert m["snr_naive"] == float("inf") and m["snr_corrected"] == float("inf")
+        for k in ("otsu_threshold", "brain_frac", "air_frac", "mean_signal", "std_air"):
+            assert np.isfinite(m[k]), k
+
+
+def test_degradation_degenerate_slices_finite():
+    import numpy as np
+
+    from etl_mri_scripts_spark.operators.degradation import degrade_slice_preset
+
+    for img in (np.zeros((32, 32), np.float32), np.full((32, 32), 0.5, np.float32)):
+        for preset in ("3tFlash", "3T_T1W"):
+            r = degrade_slice_preset(img, preset, seed=1, fator_reducao=2)
+            assert np.isfinite(r["hr"]).all() and np.isfinite(r["lr"]).all()
