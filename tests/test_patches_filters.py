@@ -106,3 +106,22 @@ def test_dark_filter_border_trim():
     q[4:-4, 4:-4] = 0.5  # small interior: 4*4/144 = 11% bright -> dark
     assert patch_is_dark(q)
     assert not patch_is_dark(q, border=4)  # trimmed to the bright interior
+
+
+def test_crop_space_col_matches_python(spark):
+    # the Catalyst expression and the in-UDF Python grid must agree exactly
+    # (same trailing-edge rule) — sampled sweep over dims and configs
+    from pyspark.sql import functions as F
+
+    from etl_mri_scripts_spark.operators.patches import crop_space_col
+
+    dims = spark.range(1, 400, 7).select(F.col("id").cast("int").alias("dim"))
+    for crop, step, thr in [(8, 4, 0), (32, 16, 0), (128, 64, 8), (480, 240, 0)]:
+        got = {
+            r["dim"]: list(r["space"])
+            for r in dims.select(
+                "dim", crop_space_col(F.col("dim"), crop, step, thr).alias("space")
+            ).collect()
+        }
+        for d, space in got.items():
+            assert space == make_crop_spaces(d, d, crop, step, thr)[0], (d, crop, step, thr)
