@@ -296,7 +296,12 @@ def write_dataset(df: DataFrame, out_dir: str) -> None:
             "meta_line",
             F.format_string("%s.npy (%d,%d,%d) %s", F.col("key"), F.col("h"), F.col("w"), F.col("c"), F.col("dtype")),
         )
+        # clustering for the point-lookup path (S8/S9): keys sorted within
+        # each file give parquet row-group min/max pruning on key ranges,
+        # and the bloom filter answers exact-key probes without scanning
+        .sortWithinPartitions("key")
         .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#key", "true")
         .partitionBy("resolution", "split")
         .parquet(out_dir)
     )
