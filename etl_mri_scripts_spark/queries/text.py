@@ -80,6 +80,49 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_quality_filter",
+    oracle=f"""
+    -- the materializing corpus-clean op: keep docs passing all quality
+    -- gates; emit the failure reason for dropped docs (audit trail)
+    WITH f AS (
+      SELECT doc_id, lang,
+             length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             {_marker_hits_sql(STOPWORDS)} * 1.0 / len(string_split(text, ' ')) AS stop_r,
+             len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')) AS lex_d
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN n_chars < 80 THEN 'too_short'
+                WHEN n_words < 12 THEN 'too_few_words'
+                WHEN lex_d < 0.3 THEN 'repetitive'
+                ELSE 'keep' END AS verdict
+    FROM f ORDER BY doc_id
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The corpus-clean gate built on the staged features: one narrow pass,
+    # verdict as a column so the drop reasons are auditable (and the kept
+    # set is a pushdown-friendly filter on this same expression).
+    d = table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", "lang", F.length("text").alias("n_chars"), _words().alias("ws"))
+    feats = staged.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size("ws").alias("nw"),
+        F.size(F.array_distinct("ws")).alias("nu"),
+    )
+    verdict = (
+        F.when(F.col("n_chars") < 80, "too_short")
+        .when(F.col("nw") < 12, "too_few_words")
+        .when(F.col("nu") * 1.0 / F.col("nw") < 0.3, "repetitive")
+        .otherwise("keep")
+    )
+    return feats.select("doc_id", "lang", verdict.alias("verdict")).orderBy("doc_id")
+
+
+@query(
     "text_language_id",
     oracle=f"""
     WITH scored AS (
