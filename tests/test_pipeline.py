@@ -131,3 +131,31 @@ def test_write_dataset_layout(spark, gated, tmp_path):
     # meta sidecar line format (v2/lmdb_npy.py:48)
     m = back.select("meta_line").first()["meta_line"]
     assert m.endswith(("float32", "float16")) and ".npy (" in m
+
+
+def test_skewed_volume_mix_spreads_patch_work(spark):
+    # fan-out skew guard (SURVEY §4): one big volume among tiny ones must
+    # NOT keep its slices on one partition — the repartition(slice_id)
+    # before patch work spreads the explosion
+    from etl_mri_scripts_spark.operators.pipeline import PipelineConfig, run_pipeline
+    from etl_mri_scripts_spark.sources.volumes import synthetic_volumes
+
+    big = synthetic_volumes(spark, 1, (64, 64, 24), seed=31)
+    small = synthetic_volumes(spark, 3, (12, 12, 4), seed=32).withColumn(
+        "base", F.concat(F.lit("tiny-"), F.col("base"))
+    )
+    cfg = PipelineConfig(crop_hr=16, step_hr=8, scales=(2,))
+    out = run_pipeline(spark, big.unionByName(small), cfg).cache()
+
+    # key parity across the mix
+    by_res = {r["resolution"]: r["n"] for r in out.groupBy("resolution").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_res["HR"] == by_res["LRx2"] > 0
+
+    # the big volume's patches land on many partitions, not one
+    pids = (
+        out.filter(~F.col("base").startswith("tiny-"))
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    assert pids >= 8, f"big volume's work on only {pids} partitions"
