@@ -55,6 +55,17 @@ def session_stream(events: DataFrame, gap: str = "10 minutes", watermark: str = 
     )
 
 
+def dedup_stream(docs: DataFrame) -> DataFrame:
+    """Streaming-native exact dedup: cross-micro-batch duplicate drop by
+    content hash (the incremental form of dedup_exact_hash). State is one
+    tiny row per distinct digest — the stream-scale analog of the digest
+    groupBy; add an event-time watermark + `dropDuplicatesWithinWatermark`
+    when the dup horizon is bounded, to bound state too."""
+    return docs.withColumn(
+        "content_hash", F.md5(F.col("text").cast("binary"))
+    ).dropDuplicates(["content_hash"])
+
+
 def running_counters_stream(events: DataFrame, gap_timeout: str | None = None) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: cumulative
     per-event-type counters across micro-batches — the streaming-native form

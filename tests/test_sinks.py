@@ -69,3 +69,19 @@ def test_split_report_rollup(spark, patches):
     rep = split_report(patches).collect()
     totals = [r for r in rep if r["split"] == "ALL"]
     assert totals and totals[0]["n_patches"] == patches.count()
+
+
+def test_write_dataset_partition_pruning(spark, patches, tmp_path):
+    # the (resolution, split) layout must actually prune: a filtered read
+    # shows partition filters in the plan and touches only matching rows
+    from etl_mri_scripts_spark.operators.pipeline import write_dataset
+
+    out = str(tmp_path / "dataset")
+    write_dataset(patches, out)
+    got = spark.read.parquet(out).filter(F.col("resolution") == "HR")
+    plan = got._sc._jvm.PythonSQLUtils.explainString(got._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan and "resolution" in plan.split("PartitionFilters", 1)[1][:200]
+    assert got.count() == patches.filter(F.col("resolution") == "HR").count()
+    # sidecar meta_line column round-trips
+    line = got.select("meta_line").first()["meta_line"]
+    assert line.endswith(("float32", "float16")) and ".npy (" in line

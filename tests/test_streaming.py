@@ -127,3 +127,36 @@ def test_incremental_pipeline_exactly_once(spark, tmp_path):
     assert n3 > n1
     bases = {r["base"] for r in spark.read.parquet(out_dir).select("base").distinct().collect()}
     assert bases == {"sub-000_T1w", "sub-001_T1w"}
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    # cross-batch exact dedup: a duplicate text arriving in a LATER
+    # micro-batch must be dropped by retained state
+    from etl_mri_scripts_spark.streaming.pipeline import dedup_stream
+
+    in_dir = str(tmp_path / "docs")
+    os.makedirs(in_dir)
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")], schema
+    ).write.mode("overwrite").json(in_dir + "/chunk=a")
+
+    stream = spark.readStream.schema(schema).json(in_dir + "/*")
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_docs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(4, "gamma delta"), (5, "epsilon zeta")], schema
+        ).write.mode("overwrite").json(in_dir + "/chunk=b")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    texts = sorted(r["text"] for r in spark.sql("select * from dedup_docs").collect())
+    assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
