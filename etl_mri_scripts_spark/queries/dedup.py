@@ -340,13 +340,12 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query(
-    "dedup_lsh_verified_pairs",
-    oracle=f"""
-    -- The production near-dedup flow: LSH banding proposes candidates,
-    -- exact Jaccard verifies them. Verification runs ONLY on candidate
-    -- pairs (bounded by bucket occupancy), never on the full pair space.
-    WITH sig AS (
+# WITH-clause interior shared by the verified-pairs query and the
+# connected-components clustering oracle: LSH banding proposes candidate
+# pairs, exact Jaccard >= 0.5 confirms them -> `vpairs(doc_a, doc_b,
+# jaccard)` with doc_a < doc_b.
+_VERIFIED_PAIRS_DUCK = f"""
+    sig AS (
       SELECT doc_id,
              [{', '.join(_minhash_duck(s) for s in range(N_MINHASH))}] AS sg
       FROM documents
@@ -369,13 +368,26 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sh a ON a.doc_id = c.doc_a
       JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
       GROUP BY 1, 2
+    ),
+    vpairs AS (
+      SELECT m.doc_a, m.doc_b,
+             round(m.common * 1.0 / (sa.n_sh + sb.n_sh - m.common), 6) AS jaccard
+      FROM common m
+      JOIN sizes sa ON sa.doc_id = m.doc_a
+      JOIN sizes sb ON sb.doc_id = m.doc_b
+      WHERE m.common * 1.0 / (sa.n_sh + sb.n_sh - m.common) >= 0.5
     )
-    SELECT m.doc_a, m.doc_b,
-           round(m.common * 1.0 / (sa.n_sh + sb.n_sh - m.common), 6) AS jaccard
-    FROM common m
-    JOIN sizes sa ON sa.doc_id = m.doc_a
-    JOIN sizes sb ON sb.doc_id = m.doc_b
-    WHERE m.common * 1.0 / (sa.n_sh + sb.n_sh - m.common) >= 0.5
+"""
+
+
+@query(
+    "dedup_lsh_verified_pairs",
+    oracle=f"""
+    -- The production near-dedup flow: LSH banding proposes candidates,
+    -- exact Jaccard verifies them. Verification runs ONLY on candidate
+    -- pairs (bounded by bucket occupancy), never on the full pair space.
+    WITH {_VERIFIED_PAIRS_DUCK}
+    SELECT doc_a, doc_b, jaccard FROM vpairs
     ORDER BY doc_a, doc_b
     """,
 )
@@ -520,3 +532,95 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    -- Clustering step of the production dedup flow: verified near-dup
+    -- pairs form an undirected graph; each document gets the min doc_id
+    -- of its connected component as the canonical/cluster id. Oracle:
+    -- recursive label reachability (lab spreads along symmetric edges;
+    -- min reachable origin == component min).
+    WITH RECURSIVE {_VERIFIED_PAIRS_DUCK},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM vpairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM vpairs
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lab) AS component_id FROM reach GROUP BY 1),
+    comp_sizes AS (
+      SELECT component_id, CAST(count(*) AS BIGINT) AS component_size
+      FROM comp GROUP BY 1
+    )
+    SELECT c.doc_id, c.component_id, s.component_size
+    FROM comp c JOIN comp_sizes s USING (component_id)
+    ORDER BY doc_id
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pair -> cluster: iterative min-label propagation over the verified
+    # near-dup graph (the step that turns pairwise matches into "keep one
+    # doc per cluster", reference analog: the approved-keys set union
+    # extract_subimages.py:22-27 generalized to transitive groups).
+    #
+    # Scale design:
+    # - labels shrink monotonically and the loop stops at the first
+    #   iteration with no change, so iterations = graph diameter. Dup
+    #   clusters are near-cliques (LSH links most members directly), so
+    #   diameter is small and ~3 passes converge; for adversarial chain
+    #   graphs the same loop admits pointer-jumping / large-star small-star
+    #   refinements without changing the dataflow.
+    # - each pass is one shuffle: edges x labels equi-join on the src node,
+    #   then groupBy-min with map-side partial agg. The payload is two
+    #   longs per edge.
+    # - localCheckpoint truncates lineage each pass — without it the plan
+    #   doubles per iteration and Catalyst re-optimizes an exponentially
+    #   growing tree (the classic iterative-algorithm failure on Spark).
+    # - the edge list is persisted: it is re-scanned every pass, and
+    #   recomputing it would re-run the whole LSH+verify pipeline per
+    #   iteration.
+    from pyspark import StorageLevel
+
+    pairs = dedup_lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .unionAll(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    labels = (
+        edges.select(F.col("s").alias("node")).distinct().withColumn("lab", F.col("node"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(20):  # diameter cap; real exit is the no-change check
+        nbr_min = (
+            edges.join(labels, edges["s"] == labels["node"])
+            .select(F.col("d").alias("node"), "lab")
+            .unionAll(labels)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            nbr_min.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") < F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = nbr_min
+        if changed == 0:
+            break
+    edges.unpersist()
+
+    comp = labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("component_id"))
+    sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("component_size"))
+    return comp.join(sizes, "component_id").select(
+        "doc_id", "component_id", "component_size"
+    ).orderBy("doc_id")
