@@ -13,5 +13,6 @@ from . import relational  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
+from . import sampling  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import imaging  # noqa: E402,F401

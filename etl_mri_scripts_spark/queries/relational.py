@@ -1064,3 +1064,93 @@ def two_phase_robust_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", norm.alias("norm_price"))
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "agg_skew_salted_two_stage",
+    oracle=f"""
+    -- Oracle is the PLAIN aggregate: salting is a physical rewrite with
+    -- identical semantics (count/sum decompose over any partition of the
+    -- rows).
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum({cents_sql("value")}) / 100.0 AS total_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_skew_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hot-key-safe aggregation: stage 1 aggregates on (key, salt) so a key
+    # owning 30% of the corpus spreads over 32 reducers; stage 2 re-sums the
+    # 32 partials per key. Decomposable aggs only (count/sum/min/max —
+    # exactly the reference's split/scale counters, v2/nii_to_lmdb.py:
+    # 193-199). For groupBy, Spark's map-side partial agg already bounds
+    # reducer load at #map-partitions x #keys; the explicit salt stage is
+    # the plan you need when the same skew hits a WINDOW partition or a
+    # high-cardinality-combiner agg, so it's declared here as a first-class
+    # named shape. The salt never reaches the output — any hash works, no
+    # cross-engine determinism needed.
+    ev = table(spark, sf_dir, "events")
+    salted = ev.groupBy(
+        "event_type", F.pmod(F.xxhash64("event_id"), F.lit(32)).alias("salt")
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(cents(F.col("value"))).alias("pv"),
+    )
+    return (
+        salted.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            (F.sum("pv") / 100.0).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+RANGE_WINDOW_SEC = 300  # errors counted within 5 minutes after each purchase
+
+
+@query(
+    "join_range_time_bucketed",
+    oracle=f"""
+    -- Band join (no equi key): for each purchase, errors in the next 5
+    -- minutes. DuckDB plans this natively (IEJoin); the Spark side shows
+    -- the bucketed rewrite that avoids a nested-loop cross product.
+    SELECT p.event_id, CAST(count(*) AS BIGINT) AS n_errors
+    FROM events p
+    JOIN events r
+      ON p.event_type = 'purchase' AND r.event_type = 'error'
+     AND r.ts >= p.ts AND r.ts < p.ts + INTERVAL {RANGE_WINDOW_SEC} SECOND
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def join_range_time_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A pure range predicate gives Spark no equi key => BroadcastNestedLoop
+    # (O(n*m), the plan that dies at scale). The rewrite: quantize time into
+    # window-width buckets, replicate each probe row into the <=2 buckets
+    # its window can touch, then equi-join on bucket with the exact range
+    # predicate as a residual filter. Fan-out is bounded by bucket
+    # occupancy (rows per 5-minute bucket), never n*m; the bucket join
+    # shuffles on a uniformly distributed integer. Same rewrite the
+    # streaming engine applies to stream-stream interval joins.
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    width = RANGE_WINDOW_SEC * 1_000_000
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("ts").alias("ets"), (F.unix_micros(F.col("ts")) / width).cast("long").alias("bucket")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts", (us / width).cast("long").alias("b0"))
+        .select("event_id", "ts", F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("bucket"))
+    )
+    return (
+        purchases.join(errors, "bucket")
+        .filter(
+            (F.col("ets") >= F.col("ts"))
+            & (F.unix_micros(F.col("ets")) < F.unix_micros(F.col("ts")) + width)
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .orderBy("event_id")
+    )

@@ -1,0 +1,104 @@
+"""Deterministic sampling operators for training-data curation.
+
+The reference's split planners (utils_scripts.py:46-51, v2/patch_utils.py:
+101-111) are exact-count seeded shuffles — sampling by another name. These
+queries generalize them to the two shapes a 100 TB corpus pipeline needs:
+
+- **stratified exact-count** sampling (fixed fraction per stratum, e.g.
+  per-language) — one shuffle on the stratum key; the per-stratum rank is
+  a window over that same partitioning, so no extra exchange.
+- **stateless hash-Bernoulli** sampling — ZERO shuffles: a pure filter on
+  a key-derived hash bucket, fully pipelined into the scan, stable under
+  retries/speculation (same determinism argument as the reference's
+  per-slice seeds, SURVEY.md §4), and composable: the same predicate run
+  on any subset of the corpus selects a consistent sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import table
+from .registry import query
+
+FRACTION_PCT = 10  # stratified: keep ceil(10% of each stratum)
+N_BUCKETS = 256  # bernoulli: md5-derived bucket space
+KEEP_BUCKETS = 26  # ~10.2% of 256
+
+
+@query(
+    "sample_stratified_exact",
+    oracle=f"""
+    -- Exact-count stratified sample: ceil(10%) of each language, members
+    -- chosen by a deterministic per-doc hash rank (not Bernoulli — counts
+    -- are exact, mirroring the reference's exact-count split slicing).
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn,
+             CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+      FROM documents
+    )
+    SELECT doc_id, lang, rn AS sample_rank
+    FROM ranked
+    WHERE rn <= CAST(ceil(n_lang * {FRACTION_PCT} / 100.0) AS BIGINT)
+    ORDER BY doc_id
+    """,
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Both the rank and the stratum size are windows over the SAME
+    # partitioning (lang), so Catalyst plans one exchange + one sort for
+    # both. The hash order makes membership a pure function of doc_id —
+    # re-running on a grown corpus keeps prior members with high
+    # probability (only boundary ranks churn).
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    quota = F.ceil(F.count(F.lit(1)).over(Window.partitionBy("lang")) * FRACTION_PCT / 100.0)
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("sample_rank"),
+            quota.alias("quota"),
+        )
+        .filter(F.col("sample_rank") <= F.col("quota"))
+        .select("doc_id", "lang", "sample_rank")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "sample_hash_bernoulli",
+    oracle=f"""
+    -- Stateless hash sample: doc kept iff its md5 bucket (first 2 hex
+    -- chars, 0..255) < {KEEP_BUCKETS}. No shuffle anywhere — the predicate
+    -- rides the scan.
+    SELECT doc_id, lang,
+           CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+              AS BIGINT) AS bucket
+    FROM documents
+    WHERE (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+        < {KEEP_BUCKETS}
+    ORDER BY doc_id
+    """,
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 100 TB default: sampling as a catalyst-visible filter, zero
+    # shuffles, one pass. Contrast with df.sample(): rand() is
+    # partition-order dependent, so retries/AQE re-plans change the sample;
+    # a key-derived bucket never does. Bucket granularity 1/256 ~ 0.4%.
+    d = table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2), 16, 10
+    ).cast("long")
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < KEEP_BUCKETS)
+        .orderBy("doc_id")
+    )

@@ -321,3 +321,48 @@ def embedding_norm_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("label")
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    -- Symmetric int8 scalar quantization: q_i = round(x_i / (maxabs/127)).
+    -- The 4x footprint cut (float32 -> int8) is what makes billion-vector
+    -- ANN shuffles and index broadcasts affordable; scale stays alongside
+    -- for dequantization.
+    WITH v AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS e,
+             greatest(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                    x -> abs(x)), 'max') / 127.0,
+                      1e-12) AS scale
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           list_transform(e, x -> CAST(round(x / scale) AS BIGINT)) AS q
+    FROM v ORDER BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-vector max-abs is computed in its own projection (optimizer
+    # barrier not needed here: one array_max per row, then one transform —
+    # both single-pass, no shuffle at all; the whole query is scan ->
+    # project -> sort). At 100 TB this runs as a pure map stage and the
+    # quantized table is the one that feeds every downstream ANN query.
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+    ).select(
+        "vec_id",
+        "e",
+        F.greatest(
+            F.expr("array_max(transform(e, x -> abs(x)))") / 127.0, F.lit(1e-12)
+        ).alias("scale"),
+    )
+    return v.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.expr("transform(e, x -> cast(round(x / scale) as bigint))").alias("q"),
+    ).orderBy("vec_id")

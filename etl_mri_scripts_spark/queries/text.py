@@ -244,3 +244,62 @@ def text_corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    -- Top-3 TF-IDF terms per language: tf = occurrences within the
+    -- language, idf = ln((N_docs+1)/(df+1)) over the whole corpus.
+    WITH words AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    df AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    tf AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS tf FROM words GROUP BY 1, 2),
+    scored AS (
+      SELECT tf.lang, tf.w AS term, tf.tf,
+             round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.lang
+               ORDER BY tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) DESC, tf.w
+             ) AS rk
+      FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+    )
+    SELECT lang, term, tf, tfidf, rk FROM scored WHERE rk <= 3
+    ORDER BY lang, rk
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus-scale shape: ONE explode of the corpus feeds both the df agg
+    # (distinct docs per word) and the per-language tf agg — the exploded
+    # words table is persisted so the two different shuffle keys don't
+    # re-split the corpus. idf joins back on the word (the df table is
+    # orders of magnitude smaller than the corpus; AQE broadcasts it), the
+    # doc count is a 1-row broadcast, and top-3 is a window over lang.
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    df_tab = words.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar: dimension-free literal, no crossJoin needed
+    tf = words.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("tf"))
+    score = F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0))
+    w_rank = Window.partitionBy("lang").orderBy(F.desc_nulls_last("score"), F.asc("w"))
+    return (
+        tf.join(df_tab, "w")
+        .withColumn("score", score)
+        .withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "lang",
+            F.col("w").alias("term"),
+            "tf",
+            F.round("score", 6).alias("tfidf"),
+            "rk",
+        )
+        .orderBy("lang", "rk")
+    )
