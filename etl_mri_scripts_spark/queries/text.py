@@ -303,3 +303,108 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "rk")
     )
+
+
+@query(
+    "text_vocabulary_ranked",
+    oracle="""
+    -- Vocabulary construction: token table ranked by frequency (the BPE /
+    -- tokenizer-training primitive). token_id is dense, most-frequent
+    -- first, lexicographic tiebreak so ids are reproducible.
+    WITH words AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    counts AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY 1)
+    SELECT word, n,
+           CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS token_id
+    FROM counts WHERE n >= 2 ORDER BY token_id
+    """,
+)
+def text_vocabulary_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus-scale shape: the heavy part (explode + count) is a map-side
+    # combined groupBy on the word. The global row_number window runs on
+    # the AGGREGATED vocab (|V| ~ 10^5-10^6 regardless of corpus bytes), so
+    # the single-partition sort it implies is over the small table — never
+    # the corpus. min-count pruning happens before the window.
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    return counts.withColumn("token_id", F.row_number().over(w).cast("long")).orderBy(
+        "token_id"
+    )
+
+
+BIGRAM_MIN_COUNT = 3
+
+
+@query(
+    "text_bigram_pmi",
+    oracle=f"""
+    -- Co-occurrence statistics: adjacent-bigram PMI over the corpus.
+    -- pmi = ln( p(w1 w2) / (p(w1) p(w2)) ), probabilities over bigram and
+    -- unigram totals respectively; low-count bigrams pruned.
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    uni AS (SELECT unnest(ws) AS word FROM w),
+    ucnt AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+    nw AS (SELECT count(*) AS n FROM uni),
+    big AS (
+      SELECT unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                                   i -> ws[i] || ' ' || ws[i + 1])) AS bg
+      FROM w
+    ),
+    bcnt AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM big GROUP BY 1),
+    nb AS (SELECT count(*) AS n FROM big)
+    SELECT string_split(bg, ' ')[1] AS w1,
+           string_split(bg, ' ')[2] AS w2,
+           cb AS n_bigram,
+           round(ln((cb * 1.0 / nb.n) / ((u1.c * 1.0 / nw.n) * (u2.c * 1.0 / nw.n))), 6) AS pmi
+    FROM bcnt CROSS JOIN nb CROSS JOIN nw
+    JOIN ucnt u1 ON u1.word = string_split(bg, ' ')[1]
+    JOIN ucnt u2 ON u2.word = string_split(bg, ' ')[2]
+    WHERE cb >= {BIGRAM_MIN_COUNT}
+    ORDER BY w1, w2
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One split per document feeds BOTH the unigram and the bigram counts
+    # (persisted — two different shuffle keys, exchange reuse won't merge
+    # them). The two totals are scalars; the unigram join sides are
+    # post-aggregation vocab-sized tables, broadcast under AQE. The pruned
+    # bigram table (cb >= {N}) is what ships to the join — pruning before
+    # the join, not after.
+    from pyspark import StorageLevel
+
+    d = table(spark, sf_dir, "documents")
+    wsdf = d.select(F.split("text", " ").alias("ws")).persist(StorageLevel.MEMORY_AND_DISK)
+    uni = wsdf.select(F.explode("ws").alias("word"))
+    ucnt = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    n_words = uni.count()
+    big = wsdf.filter(F.size("ws") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> struct(element_at(ws, i) as w1, element_at(ws, i + 1) as w2))"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bigram")).filter(
+        F.col("n_bigram") >= BIGRAM_MIN_COUNT
+    )
+    n_bigrams = big.count()
+    u1 = ucnt.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        (F.col("n_bigram") / float(n_bigrams))
+        / ((F.col("c1") / float(n_words)) * (F.col("c2") / float(n_words)))
+    )
+    return (
+        bcnt.join(u1, "w1")
+        .join(u2, "w2")
+        .select("w1", "w2", "n_bigram", F.round(pmi, 6).alias("pmi"))
+        .orderBy("w1", "w2")
+    )

@@ -147,3 +147,51 @@ def run_incremental_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def interval_join_stream(
+    purchases: DataFrame,
+    errors: DataFrame,
+    window_sec: int = 300,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the error
+    events of the following ``window_sec`` seconds — the streaming twin of
+    the batch ``join_range_time_bucketed`` query, via the SAME time-bucket
+    rewrite (Spark requires an equality predicate in stream-stream joins,
+    exactly because an equi key is what bounds state matching at scale):
+    quantize time into window-width buckets, replicate each purchase into
+    the <=2 buckets its window touches, equi-join on bucket with the exact
+    range condition as residual. Watermarks on both sides let the state
+    store evict rows once no future match is possible, so state is
+    O(rows per watermark horizon), not O(stream).
+    """
+    width = window_sec * 1_000_000
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("pts"),
+            (F.unix_micros(F.col("ts")) / width).cast("long").alias("b0"),
+        )
+        .select(
+            "purchase_id",
+            "pts",
+            F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("bucket"),
+        )
+    )
+    r = errors.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("ets"),
+        (F.unix_micros(F.col("ts")) / width).cast("long").alias("bucket"),
+    )
+    cond = (
+        (F.col("p.bucket") == F.col("r.bucket"))
+        & (F.col("ets") >= F.col("pts"))
+        & (F.col("ets") < F.col("pts") + F.expr(f"INTERVAL {window_sec} SECONDS"))
+    )
+    return (
+        p.alias("p")
+        .join(r.alias("r"), cond, "inner")
+        .select("purchase_id", "pts", "error_id", "ets")
+    )

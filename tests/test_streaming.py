@@ -160,3 +160,51 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
         q.stop()
     texts = sorted(r["text"] for r in spark.sql("select * from dedup_docs").collect())
     assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path, sf_dir):
+    # The streamed purchase->error interval pairs must equal the batch
+    # range join over the same rows.
+    from etl_mri_scripts_spark.streaming.pipeline import interval_join_stream
+    from etl_mri_scripts_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    a, b = ev.randomSplit([0.5, 0.5], seed=7)
+    a.write.mode("overwrite").json(in_dir + "/chunk=a")
+    b.write.mode("overwrite").json(in_dir + "/chunk=b")
+
+    stream = stream_events(spark, in_dir + "/*", fmt="json")
+    joined = interval_join_stream(
+        stream.filter(F.col("event_type") == "purchase"),
+        stream.filter(F.col("event_type") == "error"),
+        window_sec=300,
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ivjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _wait(q)
+    got = {
+        (r["purchase_id"], r["error_id"])
+        for r in spark.sql("select * from ivjoin").collect()
+    }
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    r = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("ets")
+    )
+    expected = {
+        (row["purchase_id"], row["error_id"])
+        for row in p.join(
+            r,
+            (F.col("ets") >= F.col("pts"))
+            & (F.col("ets") < F.col("pts") + F.expr("INTERVAL 300 SECONDS")),
+        ).collect()
+    }
+    assert got == expected and len(expected) > 0
