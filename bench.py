@@ -37,8 +37,13 @@ HEADLINE = [
     "dedup_minhash_lsh_candidates",
     "dedup_jaccard_dfcap",
     "dedup_lsh_verified_pairs",
+    "dedup_connected_components",
     "dedup_exact_hash",
+    "sample_stratified_exact",
+    "join_range_time_bucketed",
+    "text_tfidf_top_terms",
     "ann_bruteforce_topk",
+    "embedding_quantize_int8",
     "imaging_patch_grid",
     "imaging_pipeline_patches",
 ]

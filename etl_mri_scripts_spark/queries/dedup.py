@@ -589,9 +589,20 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     pairs = dedup_lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # Symmetrize with ONE explode, not union of two selects: each union
+    # branch would re-run the whole LSH+verify lineage (union branches
+    # don't share unpersisted subtrees — same pitfall as the shingle
+    # table, measured 2x the pipeline cost).
     edges = (
-        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
-        .unionAll(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("s"), F.col("doc_b").alias("d")),
+                    F.struct(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.d").alias("d"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
@@ -599,24 +610,26 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("s").alias("node")).distinct().withColumn("lab", F.col("node"))
     ).localCheckpoint(eager=True)
 
+    def _label_sum(df: DataFrame) -> int:
+        # Convergence certificate: labels only ever decrease, so the label
+        # sum strictly drops on any change — one cheap agg per pass instead
+        # of a join-based diff. decimal(38,0) so the sum can't overflow at
+        # any corpus size.
+        return df.agg(F.sum(F.col("lab").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(20):  # diameter cap; real exit is the no-change check
-        nbr_min = (
+        labels = (
             edges.join(labels, edges["s"] == labels["node"])
             .select(F.col("d").alias("node"), "lab")
             .unionAll(labels)
             .groupBy("node")
             .agg(F.min("lab").alias("lab"))
         ).localCheckpoint(eager=True)
-        changed = (
-            nbr_min.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lab") < F.col("o.lab"))
-            .limit(1)
-            .count()
-        )
-        labels = nbr_min
-        if changed == 0:
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
 
     comp = labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("component_id"))
