@@ -38,6 +38,8 @@ HEADLINE = [
     "dedup_jaccard_dfcap",
     "dedup_lsh_verified_pairs",
     "dedup_connected_components",
+    "dedup_incremental_delta",
+    "curation_funnel",
     "dedup_exact_hash",
     "sample_stratified_exact",
     "join_range_time_bucketed",

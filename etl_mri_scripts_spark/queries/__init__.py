@@ -14,5 +14,6 @@ from . import windows  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
+from . import curation  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import imaging  # noqa: E402,F401

@@ -1154,3 +1154,40 @@ def join_range_time_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_errors"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "semi_structured_json_extract",
+    oracle="""
+    -- Semi-structured payloads: extract a typed field from the JSON props
+    -- column and aggregate on it — the schema-on-read path every event
+    -- pipeline needs.
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def semi_structured_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # from_json with an explicit schema (not get_json_object string-probes):
+    # the parse happens once per row into a typed struct, the extracted
+    # column is then a plain long for Catalyst — filter/agg pushdown and
+    # codegen all apply. At scale, parse-once-then-project beats repeated
+    # per-field JSON probing linearly in field count.
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json(F.col("props"), "k long").alias("p")
+    ).select("event_type", F.col("p.k").alias("k"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )

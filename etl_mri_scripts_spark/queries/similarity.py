@@ -366,3 +366,49 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("scale", 6).alias("scale"),
         F.expr("transform(e, x -> cast(round(x / scale) as bigint))").alias("q"),
     ).orderBy("vec_id")
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    -- Per-label centroid (element-wise mean): the k-means "update" step
+    -- as a relational op, and the building block for IVF coarse indexes.
+    WITH ex AS (
+      SELECT label, u.idx AS idx, u.x AS x FROM (
+        SELECT label,
+               unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                                     (x, i) -> {'idx': i, 'x': x})) AS u
+        FROM embeddings
+      )
+    ),
+    m AS (SELECT label, idx, avg(x) AS m FROM ex GROUP BY 1, 2)
+    SELECT m.label,
+           list(round(m.m, 6) ORDER BY m.idx) AS centroid,
+           n.n_vectors
+    FROM m
+    JOIN (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors
+          FROM embeddings GROUP BY 1) n ON n.label = m.label
+    GROUP BY m.label, n.n_vectors
+    ORDER BY m.label
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # posexplode -> groupBy(label, dim) avg -> re-assemble ordered array.
+    # The shuffle key is (label, dim): dim fans the vectors out so no
+    # reducer ever holds a label's full vector set (the skew-free layout
+    # for centroid updates at billion-vector scale — contrast with
+    # collect_list-per-label, which concentrates a hot label on one task).
+    # Partial aggregation means the shuffle carries (label, dim, sum,
+    # count) per map partition, not raw vectors.
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("idx", "x")
+    )
+    m = ex.groupBy("label", "idx").agg(F.avg("x").alias("m"))
+    cent = (
+        m.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "m"))).alias("s"))
+        .select("label", F.expr("transform(s, p -> round(p.m, 6))").alias("centroid"))
+    )
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return cent.join(n, "label").select("label", "centroid", "n_vectors").orderBy("label")

@@ -243,3 +243,39 @@ def window_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "gap_us")
     )
+
+
+@query(
+    "window_rank_variants",
+    oracle="""
+    -- The full ranking-function family in one pass: all five share ONE
+    -- window partitioning/sort, so Spark plans a single exchange + sort.
+    -- Value-based ranks (rank/dense_rank/percent_rank/cume_dist) order by
+    -- price alone (tie-stable); ntile is row-position-based, so its sort
+    -- adds the key tiebreak to stay deterministic across engines.
+    SELECT o_orderkey, o_orderpriority,
+           CAST(rank()       OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS BIGINT) AS drnk,
+           round(percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC), 6) AS prnk,
+           round(cume_dist()    OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC), 6) AS cdist,
+           CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w_val = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    w_pos = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w_val).cast("long").alias("rnk"),
+        F.dense_rank().over(w_val).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w_val), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w_val), 6).alias("cdist"),
+        F.ntile(4).over(w_pos).cast("long").alias("quartile"),
+    ).orderBy("o_orderkey")

@@ -50,3 +50,45 @@ def test_minhash_lsh_candidates_superset_of_high_jaccard(spark, sf_dir):
     # the generated near-dups are ~exact copies (s ~= 1), so expect full
     # recall on this corpus — flag if LSH misses any high-similarity pair.
     assert exact_pairs <= cand_pairs, f"LSH missed {exact_pairs - cand_pairs}"
+
+
+def _formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_bernoulli_sample_plan_has_no_shuffle(spark, sf_dir):
+    # The zero-shuffle claim: sampling is a pure scan->filter->project
+    # (the final orderBy is the presentation sort the driver needs; at
+    # scale it would be dropped, so assert no exchange BELOW the sort).
+    from etl_mri_scripts_spark.queries.sampling import sample_hash_bernoulli
+
+    df = sample_hash_bernoulli(spark, sf_dir)
+    plan = _formatted_plan(df)
+    # the only exchange is the range-partitioning one feeding the sort —
+    # no hash shuffle (no join/agg) anywhere
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" in plan
+    assert "PushedFilters" in plan
+
+
+def test_range_join_plan_is_equi_not_nested_loop(spark, sf_dir):
+    # The band join must hit the bucketed equi path, never a cartesian /
+    # broadcast nested loop.
+    from etl_mri_scripts_spark.queries.relational import join_range_time_bucketed
+
+    plan = _formatted_plan(join_range_time_bucketed(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_incremental_delta_never_self_joins_base(spark, sf_dir):
+    # Delta dedup's candidate join must be new-vs-base: both join children
+    # carry the partition filter (one side id%5=0, other id%5<>0) — a
+    # base-vs-base pair can never form.
+    from etl_mri_scripts_spark.queries.dedup import DELTA_MOD, dedup_incremental_delta
+    from etl_mri_scripts_spark.queries.registry import QUERIES
+
+    rows = dedup_incremental_delta(spark, sf_dir).collect()
+    assert all(r["doc_id"] % DELTA_MOD == 0 for r in rows)
+    assert all(r["match_doc_id"] % DELTA_MOD != 0 for r in rows)
