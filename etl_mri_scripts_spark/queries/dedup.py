@@ -120,6 +120,8 @@ def _minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload is (doc_id, 8 x 32B hex) — negligible vs corpus bytes, and
     map-side partial min keeps the shuffle rows ~= distinct doc_ids.
     """
+    from pyspark import StorageLevel
+
     sh = _exploded_shingles(spark, sf_dir)
     hashed = sh.select(
         "doc_id",
@@ -128,9 +130,15 @@ def _minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             for seed in range(N_MINHASH)
         ],
     )
-    return hashed.groupBy("doc_id").agg(
+    sig = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{seed}").alias(f"m{seed}") for seed in range(N_MINHASH)]
     )
+    # Persist the signature table: it is tiny (n_docs x 8 hex digests) and
+    # every LSH-family query (candidates, verified pairs, connected
+    # components, incremental delta) starts from it. Spark's CacheManager
+    # matches by analyzed plan, so all of them share ONE materialization of
+    # the 8-hashes-per-shingle pass — the dominant cost of the family.
+    return sig.persist(StorageLevel.MEMORY_AND_DISK)
 
 _SHINGLES_DUCK = """
     list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
