@@ -307,6 +307,34 @@ def write_dataset(df: DataFrame, out_dir: str) -> None:
     )
 
 
+def overwrite_partitions(df: DataFrame, out_dir: str) -> None:
+    """Partition-level idempotent re-run: replace ONLY the (resolution,
+    split) partitions present in ``df``, leaving every other partition's
+    files untouched — the scale-correct form of the reference's
+    skip-if-exists/--force re-run logic (slice_generator.py:54,64) when a
+    subset must be reprocessed. Static overwrite would drop the whole
+    dataset; dynamic mode scopes the delete to the partitions being
+    rewritten, so concurrent readers of other partitions never see a gap.
+    """
+    (
+        df.sortWithinPartitions("key")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("parquet.bloom.filter.enabled#key", "true")
+        .partitionBy("resolution", "split")
+        .parquet(out_dir)
+    )
+
+
+def read_dataset(spark: SparkSession, out_dir: str, merge_schema: bool = True) -> DataFrame:
+    """Read the partitioned store back. ``merge_schema=True`` reconciles
+    footer schemas across files, so records written before a metadata
+    column existed read as NULL in that column — schema evolution without
+    rewriting history (the upgrade path the reference lacks: its sidecar
+    meta_info.txt format is frozen at write time, lmdb_util.py:125)."""
+    return spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(out_dir)
+
+
 def run_pipeline(
     spark: SparkSession,
     volumes: DataFrame,

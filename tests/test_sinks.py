@@ -85,3 +85,58 @@ def test_write_dataset_partition_pruning(spark, patches, tmp_path):
     # sidecar meta_line column round-trips
     line = got.select("meta_line").first()["meta_line"]
     assert line.endswith(("float32", "float16")) and ".npy (" in line
+
+
+def test_dynamic_partition_overwrite_scopes_to_written_partitions(spark, patches, tmp_path):
+    from etl_mri_scripts_spark.operators.pipeline import (
+        overwrite_partitions,
+        read_dataset,
+        write_dataset,
+    )
+
+    out = str(tmp_path / "store")
+    write_dataset(patches, out)
+    before = {
+        (r["resolution"], r["split"]): r["n"]
+        for r in read_dataset(spark, out).groupBy("resolution", "split").agg(F.count("*").alias("n")).collect()
+    }
+    # reprocess ONE partition with a modified payload (drop half its rows)
+    target = sorted(before)[0]
+    redo = (
+        read_dataset(spark, out)
+        .filter((F.col("resolution") == target[0]) & (F.col("split") == target[1]))
+        .filter(F.crc32(F.col("key")) % 2 == 0)
+        .drop("meta_line")
+    )
+    redo_n = redo.count()
+    overwrite_partitions(redo, out)
+    after = {
+        (r["resolution"], r["split"]): r["n"]
+        for r in read_dataset(spark, out).groupBy("resolution", "split").agg(F.count("*").alias("n")).collect()
+    }
+    assert after[target] == redo_n != before[target]
+    for k in before:
+        if k != target:
+            assert after[k] == before[k]  # untouched partitions keep their files
+
+
+def test_merge_schema_reads_evolved_partitions(spark, patches, tmp_path):
+    from etl_mri_scripts_spark.operators.pipeline import read_dataset, write_dataset
+
+    out = str(tmp_path / "store")
+    write_dataset(patches, out)
+    # later pipeline version adds a provenance column and appends new rows
+    evolved = (
+        patches.withColumn("split", F.lit("v2batch"))
+        .withColumn("pipeline_rev", F.lit("r2"))
+        .withColumn(
+            "meta_line",
+            F.format_string("%s.npy (%d,%d,%d) %s", F.col("key"), F.col("h"), F.col("w"), F.col("c"), F.col("dtype")),
+        )
+    )
+    evolved.write.mode("append").partitionBy("resolution", "split").parquet(out)
+    merged = read_dataset(spark, out, merge_schema=True)
+    assert "pipeline_rev" in merged.columns
+    old_rows = merged.filter(F.col("split") != "v2batch")
+    assert old_rows.filter(F.col("pipeline_rev").isNull()).count() == old_rows.count()
+    assert merged.filter(F.col("pipeline_rev") == "r2").count() == patches.count()
