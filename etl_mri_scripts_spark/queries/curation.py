@@ -121,3 +121,88 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(samp, "sample", 5))
         .orderBy("stage_order")
     )
+
+
+@query(
+    "crossmodal_quality_topk",
+    oracle="""
+    -- Cross-modal composition: text quality gates choose the candidate
+    -- universe, the embedding index answers similarity inside it — the
+    -- "find near-neighbors among the docs worth keeping" query a curation
+    -- pipeline runs before semantic dedup or domain balancing.
+    WITH q AS (
+      SELECT doc_id, lang FROM documents
+      WHERE length(text) >= 80
+        AND len(string_split(text, ' ')) >= 12
+        AND len(list_distinct(string_split(text, ' '))) * 1.0
+            / len(string_split(text, ' ')) >= 0.3
+    ),
+    v AS (
+      SELECT e.vec_id, q.lang, CAST(e.embedding AS DOUBLE[]) AS e,
+             concat(CASE WHEN e.embedding[1] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN e.embedding[2] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN e.embedding[3] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN e.embedding[4] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN e.embedding[5] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN e.embedding[6] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings e JOIN q ON q.doc_id = e.vec_id
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.lang,
+             c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> q.e[i] * c.e[i])) /
+             (sqrt(list_sum(list_transform(range(1, 65), i -> q.e[i] * q.e[i]))) *
+              sqrt(list_sum(list_transform(range(1, 65), i -> c.e[i] * c.e[i])))) AS cosine
+      FROM v q JOIN v c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 25
+    ),
+    ranked AS (
+      SELECT query_id, lang, neighbor_id, round(cosine, 6) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(cosine, 6) DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, lang, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def crossmodal_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The quality gate runs on the TEXT table and only ids cross over to
+    # the vector side (left-semi-shaped join on the embedding key) — corpus
+    # text never rides the vector shuffle. Candidates come from the sign
+    # -bit bucket equi-join within the gated universe; at 100 TB the gated
+    # id set is the small side and broadcasts.
+    from .similarity import _cosine, _vectors
+
+    d = table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    quality = (
+        (F.length("text") >= 80)
+        & (F.size(ws) >= 12)
+        & (F.size(F.array_distinct(ws)) * 1.0 / F.size(ws) >= 0.3)
+    )
+    gated = d.filter(quality).select(F.col("doc_id").alias("vec_id"), "lang")
+
+    emb = table(spark, sf_dir, "embeddings").join(gated, "vec_id")
+    bucket = F.concat(
+        *[F.when(F.col("embedding")[i] >= 0, "1").otherwise("0") for i in range(6)]
+    )
+    v = _vectors(emb.withColumn("bucket", bucket), "bucket", "lang")
+    q = v.filter(F.col("vec_id") < 25).alias("q")
+    c = v.alias("c")
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("q.bucket") == F.col("c.bucket")) & (F.col("c.vec_id") != F.col("q.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("q.lang").alias("lang"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        F.round(_cosine(), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    )
