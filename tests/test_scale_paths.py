@@ -92,3 +92,34 @@ def test_incremental_delta_never_self_joins_base(spark, sf_dir):
     rows = dedup_incremental_delta(spark, sf_dir).collect()
     assert all(r["doc_id"] % DELTA_MOD == 0 for r in rows)
     assert all(r["match_doc_id"] % DELTA_MOD != 0 for r in rows)
+
+
+def test_no_query_plans_a_cartesian_or_nested_loop(spark, sf_dir):
+    # Fleet-wide plan hygiene: no registered query may compile to a
+    # cartesian product or nested-loop join — the two shapes that die at
+    # cluster scale. The brute-force ANN baseline is the one documented
+    # exception (it exists as the recall yardstick for the bucketed/IVF
+    # scale paths).
+    from etl_mri_scripts_spark.queries import QUERIES
+
+    # Allowed: joins whose broadcast side is CONSTANT-size by construction
+    # (not data-dependent) — a nested loop over a bounded side is a map.
+    #   ann_bruteforce_topk     documented brute-force recall baseline
+    #   ann_ivf_kmeans_topk     crossJoin with broadcast(K centroids), K fixed
+    #   imaging_key_parity_gate four 1-row count aggregates cross-joined
+    allowed_nested = {
+        "ann_bruteforce_topk",
+        "ann_ivf_kmeans_topk",
+        "imaging_key_parity_gate",
+    }
+    offenders = {}
+    for name, fn in sorted(QUERIES.items()):
+        plan = _formatted_plan(fn(spark, sf_dir))
+        bad = [
+            op
+            for op in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if op in plan
+        ]
+        if bad and name not in allowed_nested:
+            offenders[name] = bad
+    assert not offenders, f"scale-hostile join shapes: {offenders}"
