@@ -206,3 +206,109 @@ def crossmodal_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .orderBy("query_id", "rank")
     )
+
+
+EVAL_MOD = 7  # docs with doc_id % 7 == 0 play the held-out eval/benchmark set
+
+
+@query(
+    "text_decontaminate_overlap",
+    oracle=f"""
+    -- Decontamination: flag training docs sharing any 3-shingle with the
+    -- held-out eval set, with the overlap count as evidence. The standard
+    -- pre-training hygiene step (eval leakage detection by n-gram
+    -- collision).
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[least(i + 1, len(string_split(text, ' ')))] || ' ' ||
+                    string_split(text, ' ')[least(i + 2, len(string_split(text, ' ')))])))
+             AS shingle
+      FROM documents
+    ),
+    eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+    train_sh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {EVAL_MOD} <> 0)
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_overlap_shingles
+    FROM train_sh t JOIN eval_sh e ON t.shingle = e.shingle
+    GROUP BY 1
+    HAVING count(*) >= 3
+    ORDER BY doc_id
+    """,
+)
+def text_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One shingle explode feeds both sides (persisted); the eval shingle
+    # vocabulary is the post-distinct SMALL side (eval sets are thousands
+    # of docs against a corpus of billions), so the contamination probe is
+    # a broadcast-able semi-ish join on the shingle — the training corpus
+    # shuffles nothing but (doc_id, shingle) rows that actually collide.
+    from .dedup import _exploded_shingles
+
+    sh = _exploded_shingles(spark, sf_dir, cache=True)
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+    train_sh = sh.filter(~is_eval)
+    return (
+        train_sh.join(eval_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap_shingles"))
+        .filter(F.col("n_overlap_shingles") >= 3)
+        .orderBy("doc_id")
+    )
+
+
+MIX_TARGET_PCT = {"en": 40, "de": 15, "es": 15, "fr": 15, "zh": 15}
+
+
+@query(
+    "corpus_mix_plan",
+    oracle=f"""
+    -- Data-mixing plan: given target language proportions, compute how
+    -- many docs each language contributes to the largest achievable
+    -- mixture and the implied per-language sampling rate. The binding
+    -- language is the one whose supply/target ratio is smallest.
+    WITH supply AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_have FROM documents GROUP BY 1
+    ),
+    tgt AS (
+      SELECT * FROM (VALUES {", ".join(f"('{k}', {v})" for k, v in sorted(MIX_TARGET_PCT.items()))})
+             AS t(lang, target_pct)
+    ),
+    binding AS (
+      SELECT min(s.n_have * 100.0 / t.target_pct) AS total_mix
+      FROM supply s JOIN tgt t ON s.lang = t.lang
+    )
+    SELECT s.lang, t.target_pct, s.n_have,
+           CAST(floor(b.total_mix * t.target_pct / 100.0) AS BIGINT) AS n_take,
+           round(floor(b.total_mix * t.target_pct / 100.0) / s.n_have, 6) AS sample_rate
+    FROM supply s JOIN tgt t ON s.lang = t.lang CROSS JOIN binding b
+    ORDER BY s.lang
+    """,
+)
+def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The plan itself is metadata-scale (one row per language) — the heavy
+    # part is the supply count, a single map-side-combined groupBy over the
+    # corpus. The emitted per-language rates feed the deterministic
+    # hash-Bernoulli sampler (sample_hash_bernoulli) to materialize the
+    # mixture without any further shuffle.
+    d = table(spark, sf_dir, "documents")
+    supply = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_have"))
+    tgt = spark.createDataFrame(
+        sorted(MIX_TARGET_PCT.items()), "lang string, target_pct int"
+    )
+    joined = supply.join(F.broadcast(tgt), "lang")
+    binding = joined.agg(
+        F.min(F.col("n_have") * 100.0 / F.col("target_pct")).alias("total_mix")
+    )
+    n_take = F.floor(F.col("total_mix") * F.col("target_pct") / 100.0)
+    return (
+        joined.crossJoin(F.broadcast(binding))
+        .select(
+            "lang",
+            "target_pct",
+            "n_have",
+            n_take.cast("long").alias("n_take"),
+            F.round(n_take / F.col("n_have"), 6).alias("sample_rate"),
+        )
+        .orderBy("lang")
+    )

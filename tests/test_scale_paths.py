@@ -111,6 +111,7 @@ def test_no_query_plans_a_cartesian_or_nested_loop(spark, sf_dir):
         "ann_bruteforce_topk",
         "ann_ivf_kmeans_topk",
         "imaging_key_parity_gate",
+        "corpus_mix_plan",  # crossJoin with broadcast 1-row binding-constraint agg
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
