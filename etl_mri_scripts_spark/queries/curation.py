@@ -312,3 +312,63 @@ def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+PACK_LEN = 256  # tokens per training sequence
+
+
+@query(
+    "pack_sequences_concat",
+    oracle=f"""
+    -- Sequence-packing plan (concat-and-chunk): per language stream, docs
+    -- are laid head-to-tail in doc_id order and cut into {PACK_LEN}-token
+    -- training sequences. Emits where each doc starts (pack id + offset)
+    -- and whether it straddles a sequence boundary.
+    WITH t AS (
+      SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT lang, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor((cum - n_tokens) / {PACK_LEN}.0) AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % {PACK_LEN} AS BIGINT) AS start_offset,
+           floor((cum - 1) / {PACK_LEN}.0)
+             > floor((cum - n_tokens) / {PACK_LEN}.0) AS spans_boundary
+    FROM c ORDER BY lang, doc_id
+    """,
+)
+def pack_sequences_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The token-offset layout is one running sum per language partition —
+    # the window shuffle is the only exchange, and it's keyed on lang, so
+    # each executor owns whole language streams and emits its packing plan
+    # with zero further movement. Everything downstream (pack_id, offset,
+    # boundary flag) is arithmetic on the cumsum, inside codegen. At 100 TB
+    # a single language can exceed one task; the same plan then runs with a
+    # composite partition key ((lang, doc_id_bucket)) plus a per-bucket base
+    # offset — a two-level scan identical in shape to the two-phase
+    # normalize.
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    return t.select(
+        "lang",
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(start / PACK_LEN).alias("pack_id"),
+        (start % PACK_LEN).cast("long").alias("start_offset"),
+        (F.floor((cum - 1) / PACK_LEN) > F.floor(start / PACK_LEN)).alias(
+            "spans_boundary"
+        ),
+    ).orderBy("lang", "doc_id")

@@ -1200,3 +1200,49 @@ def semi_structured_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "report_unpivot_long",
+    oracle=f"""
+    -- Wide-to-long report reshape (UNPIVOT / melt): per-priority order
+    -- metrics computed once in a wide aggregate, then unpivoted into the
+    -- (dimension, metric, value) long form reporting stores ingest.
+    -- Money metrics go through exact integer cents before the final
+    -- divide, so the doubles are bit-identical across engines.
+    WITH wide AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             round(CAST(sum({cents_sql('o_totalprice')}) AS BIGINT) / 100.0, 6)
+               AS total_price,
+             round(max({cents_sql('o_totalprice')}) / 100.0, 6) AS max_price
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, metric, value FROM (
+      SELECT o_orderpriority, 'max_price' AS metric, max_price AS value FROM wide
+      UNION ALL
+      SELECT o_orderpriority, 'n_orders', n_orders FROM wide
+      UNION ALL
+      SELECT o_orderpriority, 'total_price', total_price FROM wide
+    ) ORDER BY o_orderpriority, metric
+    """,
+)
+def report_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One wide aggregate (single shuffle on the 5-value priority key) then
+    # DataFrame.unpivot — Catalyst's Expand over the already-aggregated
+    # 5-row frame, so the reshape itself touches no base data. The inverse
+    # of pivot_event_type_counts; together they round-trip the report
+    # layouts. Metric values are unified to double (unpivot requires one
+    # value type), money via exact cents.
+    o = table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(F.sum(cents(F.col("o_totalprice"))) / 100.0, 6).alias("total_price"),
+        F.round(F.max(cents(F.col("o_totalprice"))) / 100.0, 6).alias("max_price"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["max_price", "n_orders", "total_price"],
+        "metric",
+        "value",
+    ).orderBy("o_orderpriority", "metric")

@@ -408,3 +408,83 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", "n_bigram", F.round(pmi, 6).alias("pmi"))
         .orderBy("w1", "w2")
     )
+
+
+@query(
+    "text_repetition_signals",
+    oracle="""
+    -- Gopher/RefinedWeb-style repetition filter signals: per document, the
+    -- duplicated-word fraction and the coverage of the single most frequent
+    -- adjacent bigram, plus the combined repetitive flag. The flag uses
+    -- exact integer cross-multiplication (no float thresholds), so both
+    -- engines decide identically.
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s AS (
+      SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_unique,
+             unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+      FROM w WHERE len(ws) >= 2
+    ),
+    bc AS (
+      SELECT doc_id, n_words, n_unique, bigram, count(*) AS c
+      FROM s GROUP BY 1, 2, 3, 4
+    ),
+    top AS (
+      SELECT doc_id, n_words, n_unique,
+             max(c) AS top_bigram_count, CAST(sum(c) AS BIGINT) AS n_bigrams
+      FROM bc GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(1.0 - n_unique * 1.0 / n_words, 6) AS dup_word_frac,
+           CAST(top_bigram_count AS BIGINT) AS top_bigram_count,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(top_bigram_count * 1.0 / n_bigrams, 6) AS top_bigram_frac,
+           (top_bigram_count * 8 > n_bigrams)
+             OR ((n_words - n_unique) * 5 > n_words * 3) AS is_repetitive
+    FROM top ORDER BY doc_id
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single scan: per-row scalars (word count, distinct count) ride along
+    # the exploded bigram rows as grouping columns, so the text column is
+    # read once and nothing is persisted. Two shuffles, both already keyed
+    # by doc_id-prefixed keys; the second input is pre-shrunk to one row
+    # per (doc, distinct bigram). The repetitive flag compares integers
+    # cross-multiplied (c*8 > n, dup*5 > 3*n) — exact in both engines.
+    d = table(spark, sf_dir, "documents")
+    ex = (
+        d.select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.size("ws").alias("n_words"),
+            F.size(F.array_distinct("ws")).alias("n_unique"),
+            F.explode(
+                F.expr(
+                    "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
+                    " (x, y) -> concat(x, ' ', y))"
+                )
+            ).alias("bigram"),
+        )
+    )
+    bc = ex.groupBy("doc_id", "n_words", "n_unique", "bigram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top = bc.groupBy("doc_id", "n_words", "n_unique").agg(
+        F.max("c").alias("top_bigram_count"), F.sum("c").alias("n_bigrams")
+    )
+    return top.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(1.0 - F.col("n_unique") / F.col("n_words"), 6).alias("dup_word_frac"),
+        "top_bigram_count",
+        "n_bigrams",
+        F.round(F.col("top_bigram_count") / F.col("n_bigrams"), 6).alias(
+            "top_bigram_frac"
+        ),
+        (
+            (F.col("top_bigram_count") * 8 > F.col("n_bigrams"))
+            | ((F.col("n_words") - F.col("n_unique")) * 5 > F.col("n_words") * 3)
+        ).alias("is_repetitive"),
+    ).orderBy("doc_id")

@@ -279,3 +279,48 @@ def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w_val), 6).alias("cdist"),
         F.ntile(4).over(w_pos).cast("long").alias("quartile"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "window_moving_avg_frame",
+    oracle="""
+    -- Bounded-frame window aggregation (ROWS BETWEEN 3 PRECEDING AND
+    -- CURRENT ROW): per-user trailing moving average over the event
+    -- stream. The frame sum runs on exact integer cents (value is
+    -- 2-decimal fixed point), divided back down only at the end, so the
+    -- average is bit-identical across engines.
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_frame,
+           round(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                 / 100.0 / count(*) OVER w, 6) AS moving_avg,
+           round(min(value) OVER w, 6) AS frame_min
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def window_moving_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Completes the frame-specification family (running_cumulative =
+    # unbounded-preceding, lag/lead = point offsets; this is the bounded
+    # sliding frame). One exchange on user_id serves every frame aggregate;
+    # the three window functions share the same WindowSpec so Catalyst
+    # evaluates them in a single Window operator pass.
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    from .exact import cents
+
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_frame"),
+        F.round(
+            F.sum(cents(F.col("value"))).over(w) / 100.0 / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("moving_avg"),
+        F.round(F.min("value").over(w), 6).alias("frame_min"),
+    ).orderBy("user_id", "event_id")
