@@ -794,3 +794,71 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         near.select("doc_id", F.lit("near").alias("reason"), "match_doc_id")
     )
     return out.orderBy("doc_id")
+
+
+SEG_WORDS = 8  # non-overlapping segment width for inter-document dedup
+
+
+@query(
+    "dedup_interdoc_segments",
+    oracle=f"""
+    -- Inter-document repetition (CCNet/RefinedWeb paragraph-dedup shape):
+    -- chunk each doc into non-overlapping {SEG_WORDS}-word segments, find
+    -- segments occurring in >= 2 distinct docs corpus-wide, and report per
+    -- doc how much of it is corpus-duplicated text.
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    seg AS (
+      SELECT doc_id, len(ws) // {SEG_WORDS} AS n_segments,
+             unnest(list_transform(range(0, len(ws) // {SEG_WORDS}),
+                    i -> array_to_string(
+                           list_slice(ws, i * {SEG_WORDS} + 1, i * {SEG_WORDS} + {SEG_WORDS}),
+                           ' '))) AS seg
+      FROM w WHERE len(ws) >= {SEG_WORDS}
+    ),
+    sd AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM seg GROUP BY 1)
+    SELECT s.doc_id,
+           CAST(s.n_segments AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN sd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_segments,
+           round(sum(CASE WHEN sd.nd >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / s.n_segments, 6) AS shared_frac
+    FROM seg s JOIN sd USING (seg)
+    GROUP BY s.doc_id, s.n_segments ORDER BY doc_id
+    """,
+)
+def dedup_interdoc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The exploded segment table feeds two consumers shuffling on the same
+    # key (the corpus-wide doc-frequency agg, then the join back) — like
+    # the Jaccard family it is persisted once rather than recomputed, and
+    # the per-doc segment count rides along the explode so no third pass
+    # over the text is needed. Docs with zero shared segments survive
+    # because the join is against per-segment doc-frequency (every segment
+    # has a row), not against the shared subset.
+    from pyspark import StorageLevel
+
+    d = table(spark, sf_dir, "documents")
+    segs = F.expr(
+        f"transform(sequence(0, CAST(size(ws) / {SEG_WORDS} AS INT) - 1),"
+        f" i -> concat_ws(' ', slice(ws, i * {SEG_WORDS} + 1, {SEG_WORDS})))"
+    )
+    ex = (
+        d.select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= SEG_WORDS)
+        .select(
+            "doc_id",
+            (F.size("ws") / SEG_WORDS).cast("long").alias("n_segments"),
+            F.explode(segs).alias("seg"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sd = ex.groupBy("seg").agg(F.count_distinct("doc_id").alias("nd"))
+    shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return (
+        ex.join(sd, "seg")
+        .groupBy("doc_id", "n_segments")
+        .agg(
+            shared.alias("n_shared_segments"),
+            F.round(shared / F.col("n_segments"), 6).alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )

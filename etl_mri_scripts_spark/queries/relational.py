@@ -1246,3 +1246,41 @@ def report_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     ).orderBy("o_orderpriority", "metric")
+
+
+@query(
+    "sql_scalar_subquery_decorrelated",
+    oracle="""
+    -- Correlated scalar subquery: orders priced above their customer's
+    -- average order price. The comparison cross-multiplies exact integer
+    -- cents (price * n > sum) instead of comparing against a float
+    -- average, so the boundary rows agree bit-for-bit across engines.
+    SELECT o.o_orderkey, o.o_custkey
+    FROM orders o
+    WHERE CAST(round(o.o_totalprice * 100) AS BIGINT)
+          * (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          > (SELECT CAST(sum(CAST(round(o2.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    ORDER BY o.o_orderkey
+    """,
+)
+def sql_scalar_subquery_decorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The SQL-text entry point: the engine accepts ANSI SQL with correlated
+    # scalar subqueries and Catalyst decorrelates them into aggregate +
+    # join (RewriteCorrelatedScalarSubquery) — no per-row re-execution,
+    # which is what makes the construct survive at 100 TB. Both correlated
+    # aggregates group on the same key, so they collapse into one shuffle
+    # of orders plus one join back.
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sqlq")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey
+        FROM orders_sqlq o
+        WHERE CAST(round(o.o_totalprice * 100) AS BIGINT)
+              * (SELECT count(*) FROM orders_sqlq o2
+                 WHERE o2.o_custkey = o.o_custkey)
+              > (SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+                 FROM orders_sqlq o2 WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o.o_orderkey
+        """
+    )

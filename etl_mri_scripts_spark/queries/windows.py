@@ -324,3 +324,111 @@ def window_moving_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("moving_avg"),
         F.round(F.min("value").over(w), 6).alias("frame_min"),
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "events_funnel_depth",
+    oracle="""
+    -- Ordered conversion funnel: per user, how deep the view -> click ->
+    -- purchase sequence holds on FIRST occurrences (a later-stage event
+    -- only counts if it happened after the previous stage's first event).
+    WITH f AS (
+      SELECT user_id,
+             CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_views,
+             CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_clicks,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases,
+             min(ts) FILTER (WHERE event_type = 'view') AS fv,
+             min(ts) FILTER (WHERE event_type = 'click') AS fc,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS fp
+      FROM events GROUP BY 1
+    )
+    SELECT user_id, n_views, n_clicks, n_purchases,
+           CASE WHEN fv IS NOT NULL AND fc IS NOT NULL AND fc > fv
+                     AND fp IS NOT NULL AND fp > fc THEN 3
+                WHEN fv IS NOT NULL AND fc IS NOT NULL AND fc > fv THEN 2
+                WHEN fv IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_depth
+    FROM f ORDER BY user_id
+    """,
+)
+def events_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One shuffle: every stage is a conditional aggregate over the same
+    # user_id grouping (map-side partial aggregation collapses the event
+    # stream before it moves). The depth decision is post-aggregation
+    # scalar CASE logic on the six tiny per-user columns — the classic
+    # "funnel without self-joins" formulation; a per-stage self-join would
+    # be three shuffles of the full stream instead.
+    ev = table(spark, sf_dir, "events")
+    first_ts = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    n_of = lambda t: F.count(F.when(F.col("event_type") == t, 1))
+    f = ev.groupBy("user_id").agg(
+        n_of("view").alias("n_views"),
+        n_of("click").alias("n_clicks"),
+        n_of("purchase").alias("n_purchases"),
+        first_ts("view").alias("fv"),
+        first_ts("click").alias("fc"),
+        first_ts("purchase").alias("fp"),
+    )
+    depth = (
+        F.when(
+            F.col("fv").isNotNull()
+            & F.col("fc").isNotNull()
+            & (F.col("fc") > F.col("fv"))
+            & F.col("fp").isNotNull()
+            & (F.col("fp") > F.col("fc")),
+            3,
+        )
+        .when(
+            F.col("fv").isNotNull()
+            & F.col("fc").isNotNull()
+            & (F.col("fc") > F.col("fv")),
+            2,
+        )
+        .when(F.col("fv").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return f.select(
+        "user_id",
+        "n_views",
+        "n_clicks",
+        "n_purchases",
+        depth.alias("funnel_depth"),
+    ).orderBy("user_id")
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    -- Positional window picks over the full partition frame: each event
+    -- sees its user's first, last, and second event value (deterministic
+    -- tie-break on (ts, event_id)). Pure value picks — no arithmetic, so
+    -- doubles pass through bit-identical.
+    SELECT user_id, event_id,
+           first_value(value) OVER w AS first_v,
+           last_value(value) OVER w AS last_v,
+           nth_value(value, 2) OVER w AS second_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY user_id, event_id
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Completes the positional family (lag/lead are relative offsets; these
+    # are absolute positions over an explicit unbounded frame — note
+    # last_value is only meaningful once the frame says UNBOUNDED
+    # FOLLOWING, the classic frame-default trap). All three share one
+    # WindowSpec -> one exchange + one sort.
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w).alias("last_v"),
+        F.nth_value("value", 2).over(w).alias("second_v"),
+    ).orderBy("user_id", "event_id")
