@@ -1284,3 +1284,114 @@ def sql_scalar_subquery_decorrelated(spark: SparkSession, sf_dir: str) -> DataFr
         ORDER BY o.o_orderkey
         """
     )
+
+
+@query(
+    "topk_unshipped_orders",
+    oracle=f"""
+    -- TPC-H Q3 shape (shipping priority): revenue still in flight per
+    -- order — ordered before the cutoff, with lineitems shipping after
+    -- it. Revenue accumulates in exact integer 1e-4 units (BIGINT), so
+    -- the descending sort and the final doubles agree across engines.
+    SELECT l.l_orderkey,
+           round(CAST(sum({REVENUE_FIXED_SQL}) AS BIGINT) / 10000.0, 6) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY CAST(sum({REVENUE_FIXED_SQL}) AS BIGINT) DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def topk_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Both date predicates push down to their parquet scans BEFORE the
+    # join (Catalyst moves them below), so the join sees only the cutoff
+    # slices of each table; the top-10 runs as TakeOrderedAndProject on
+    # the post-aggregation frame — no global sort materialization. The
+    # sort key is the exact fixed-point revenue, tiebroken on orderkey.
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    cutoff = "1998-01-01"
+    joined = li.filter(F.col("l_shipdate") > cutoff).join(
+        o.filter(F.col("o_orderdate") < cutoff),
+        li.l_orderkey == o.o_orderkey,
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(revenue_fixed(F.col("l_extendedprice"), F.col("l_discount"))).alias(
+            "rev_fixed"
+        )
+    )
+    return (
+        agg.orderBy(F.col("rev_fixed").desc(), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round(F.col("rev_fixed") / 10000.0, 6).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate", "l_suppkey"]
+
+
+@query(
+    "data_profile_summary",
+    oracle=f"""
+    -- Dataset profiling (the health check run before any 100 TB corpus
+    -- job): per column — null count, distinct count, min/max — computed
+    -- in ONE wide aggregate over one scan, reshaped to long form.
+    WITH wide AS (
+      SELECT count(*) AS n_rows,
+             {", ".join(
+                 f"count(*) - count({c}) AS nn_{c},"
+                 f" count(DISTINCT {c}) AS nd_{c},"
+                 f" CAST(min({c}) AS VARCHAR) AS mn_{c},"
+                 f" CAST(max({c}) AS VARCHAR) AS mx_{c}"
+                 for c in _PROFILE_COLS)}
+      FROM lineitem
+    )
+    SELECT column_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_nulls AS BIGINT) AS n_nulls,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           min_value, max_value
+    FROM (
+      {" UNION ALL ".join(
+          f"SELECT '{c}' AS column_name, n_rows, nn_{c} AS n_nulls,"
+          f" nd_{c} AS n_distinct, mn_{c} AS min_value, mx_{c} AS max_value FROM wide"
+          for c in _PROFILE_COLS)}
+    ) ORDER BY column_name
+    """,
+)
+def data_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One scan, one wide aggregate row (multiple DISTINCT aggregates plan
+    # through Catalyst's Expand), then the long-form reshape explodes an
+    # in-memory array of 5 structs — zero extra passes over the data. The
+    # relational twin of the profiling pass every ingestion pipeline runs;
+    # min/max stringified post-aggregation so one schema fits all types.
+    li = table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"),
+            F.count_distinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    wide = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows"),
+                F.col(f"nn_{c}").alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_value"),
+                F.col(f"mx_{c}").alias("max_value"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*").orderBy("column_name")

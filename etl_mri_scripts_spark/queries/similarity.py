@@ -412,3 +412,64 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
     return cent.join(n, "label").select("label", "centroid", "n_vectors").orderBy("label")
+
+
+@query(
+    "embedding_centroid_similarity",
+    oracle="""
+    -- Pairwise cosine similarity between per-label centroids: the
+    -- "cluster drift" diagnostic run after every IVF/k-means update.
+    -- Centroid means are rounded to 6 dp BEFORE the dot product in both
+    -- engines, pinning the inputs so the pairwise sums agree.
+    WITH ex AS (
+      SELECT label, u.idx AS idx, u.x AS x FROM (
+        SELECT label,
+               unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                                     (x, i) -> {'idx': i, 'x': x})) AS u
+        FROM embeddings
+      )
+    ),
+    m AS (SELECT label, idx, round(avg(x), 6) AS m FROM ex GROUP BY 1, 2),
+    nrm AS (SELECT label, sqrt(sum(m * m)) AS nv FROM m GROUP BY 1)
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(sum(a.m * b.m) / (any_value(na.nv) * any_value(nb.nv)), 6)
+             AS cosine
+    FROM m a
+    JOIN m b ON a.idx = b.idx AND a.label < b.label
+    JOIN nrm na ON na.label = a.label
+    JOIN nrm nb ON nb.label = b.label
+    GROUP BY a.label, b.label
+    ORDER BY label_a, label_b
+    """,
+)
+def embedding_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The heavy part — centroid means over the full vector table — uses
+    # the skew-free (label, dim) explode layout (one shuffle with partial
+    # agg; see embedding_label_centroids). Everything after operates on a
+    # K x dim frame (tiny): the idx-equi self-join fans out to K^2 rows
+    # per dim and re-aggregates — all broadcast-scale. Means are rounded
+    # before the dot product so both engines multiply identical inputs.
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("idx", "x")
+    )
+    m = ex.groupBy("label", "idx").agg(F.round(F.avg("x"), 6).alias("m"))
+    nrm = m.groupBy("label").agg(F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("nv"))
+    a = m.select(F.col("label").alias("label_a"), "idx", F.col("m").alias("ma"))
+    b = m.select(F.col("label").alias("label_b"), "idx", F.col("m").alias("mb"))
+    na = nrm.select(F.col("label").alias("label_a"), F.col("nv").alias("na"))
+    nb = nrm.select(F.col("label").alias("label_b"), F.col("nv").alias("nb"))
+    return (
+        a.join(b, "idx")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ma") * F.col("mb")).alias("dot"))
+        .join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )

@@ -446,45 +446,52 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Single scan: per-row scalars (word count, distinct count) ride along
-    # the exploded bigram rows as grouping columns, so the text column is
-    # read once and nothing is persisted. Two shuffles, both already keyed
-    # by doc_id-prefixed keys; the second input is pre-shrunk to one row
-    # per (doc, distinct bigram). The repetitive flag compares integers
-    # cross-multiplied (c*8 > n, dup*5 > 3*n) — exact in both engines.
+    # split(text) runs EXACTLY once per row (posexplode of words); bigrams
+    # come from lead(word) over the per-doc position window instead of
+    # array slicing, because an array-expression formulation re-evaluates
+    # the split in every referencing operator (Filter, Project, Generate) —
+    # measured 2.1x slower at sf0.1. Word stats and bigram counts both
+    # consume the same window-shuffled frame (one exchange on doc_id,
+    # reused), and the bigram agg gets map-side combine. The repetitive
+    # flag compares integers cross-multiplied (c*8 > n, dup*5 > 3*n) —
+    # exact in both engines.
+    from pyspark.sql.window import Window
+
     d = table(spark, sf_dir, "documents")
-    ex = (
-        d.select("doc_id", F.split("text", " ").alias("ws"))
-        .filter(F.size("ws") >= 2)
-        .select(
-            "doc_id",
-            F.size("ws").alias("n_words"),
-            F.size(F.array_distinct("ws")).alias("n_unique"),
-            F.explode(
-                F.expr(
-                    "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
-                    " (x, y) -> concat(x, ' ', y))"
-                )
-            ).alias("bigram"),
-        )
+    wx = d.filter(F.col("text").contains(" ")).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
     )
-    bc = ex.groupBy("doc_id", "n_words", "n_unique", "bigram").agg(
-        F.count(F.lit(1)).alias("c")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bx = wx.select("doc_id", "word", F.lead("word").over(w).alias("nxt"))
+    stats = bx.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.count_distinct("word").alias("n_unique"),
     )
-    top = bc.groupBy("doc_id", "n_words", "n_unique").agg(
+    bc = (
+        bx.filter(F.col("nxt").isNotNull())
+        .groupBy("doc_id", "word", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = bc.groupBy("doc_id").agg(
         F.max("c").alias("top_bigram_count"), F.sum("c").alias("n_bigrams")
     )
-    return top.select(
-        "doc_id",
-        F.col("n_words").cast("long").alias("n_words"),
-        F.round(1.0 - F.col("n_unique") / F.col("n_words"), 6).alias("dup_word_frac"),
-        "top_bigram_count",
-        "n_bigrams",
-        F.round(F.col("top_bigram_count") / F.col("n_bigrams"), 6).alias(
-            "top_bigram_frac"
-        ),
-        (
-            (F.col("top_bigram_count") * 8 > F.col("n_bigrams"))
-            | ((F.col("n_words") - F.col("n_unique")) * 5 > F.col("n_words") * 3)
-        ).alias("is_repetitive"),
-    ).orderBy("doc_id")
+    return (
+        stats.join(top, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.round(1.0 - F.col("n_unique") / F.col("n_words"), 6).alias(
+                "dup_word_frac"
+            ),
+            "top_bigram_count",
+            "n_bigrams",
+            F.round(F.col("top_bigram_count") / F.col("n_bigrams"), 6).alias(
+                "top_bigram_frac"
+            ),
+            (
+                (F.col("top_bigram_count") * 8 > F.col("n_bigrams"))
+                | ((F.col("n_words") - F.col("n_unique")) * 5 > F.col("n_words") * 3)
+            ).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )

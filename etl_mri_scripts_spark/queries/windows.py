@@ -432,3 +432,60 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value").over(w).alias("last_v"),
         F.nth_value("value", 2).over(w).alias("second_v"),
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "cohort_retention_weekly",
+    oracle="""
+    -- Cohort retention: users grouped by the week of their first event;
+    -- for each (cohort, week-offset) cell, how many distinct cohort
+    -- members were active. Offsets divide exactly (both endpoints are
+    -- week-truncated), so the matrix is integer-exact; only the final
+    -- retention ratio is a rounded double.
+    WITH f AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY 1
+    ),
+    a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+    cs AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort FROM f GROUP BY 1)
+    SELECT f.cohort_week AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.wk) / 7 AS INT) AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active,
+           cs.n_cohort,
+           round(count(DISTINCT a.user_id) * 1.0 / cs.n_cohort, 6) AS retention
+    FROM a JOIN f ON a.user_id = f.user_id
+    JOIN cs ON cs.cohort_week = f.cohort_week
+    GROUP BY f.cohort_week, CAST(date_diff('day', f.cohort_week, a.wk) / 7 AS INT),
+             cs.n_cohort
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Three aggregations, two shuffle keys: the first-event and activity
+    # frames both shuffle on user_id (one exchange each over pre-combined
+    # partials — the DISTINCT collapses map-side), join on user_id reuses
+    # that partitioning, and the final matrix groupBy lands on the tiny
+    # (cohort, offset) key space. Cohort sizes are a post-aggregation
+    # broadcast. No event row is read twice from parquet thanks to the
+    # shared scan under AQE.
+    ev = table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    a = ev.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    cs = f.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_cohort"))
+    offset = (F.datediff(F.col("wk"), F.col("cohort_week")) / 7).cast("int")
+    return (
+        a.join(f, "user_id")
+        .join(F.broadcast(cs), "cohort_week")
+        .groupBy("cohort_week", offset.alias("week_offset"), "n_cohort")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "n_cohort",
+            F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
