@@ -195,3 +195,26 @@ def interval_join_stream(
         .join(r.alias("r"), cond, "inner")
         .select("purchase_id", "pts", "error_id", "ets")
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch hash-joins against
+    the static dimension with the small side broadcast, so the unbounded
+    stream side never shuffles (the standard "decorate events with account
+    metadata" topology). The static side is re-resolved per micro-batch —
+    a swapped-in dimension snapshot is picked up without restarting the
+    query."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def dedup_within_watermark_stream(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Exact dedup with BOUNDED state: duplicates are only tracked within
+    the event-time watermark horizon, after which their state is evicted —
+    the production form of dedup_stream for infinite streams where the
+    dup horizon is known (e.g. at-least-once upstream delivery). State is
+    O(events per horizon), not O(stream)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -208,3 +208,67 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path, sf_dir):
         ).collect()
     }
     assert got == expected and len(expected) > 0
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path, sf_dir):
+    # decorate the event stream with a static user-tier dimension; the
+    # streamed result must equal the batch broadcast join.
+    from etl_mri_scripts_spark.streaming.pipeline import enrich_stream
+    from etl_mri_scripts_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    dim = ev.select("user_id").distinct().select(
+        "user_id", (F.col("user_id") % 3).alias("tier")
+    )
+    in_dir = str(tmp_path / "in_enrich")
+    os.makedirs(in_dir)
+    ev.write.mode("overwrite").json(in_dir + "/chunk=a")
+
+    stream = stream_events(spark, in_dir + "/*", fmt="json")
+    q = (
+        enrich_stream(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _wait(q)
+    got = {
+        (r["event_id"], r["tier"])
+        for r in spark.sql("select event_id, tier from enriched").collect()
+    }
+    expected = {
+        (r["event_id"], r["tier"])
+        for r in ev.join(F.broadcast(dim), "user_id", "left").select(
+            "event_id", "tier"
+        ).collect()
+    }
+    assert got == expected and len(got) == ev.count()
+
+
+def test_dedup_within_watermark_drops_duplicates(spark, tmp_path, sf_dir):
+    # feed the same events twice (at-least-once upstream); within the
+    # watermark horizon every event_id must come out exactly once.
+    from etl_mri_scripts_spark.streaming.pipeline import dedup_within_watermark_stream
+    from etl_mri_scripts_spark.tables import table
+
+    ev = table(spark, sf_dir, "events").limit(500)
+    in_dir = str(tmp_path / "in_dupes")
+    os.makedirs(in_dir)
+    ev.write.mode("overwrite").json(in_dir + "/chunk=a")
+    ev.write.mode("overwrite").json(in_dir + "/chunk=b")  # exact redelivery
+
+    stream = stream_events(spark, in_dir + "/*", fmt="json")
+    q = (
+        dedup_within_watermark_stream(stream, watermark="10 days")
+        .writeStream.format("memory")
+        .queryName("dd_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _wait(q)
+    rows = spark.sql("select event_id from dd_wm").collect()
+    ids = [r["event_id"] for r in rows]
+    assert len(ids) == len(set(ids)) == ev.count()
