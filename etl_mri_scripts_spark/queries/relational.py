@@ -1395,3 +1395,91 @@ def data_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(rows).alias("r")).select("r.*").orderBy("column_name")
+
+
+SALT_FANOUT = 16
+
+
+@query(
+    "join_skew_salted_replicated",
+    oracle="""
+    -- Oracle is the PLAIN join + aggregate: salting is a physical rewrite
+    -- with identical semantics (the replicated small side guarantees every
+    -- salted big-side row still meets its match exactly once).
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_value
+    FROM events e
+    JOIN (SELECT DISTINCT event_type FROM events WHERE event_type <> 'error') t
+      ON e.event_type = t.event_type
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_skew_salted_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The salted-JOIN companion to agg_skew_salted_two_stage: when a join
+    # key is hot enough that one reducer drowns (and the small side is too
+    # big to broadcast), salt the big side with pmod(hash(row), S) and
+    # REPLICATE the small side S times, joining on (key, salt) — each hot
+    # key now spreads over S reducers. Replication multiplies the small
+    # side by S, which is why S stays modest (16) and why broadcast wins
+    # whenever it fits; AQE's skew-join split is the runtime fallback.
+    # The salt is derived from a stable row id, never rand(), so retries
+    # and speculative tasks stay deterministic.
+    ev = table(spark, sf_dir, "events")
+    dim = ev.select("event_type").filter(F.col("event_type") != "error").distinct()
+    salted_big = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT_FANOUT))
+    )
+    replicated_dim = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_FANOUT - 1)))
+    ).withColumn("salt", F.col("salt").cast("long"))
+    return (
+        salted_big.join(replicated_dim.hint("shuffle_hash"), ["event_type", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "orders_monthly_growth",
+    oracle=f"""
+    -- Month-over-month revenue growth: aggregate to the month grain, then
+    -- a lag window over the (tiny) monthly series. Revenue is exact
+    -- integer cents end-to-end; only the growth ratio is a rounded double.
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(sum({cents_sql('o_totalprice')}) AS BIGINT) AS rev_cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month, round(rev_cents / 100.0, 6) AS revenue, n_orders,
+           round((rev_cents - lag(rev_cents) OVER (ORDER BY month))
+                 * 1.0 / lag(rev_cents) OVER (ORDER BY month), 6) AS mom_growth
+    FROM m ORDER BY month
+    """,
+)
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Aggregate-then-window: the shuffle-heavy step is the month rollup
+    # (map-side combined, ~80 output rows); the unpartitioned lag window
+    # runs AFTER reduction, so the single-task global sort it implies only
+    # ever sees the month-grain series — the composition order that keeps
+    # unpartitioned windows harmless at any scale.
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("rev_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return m.select(
+        "month",
+        F.round(F.col("rev_cents") / 100.0, 6).alias("revenue"),
+        "n_orders",
+        F.round((F.col("rev_cents") - prev) / prev, 6).alias("mom_growth"),
+    ).orderBy("month")
