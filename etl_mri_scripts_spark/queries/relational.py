@@ -1493,3 +1493,93 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.round((F.col("rev_cents") - prev) / prev, 6).alias("mom_growth"),
     ).orderBy("month")
+
+
+@query(
+    "nation_revenue_share",
+    oracle=f"""
+    -- Percent-of-total: each nation's revenue share of the global total,
+    -- computed as a window-over-aggregate (the total never leaves the
+    -- 25-row post-aggregation frame). Exact integer revenue; the share
+    -- divides two BIGINTs of the same unit so rounding is stable.
+    WITH rev AS (
+      SELECT n.n_name,
+             CAST(sum({REVENUE_FIXED_SQL}) AS BIGINT) AS rev_fixed
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    )
+    SELECT n_name,
+           round(rev_fixed / 10000.0, 6) AS revenue,
+           round(rev_fixed * 1.0 / sum(rev_fixed) OVER (), 6) AS share
+    FROM rev ORDER BY n_name
+    """,
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The percent-of-total pattern done in the only scale-safe order:
+    # aggregate FIRST (map-side combined shuffle on the 25-value nation
+    # key), then the unpartitioned total-sum window over the 25-row
+    # result. Dimension joins broadcast (customer->nation chain); the fact
+    # table shuffles once, for the aggregate.
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                revenue_fixed(F.col("l_extendedprice"), F.col("l_discount"))
+            ).alias("rev_fixed")
+        )
+    )
+    total = F.sum("rev_fixed").over(Window.partitionBy())
+    return rev.select(
+        "n_name",
+        F.round(F.col("rev_fixed") / 10000.0, 6).alias("revenue"),
+        F.round(F.col("rev_fixed") / total, 6).alias("share"),
+    ).orderBy("n_name")
+
+
+@query(
+    "histogram_equi_depth",
+    oracle="""
+    -- Equi-depth (quantile-binned) histogram over price: NTILE(10) with a
+    -- fully deterministic order (value, then the composite row id), then
+    -- per-bucket boundaries + counts — the optimizer-statistics shape, and
+    -- the complement of the equi-WIDTH width_bucket histogram.
+    WITH b AS (
+      SELECT l_extendedprice,
+             ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+               AS bucket
+      FROM lineitem
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+    FROM b GROUP BY 1 ORDER BY bucket
+    """,
+)
+def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NTILE needs a total order — the one construct that genuinely wants a
+    # global sort. At this output grain that is the point (optimizer
+    # stats); the scale path for the same artifact is percentile_approx
+    # over bucket boundaries (test_scale_paths pins the approx-vs-exact
+    # tolerance). Ties break on the composite row id so both engines
+    # assign identical bucket membership at bucket edges.
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    b = li.select("l_extendedprice", F.ntile(10).over(w).alias("bucket"))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

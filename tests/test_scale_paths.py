@@ -124,3 +124,37 @@ def test_no_query_plans_a_cartesian_or_nested_loop(spark, sf_dir):
         if bad and name not in allowed_nested:
             offenders[name] = bad
     assert not offenders, f"scale-hostile join shapes: {offenders}"
+
+
+def test_profile_summary_avoids_multi_distinct_expand(spark, sf_dir):
+    # data_profile_summary must stay the per-column union form: a single
+    # wide multi-DISTINCT aggregate plans through Expand (6x row
+    # multiplication; measured 7.6x slower at sf0.1). Guard the shape.
+    from etl_mri_scripts_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["data_profile_summary"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan
+
+
+def test_key_build_aggregates_components_not_strings(spark, sf_dir):
+    # key_build_and_normalize must aggregate BEFORE building key strings:
+    # format_string/regexp_replace belong above the aggregate (once per
+    # distinct key), and the shuffle must not carry the built keys.
+    from etl_mri_scripts_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["key_build_and_normalize"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    agg_exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert agg_exchanges, "expected a hash exchange for the aggregate"
+    assert all("format_string" not in l for l in agg_exchanges)
