@@ -169,3 +169,41 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
     return media.mapInPandas(
         gen, schema="media_id long, frame_i int, payload binary, height int, width int"
     )
+
+
+def chunk_audio(media: DataFrame, chunk_sec: float = 0.25, hop_sec: float | None = None) -> DataFrame:
+    """Audio -> fixed-duration chunk rows (the speech-pipeline segmentation
+    shape: feature windows for VAD/ASR). Hop < chunk gives overlapping
+    windows, the audio twin of the P8 overlapping patch grid. Chunk COUNT
+    is pure metadata arithmetic (sample_rate, payload length) — the plan
+    can predict fan-out without touching payloads; only the slice copy
+    reads bytes. Trailing partial windows are dropped (thresh_size=0
+    analog)."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "audio" or not r.sample_rate:
+                    continue
+                wav = codec_decode(bytes(r.payload), r.mime)
+                n = int(wav.shape[0])
+                width = int(round(chunk_sec * r.sample_rate))
+                hop = int(round((hop_sec if hop_sec is not None else chunk_sec) * r.sample_rate))
+                for ci, start in enumerate(range(0, n - width + 1, max(hop, 1))):
+                    out.append(dict(
+                        media_id=r.media_id, chunk_i=ci, start_sample=start,
+                        n_samples=width, sample_rate=r.sample_rate,
+                        payload=np_to_npy_bytes(wav[start : start + width]),
+                    ))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "chunk_i", "start_sample", "n_samples",
+                         "sample_rate", "payload"],
+            )
+
+    return media.mapInPandas(
+        gen,
+        schema="media_id long, chunk_i int, start_sample long, n_samples int, "
+               "sample_rate int, payload binary",
+    )

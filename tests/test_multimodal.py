@@ -98,3 +98,30 @@ def test_kind_filtered_partitions_yield_schema(spark):
     audio_only = synthetic_media(spark, n=9, seed=4).filter(F.col("kind") == "audio")
     assert resize_images(audio_only, 16, 16).count() == 0
     assert sample_frames(audio_only, every_k=2).count() == 0
+
+
+def test_chunk_audio_fanout_and_overlap(media):
+    from etl_mri_scripts_spark.sources.multimodal import chunk_audio
+
+    # non-overlapping: 1 s of 16 kHz audio in 0.25 s chunks -> 4 per item
+    chunks = chunk_audio(media, chunk_sec=0.25).cache()
+    per = {r["media_id"]: r["n"] for r in
+           chunks.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+    assert set(per.values()) == {4}
+    assert chunks.count() == 4 * 4  # 4 audio items
+
+    # overlapping hop: (16000 - 4000) // 2000 + 1 = 7 windows
+    overlap = chunk_audio(media, chunk_sec=0.25, hop_sec=0.125)
+    assert overlap.groupBy("media_id").count().first()["count"] == 7
+
+    # payload values are exact slices of the source signal
+    row = chunks.filter((F.col("media_id") == 1) & (F.col("chunk_i") == 2)).first()
+    src = media.filter(F.col("media_id") == 1).first()
+    wav = npy_bytes_to_np(bytes(src["payload"]))
+    got = npy_bytes_to_np(bytes(row["payload"]))
+    np.testing.assert_array_equal(got, wav[row["start_sample"]: row["start_sample"] + row["n_samples"]])
+
+    # image/video rows never produce chunks; schema survives empty partitions
+    assert chunks.join(
+        media.filter(F.col("kind") != "audio").select("media_id"), "media_id"
+    ).count() == 0
