@@ -495,3 +495,112 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_perplexity_proxy",
+    oracle="""
+    -- CCNet-style LM quality filter, self-trained: score each doc by the
+    -- average bigram log-probability under the corpus's own bigram LM
+    -- (ln c(w1,w2) / c(w1,*)), and the implied perplexity. Low-probability
+    -- docs are the weird ones — the relational skeleton of "perplexity
+    -- filtering" with the n-gram LM standing in for the neural scorer.
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bgd AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                                   i -> ws[i] || ' ' || ws[i + 1])) AS bg
+      FROM w
+    ),
+    cb AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bgd GROUP BY 1),
+    cu AS (
+      SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c2) AS BIGINT) AS c1
+      FROM cb GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln(cb.c2 * 1.0 / cu.c1)), 6) AS avg_logprob,
+           round(exp(-avg(ln(cb.c2 * 1.0 / cu.c1))), 6) AS ppl
+    FROM bgd d
+    JOIN cb ON d.bg = cb.bg
+    JOIN cu ON string_split(d.bg, ' ')[1] = cu.w1
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The doc-level bigram table is built once and persisted (three
+    # consumers: LM numerator, LM denominator, the scoring join — three
+    # different shuffle keys, exchange reuse won't merge them). Both LM
+    # tables are post-aggregation vocab-sized — broadcast under AQE — so
+    # scoring is a map-side decoration of the bigram stream followed by
+    # one doc_id aggregation. Self-training on the corpus costs one extra
+    # pass, never a model server.
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    bgd = (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .select(
+            "doc_id",
+            "word",
+            F.lead("word")
+            .over(Window.partitionBy("doc_id").orderBy("pos"))
+            .alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cb = bgd.groupBy("word", "nxt").agg(F.count(F.lit(1)).alias("c2"))
+    cu = cb.groupBy("word").agg(F.sum("c2").alias("c1"))
+    logp = F.log(F.col("c2") / F.col("c1"))
+    return (
+        bgd.join(cb, ["word", "nxt"])
+        .join(cu, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+            F.round(F.exp(-F.avg(logp)), 6).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ZIPF_TOP = 100
+
+
+@query(
+    "vocab_zipf_slope",
+    oracle=f"""
+    -- Corpus health diagnostic: the Zipf slope — OLS fit of ln(freq) vs
+    -- ln(rank) over the top-{ZIPF_TOP} vocabulary (natural corpora sit
+    -- near -1; synthetic/templated text flattens). Built-in regression
+    -- aggregates over the tiny ranked frame.
+    WITH u AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    c AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM u GROUP BY 1),
+    r AS (SELECT w, f, row_number() OVER (ORDER BY f DESC, w) AS rnk FROM c)
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round(regr_slope(ln(f), ln(rnk)), 6) AS zipf_slope,
+           round(regr_r2(ln(f), ln(rnk)), 6) AS r2
+    FROM r WHERE rnk <= {ZIPF_TOP}
+    """,
+)
+def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One corpus-scale shuffle (the word count, map-side combined); the
+    # ranked top-{N} frame and the regression aggregates are driver-trivial.
+    # regr_slope/regr_r2 are built-in JVM aggregates in both engines —
+    # the "fit a line in SQL" pattern that replaces a collect()+numpy hop.
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    u = d.select(F.explode(F.split("text", " ")).alias("w"))
+    c = u.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    r = c.select(
+        "f", F.row_number().over(Window.orderBy(F.desc("f"), "w")).alias("rnk")
+    ).filter(F.col("rnk") <= ZIPF_TOP)
+    return r.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.expr("regr_slope(ln(f), ln(rnk))"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(f), ln(rnk))"), 6).alias("r2"),
+    )
