@@ -1,0 +1,61 @@
+"""SQL-registered function surface (SURVEY.md §2.13).
+
+The reference has no SQL-registered functions; the engine exposes its
+public scalar helpers to SQL-text users via ``spark.udf.register`` so that
+``spark.sql("SELECT normalize_key(k) ...")`` works anywhere the DataFrame
+API does. Three performance tiers, deliberately explicit:
+
+- **Catalyst expression builders** (operators/patches.py ``*_col``):
+  the fast path — JVM codegen, no Python. DataFrame callers should use
+  these; the registered UDFs below exist for SQL-text ergonomics and
+  parity with engines whose only entry is SQL.
+- **Arrow-vectorized pandas UDFs**: numpy batch math (the scalar physics
+  helpers) — one Python hop per batch, not per row.
+- **pandas UDAF (grouped agg)**: aggregate with merge-by-Arrow-batch
+  semantics, usable inside ``GROUP BY`` SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+
+from ..operators.degradation import SNR_7T_EMPIRICAL, parse_field_target
+from ..operators.patches import normalize_key
+
+
+def register_all(spark: SparkSession) -> list[str]:
+    """Register the engine's SQL-callable functions on this session.
+    Returns the registered names (idempotent — re-registering replaces)."""
+
+    @pandas_udf("double")
+    def snr_target_from_field_udf(b0: pd.Series, voxel_factor: pd.Series) -> pd.Series:
+        # D7 (v2/degradation_function_v2.py:186-198): vectorized over the
+        # Arrow batch; quadratic voxel scaling (v2 semantics).
+        return SNR_7T_EMPIRICAL * (b0 / 7.0) * voxel_factor**2
+
+    @pandas_udf("double")
+    def parse_field_target_udf(field: pd.Series) -> pd.Series:
+        return field.map(parse_field_target).astype(float)
+
+    @pandas_udf("string")
+    def normalize_key_udf(key: pd.Series) -> pd.Series:
+        # SQL-text twin of the Catalyst regexp_replace builder
+        # (operators/patches.py normalize_key_col) — prefer the builder in
+        # DataFrame code; this exists for SELECT-string callers.
+        return key.map(normalize_key)
+
+    @pandas_udf("double")
+    def p98_udaf(v: pd.Series) -> float:
+        # pandas UDAF (GROUPED_AGG): the robust-rescale highlight percentile
+        # (D11, v2/degradation_function_v2.py:266-283) as a SQL aggregate —
+        # usable as p98(x) ... GROUP BY g.
+        return float(np.percentile(v.to_numpy(dtype=np.float64), 98))
+
+    spark.udf.register("snr_target_from_field", snr_target_from_field_udf)
+    spark.udf.register("parse_field_target", parse_field_target_udf)
+    spark.udf.register("normalize_key", normalize_key_udf)
+    spark.udf.register("p98", p98_udaf)
+    return ["snr_target_from_field", "parse_field_target", "normalize_key", "p98"]

@@ -1,0 +1,64 @@
+"""SQL-registered function surface (§2.13): registration, SQL-text calls,
+agreement with the Catalyst builders / plain-Python helpers."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from etl_mri_scripts_spark.functions import register_all
+
+
+def test_register_and_call_from_sql_text(spark):
+    names = register_all(spark)
+    assert set(names) == {"snr_target_from_field", "parse_field_target", "normalize_key", "p98"}
+    row = spark.sql(
+        "SELECT normalize_key('vol001__axial__slice_003__HR_s007') AS nk,"
+        "       parse_field_target('1,5T') AS tesla,"
+        "       round(snr_target_from_field(3.0D, 2.0D), 4) AS snr"
+    ).first()
+    assert row["nk"] == "vol001__axial__slice_003__s007"
+    assert row["tesla"] == 1.5
+    assert abs(row["snr"] - 153.03 * (3.0 / 7.0) * 4.0) < 1e-3  # 4-dp SQL round
+
+
+def test_normalize_key_udf_matches_catalyst_builder(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_mri_scripts_spark.operators.patches import normalize_key_col
+    from etl_mri_scripts_spark.tables import table
+
+    register_all(spark)
+    li = table(spark, sf_dir, "lineitem").limit(500)
+    keyed = li.select(
+        F.format_string(
+            "vol%03d__axial__slice_%03d__LRx2_s%03d",
+            (F.col("l_orderkey") % 100).cast("int"),
+            F.col("l_linenumber"),
+            (F.col("l_partkey") % 50).cast("int"),
+        ).alias("key")
+    )
+    both = keyed.select(
+        normalize_key_col(F.col("key")).alias("builder"),
+        F.expr("normalize_key(key)").alias("udf"),
+    )
+    assert both.filter(F.col("builder") != F.col("udf")).count() == 0
+
+
+def test_p98_udaf_groupby_matches_numpy(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_mri_scripts_spark.tables import table
+
+    register_all(spark)
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_fn")
+    got = {
+        r["l_returnflag"]: r["p"]
+        for r in spark.sql(
+            "SELECT l_returnflag, p98(l_extendedprice) AS p FROM li_fn GROUP BY 1"
+        ).collect()
+    }
+    pdf = li.select("l_returnflag", "l_extendedprice").toPandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        want = float(np.percentile(grp["l_extendedprice"].to_numpy(), 98))
+        assert abs(got[flag] - want) < 1e-6
