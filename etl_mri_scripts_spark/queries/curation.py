@@ -372,3 +372,50 @@ def pack_sequences_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spans_boundary"
         ),
     ).orderBy("lang", "doc_id")
+
+
+N_SHARDS = 8
+
+
+@query(
+    "training_shard_assignment",
+    oracle=f"""
+    -- Deterministic global shuffle + sharding (the "shuffle before
+    -- training" step): order docs by a content-independent hash of their
+    -- id, deal them round-robin into {N_SHARDS} balanced shards, and
+    -- record each doc's position within its shard. md5 is the
+    -- cross-engine-stable stand-in for the seeded shuffle hash.
+    WITH h AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hkey FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY hkey, doc_id) - 1 AS shuffle_rank
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(shuffle_rank AS BIGINT) AS shuffle_rank,
+           CAST(shuffle_rank % {N_SHARDS} AS BIGINT) AS shard_id,
+           CAST(shuffle_rank // {N_SHARDS} AS BIGINT) AS pos_in_shard
+    FROM r ORDER BY doc_id
+    """,
+)
+def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The logical plan is a single global sort on the hash key — locally a
+    # row_number window; at 100 TB the identical plan runs as a RANGE-
+    # partitioned sort (Spark samples hash-key quantiles, each executor
+    # emits one shard-contiguous run), which is exactly how you want
+    # training shards laid out: sequential readers, no hot shard, and the
+    # whole ordering reproducible from (id, seed) under retries. Round-
+    # robin dealing off the rank balances shard sizes to within one doc.
+    d = table(spark, sf_dir, "documents")
+    w = Window.orderBy("hkey", "doc_id")
+    r = d.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hkey")
+    ).select("doc_id", (F.row_number().over(w) - 1).cast("long").alias("shuffle_rank"))
+    return r.select(
+        "doc_id",
+        "shuffle_rank",
+        (F.col("shuffle_rank") % N_SHARDS).alias("shard_id"),
+        F.floor(F.col("shuffle_rank") / N_SHARDS).alias("pos_in_shard"),
+    ).orderBy("doc_id")
