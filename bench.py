@@ -48,6 +48,14 @@ HEADLINE = [
     "embedding_quantize_int8",
     "imaging_patch_grid",
     "imaging_pipeline_patches",
+    "text_perplexity_proxy",
+    "text_decontaminate_overlap",
+    "text_repetition_signals",
+    "dedup_interdoc_segments",
+    "training_shard_assignment",
+    "pack_sequences_concat",
+    "data_profile_summary",
+    "cohort_retention_weekly",
 ]
 
 RUNS_PER_QUERY = 2  # report min (steady-state; first run pays Catalyst compile)
