@@ -473,3 +473,74 @@ def embedding_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("label_a", "label_b")
     )
+
+
+@query(
+    "embedding_outlier_distance",
+    oracle="""
+    -- Embedding QC: each vector's L2 distance to its label centroid, and
+    -- the per-label 2-sigma outlier flag — the "drop mislabeled/corrupt
+    -- vectors before training" pass. Centroid means, distances, and the
+    -- threshold terms are all rounded to 6 dp in both engines before any
+    -- comparison, so the flag decision is deterministic cross-engine.
+    WITH ex AS (
+      SELECT vec_id, label, u.idx AS idx, u.x AS x FROM (
+        SELECT vec_id, label,
+               unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                                     (x, i) -> {'idx': i, 'x': x})) AS u
+        FROM embeddings
+      )
+    ),
+    m AS (SELECT label, idx, round(avg(x), 6) AS m FROM ex GROUP BY 1, 2),
+    d AS (
+      SELECT e.vec_id, e.label,
+             round(sqrt(sum((e.x - m.m) * (e.x - m.m))), 6) AS dist
+      FROM ex e JOIN m ON m.label = e.label AND m.idx = e.idx
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT label, round(avg(dist), 6) AS mu, round(stddev_samp(dist), 6) AS sd
+      FROM d GROUP BY 1
+    )
+    SELECT d.vec_id, d.label, d.dist,
+           d.dist > s.mu + 2 * s.sd AS is_outlier
+    FROM d JOIN s USING (label)
+    ORDER BY d.vec_id
+    """,
+)
+def embedding_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same skew-free (label, dim) explode layout as the centroid update;
+    # the centroid matrix is K x dim (tiny, broadcast), so scoring is a
+    # map-side join on the exploded stream plus one vec_id aggregation.
+    # Per-label mean/std of the distances are post-aggregation scalars.
+    # All comparison inputs rounded before the flag (see oracle).
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("idx", "x"),
+    )
+    m = ex.groupBy("label", "idx").agg(F.round(F.avg("x"), 6).alias("m"))
+    d = (
+        ex.join(F.broadcast(m), ["label", "idx"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))), 6
+            ).alias("dist")
+        )
+    )
+    s = d.groupBy("label").agg(
+        F.round(F.avg("dist"), 6).alias("mu"),
+        F.round(F.stddev_samp("dist"), 6).alias("sd"),
+    )
+    return (
+        d.join(F.broadcast(s), "label")
+        .select(
+            "vec_id",
+            "label",
+            "dist",
+            (F.col("dist") > F.col("mu") + 2 * F.col("sd")).alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
