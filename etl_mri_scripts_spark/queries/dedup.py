@@ -862,3 +862,73 @@ def dedup_interdoc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_cluster_representatives",
+    oracle=f"""
+    -- The KEEP decision that closes the near-dedup flow: per connected
+    -- near-dup cluster, elect the highest-quality member (longest text,
+    -- doc_id tiebreak) as the representative and account for the drops.
+    WITH RECURSIVE {_VERIFIED_PAIRS_DUCK},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM vpairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM vpairs
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lab) AS component_id FROM reach GROUP BY 1),
+    q AS (SELECT doc_id, length(text) AS n_chars FROM documents),
+    ranked AS (
+      SELECT c.component_id, c.doc_id, q.n_chars,
+             row_number() OVER (PARTITION BY c.component_id
+                                ORDER BY q.n_chars DESC, c.doc_id) AS rn,
+             count(*) OVER (PARTITION BY c.component_id) AS sz
+      FROM comp c JOIN q USING (doc_id)
+    )
+    SELECT component_id, doc_id AS representative_id,
+           CAST(n_chars AS BIGINT) AS rep_n_chars,
+           CAST(sz AS BIGINT) AS component_size,
+           CAST(sz - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rn = 1 ORDER BY component_id
+    """,
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Composition on top of the iterative CC clustering: clusters are tiny
+    # relative to the corpus (only docs with a verified near-dup partner),
+    # so the quality join pulls length for cluster members only (the join
+    # pruning direction that matters at 100 TB — never decorate the whole
+    # corpus to score a few clusters). One window over component_id elects
+    # representatives; sizes ride the same window spec.
+    from pyspark.sql.window import Window
+
+    cc = dedup_connected_components(spark, sf_dir).select("doc_id", "component_id")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    member_quality = d.join(cc, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(F.desc("n_chars"), "doc_id")
+    wsz = Window.partitionBy("component_id")
+    return (
+        member_quality.select(
+            "component_id",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wsz).alias("sz"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("representative_id"),
+            F.col("n_chars").cast("long").alias("rep_n_chars"),
+            F.col("sz").alias("component_size"),
+            (F.col("sz") - 1).alias("n_dropped"),
+        )
+        .orderBy("component_id")
+    )

@@ -158,3 +158,20 @@ def test_key_build_aggregates_components_not_strings(spark, sf_dir):
     ]
     assert agg_exchanges, "expected a hash exchange for the aggregate"
     assert all("format_string" not in l for l in agg_exchanges)
+
+
+def test_broadcast_topologies_hold(spark, sf_dir):
+    # The dimension/centroid/stats sides of these queries must broadcast —
+    # a sort-merge join on the fact/vector stream would mean the optimizer
+    # lost the size information (or a regression dropped the hint).
+    from etl_mri_scripts_spark.queries import QUERIES
+
+    for name in ["nation_revenue_share", "embedding_outlier_distance"]:
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
