@@ -175,3 +175,41 @@ def test_broadcast_topologies_hold(spark, sf_dir):
         )
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_predicate_pushdown_reaches_both_scans(spark, sf_dir):
+    # topk_unshipped_orders: the date predicates must land in the parquet
+    # scans (DataFilters) BELOW the join — a post-join filter means the
+    # join processes the full tables at 100 TB.
+    from etl_mri_scripts_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["topk_unshipped_orders"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    li_scan = next(l for l in scans if "l_shipdate" in l)
+    o_scan = next(l for l in scans if "o_orderdate" in l)
+    assert "l_shipdate" in li_scan.split("DataFilters:")[1]
+    assert "o_orderdate" in o_scan.split("DataFilters:")[1]
+
+
+def test_profile_scans_prune_to_single_columns(spark, sf_dir):
+    # each data_profile_summary union branch must read exactly ONE parquet
+    # column — a scan materializing the full row width defeats the point
+    # of columnar profiling.
+    from etl_mri_scripts_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["data_profile_summary"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 5
+    for s in scans:
+        cols = s.split("FileScan parquet [")[1].split("]")[0].split(",")
+        assert len(cols) == 1, s[:120]
