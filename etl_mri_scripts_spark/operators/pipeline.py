@@ -350,3 +350,34 @@ def run_pipeline(
     slices = explode_slices(volumes, config)
     gated = degrade_and_patch(slices, config, gated=True)
     return assign_split(gated, config)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_col: str = "key",
+    n_buckets: int = 16,
+) -> None:
+    """Storage-level bucketing: hash-bucket + sort the table BY ``bucket_col``
+    at write time (``bucketBy`` + ``sortBy`` + saveAsTable). Two tables
+    bucketed the same way join with NO exchange and no sort — the shuffle
+    is paid once at ingest instead of on every join, which is the 100 TB
+    answer for the HR<->LR pair join (J1) and any other key that joins
+    repeatedly. Parquet files stay ordinary; the bucket spec lives in the
+    catalog, which is why this is a saveAsTable sink rather than a bare
+    .parquet() write."""
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    """Catalog read that preserves the bucket spec (a path read would
+    forget it and re-shuffle on join)."""
+    return spark.table(table_name)

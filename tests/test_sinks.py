@@ -140,3 +140,36 @@ def test_merge_schema_reads_evolved_partitions(spark, patches, tmp_path):
     old_rows = merged.filter(F.col("split") != "v2batch")
     assert old_rows.filter(F.col("pipeline_rev").isNull()).count() == old_rows.count()
     assert merged.filter(F.col("pipeline_rev") == "r2").count() == patches.count()
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path, sf_dir):
+    # two tables bucketed identically on the join key must SortMergeJoin
+    # with zero Exchange operators — the shuffle was paid at write time.
+    from etl_mri_scripts_spark.operators.pipeline import read_bucketed, write_bucketed
+    from etl_mri_scripts_spark.tables import table
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    write_bucketed(o, "bt_orders", str(tmp_path / "bt_orders"), "o_orderkey", 8)
+    write_bucketed(li, "bt_lineitem", str(tmp_path / "bt_lineitem"), "o_orderkey", 8)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # test tables are tiny -> broadcast would win and bypass the
+        # bucket spec; disable it to exercise the big-big join path the
+        # bucketing exists for.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = read_bucketed(spark, "bt_orders")
+        b = read_bucketed(spark, "bt_lineitem")
+        joined = a.join(b, "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:400]
+        assert "SortMergeJoin" in plan
+        # and it computes the right thing
+        expected = o.join(li, "o_orderkey").count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_lineitem")
