@@ -189,3 +189,34 @@ def snr_metrics(volumes: DataFrame, mode: str = "chi", n_coils: int = 32) -> Dat
             yield pd.DataFrame(rows)
 
     return volumes.mapInPandas(gen, schema=SNR_METRICS_SCHEMA)
+
+
+def phase_sigma_by_volume(repeats: DataFrame) -> DataFrame:
+    """A11 as a Spark grouped-map (applyInPandas): repeated acquisitions of
+    each volume are co-located by the groupBy — the one operator family
+    where rows of a group genuinely must meet in one place (voxelwise std
+    across repeats can't decompose into partial aggregates without
+    shipping sum/sumsq maps). The shuffle moves each volume's repeats
+    once; output is one metrics row per volume (tiny dimension table).
+    Contrast with snr_metrics (mapInPandas): per-row analytics need no
+    grouping, so they skip the shuffle entirely."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        vols = [
+            npy_bytes_to_np(bytes(b)).astype(np.float32)
+            for b in pdf.sort_values("repeat_i")["voxels"]
+        ]
+        m = estimate_phase_sigma_from_repeats(vols)
+        return pd.DataFrame(
+            [
+                {
+                    "base": pdf["base"].iloc[0],
+                    "n_repeats": len(vols),
+                    "sigma_global": m["sigma_global"],
+                }
+            ]
+        )
+
+    return repeats.groupBy("base").applyInPandas(
+        fn, "base string, n_repeats int, sigma_global double"
+    )

@@ -149,3 +149,30 @@ def test_degradation_degenerate_slices_finite():
         for preset in ("3tFlash", "3T_T1W"):
             r = degrade_slice_preset(img, preset, seed=1, fator_reducao=2)
             assert np.isfinite(r["hr"]).all() and np.isfinite(r["lr"]).all()
+
+
+def test_phase_sigma_grouped_map_matches_local(spark):
+    # applyInPandas grouped-map: repeats of each volume co-locate; the
+    # distributed result must equal the plain-Python helper per volume.
+    import numpy as np
+
+    from etl_mri_scripts_spark.operators.snr import (
+        estimate_phase_sigma_from_repeats,
+        phase_sigma_by_volume,
+    )
+    from etl_mri_scripts_spark.sources.volumes import np_to_npy_bytes
+
+    rng = np.random.default_rng(7)
+    rows, local = [], {}
+    for base in ["volA", "volB"]:
+        truth = rng.random((12, 12, 6)).astype(np.float32) * 100
+        vols = [truth + rng.normal(0, 2.5, truth.shape).astype(np.float32) for _ in range(4)]
+        local[base] = estimate_phase_sigma_from_repeats(vols)["sigma_global"]
+        rows += [(base, i, np_to_npy_bytes(v)) for i, v in enumerate(vols)]
+    df = spark.createDataFrame(rows, "base string, repeat_i int, voxels binary")
+    got = {r["base"]: (r["n_repeats"], r["sigma_global"]) for r in phase_sigma_by_volume(df).collect()}
+    for base in local:
+        assert got[base][0] == 4
+        assert abs(got[base][1] - local[base]) < 1e-6
+        # std across repeats should recover the injected noise scale
+        assert 1.5 < got[base][1] < 3.5
