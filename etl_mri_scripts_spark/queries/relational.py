@@ -1583,3 +1583,120 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "shipping_delay_distribution",
+    oracle="""
+    -- Date arithmetic + exact distribution stats: order-to-ship delay in
+    -- days, summarized per priority (mean / median / p95 / max). Delays
+    -- are integers (date_diff of day-truncated timestamps), so every
+    -- statistic except the mean is integer-exact; the mean divides two
+    -- exact integers.
+    WITH d AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS delay_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           round(avg(delay_days), 6) AS avg_delay,
+           CAST(median(delay_days) AS DOUBLE) AS median_delay,
+           CAST(quantile_cont(delay_days, 0.95) AS DOUBLE) AS p95_delay,
+           CAST(max(delay_days) AS BIGINT) AS max_delay
+    FROM d GROUP BY 1 ORDER BY 1
+    """,
+)
+def shipping_delay_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The delay column is computed BEFORE the aggregate on the joined
+    # stream (narrow arithmetic, codegen); one shuffle on the 5-value
+    # priority key with partial aggregation. Exact percentiles are the
+    # correctness contract; percentile_approx is the documented swap at
+    # scale (test_scale_paths pins the tolerance).
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("delay_days"),
+    )
+    return (
+        d.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.avg("delay_days"), 6).alias("avg_delay"),
+            F.median("delay_days").alias("median_delay"),
+            F.percentile("delay_days", F.lit(0.95)).alias("p95_delay"),
+            F.max("delay_days").cast("long").alias("max_delay"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+RFM_CUTOFF = "2001-09-01"  # "today" for recency; just past max o_orderdate
+
+
+@query(
+    "customer_rfm_segments",
+    oracle=f"""
+    -- RFM segmentation: per customer, Recency (days since last order),
+    -- Frequency (order count), Monetary (exact cents revenue), each
+    -- scored into quartiles by NTILE with fully deterministic tie-breaks
+    -- (the metric, then c_custkey), then summarized per segment.
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), TIMESTAMP '{RFM_CUTOFF}') AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT o_custkey,
+             ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_score,
+             monetary_cents
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(monetary_cents) / 100.0, 6) AS segment_revenue
+    FROM scored
+    GROUP BY 1, 2, 3
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One shuffle builds the per-customer RFM frame (map-side combined);
+    # the three NTILE windows run over that already-reduced frame — global
+    # sorts, but of customer-grain rows, not orders. The final segment
+    # rollup is a 64-cell aggregate. Scoring-after-reduction is the order
+    # that keeps unpartitioned windows viable at any scale.
+    o = table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(RFM_CUTOFF).cast("timestamp"), F.max("o_orderdate")).alias(
+            "recency_days"
+        ),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents(F.col("o_totalprice"))).alias("monetary_cents"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "monetary_cents",
+        F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")).alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary_cents"), "o_custkey"))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("monetary_cents") / 100.0, 6).alias("segment_revenue"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
