@@ -56,6 +56,9 @@ HEADLINE = [
     "pack_sequences_concat",
     "data_profile_summary",
     "cohort_retention_weekly",
+    "text_chunk_overlapping",
+    "events_transition_matrix",
+    "sample_weighted_exact",
 ]
 
 RUNS_PER_QUERY = 2  # report min (steady-state; first run pays Catalyst compile)

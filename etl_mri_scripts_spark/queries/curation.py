@@ -419,3 +419,90 @@ def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("shuffle_rank") % N_SHARDS).alias("shard_id"),
         F.floor(F.col("shuffle_rank") / N_SHARDS).alias("pos_in_shard"),
     ).orderBy("doc_id")
+
+
+PSI_CUTOFF = "2024-01-16"  # snapshot A = first half of the month, B = rest
+PSI_BUCKETS = 10  # value deciles of width 50 over [0, 500)
+
+
+@query(
+    "corpus_drift_psi",
+    oracle=f"""
+    -- Population-stability-index drift check between two time snapshots
+    -- of the event stream, per event type. Buckets are FIXED-width (so
+    -- the same binning is reproducible on any future snapshot), the
+    -- bucket grid is densified (missing buckets count 0), and counts are
+    -- Laplace-smoothed before the log-ratio so empty cells stay finite.
+    WITH c AS (
+      SELECT event_type,
+             least({PSI_BUCKETS - 1}, CAST(floor(value / 50) AS INT)) AS bucket,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '{PSI_CUTOFF}' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '{PSI_CUTOFF}' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, g.bucket
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(generate_series(0, {PSI_BUCKETS - 1})) AS bucket) g
+    ),
+    dense AS (
+      SELECT grid.event_type, grid.bucket,
+             coalesce(c.n_a, 0) AS n_a, coalesce(c.n_b, 0) AS n_b
+      FROM grid LEFT JOIN c
+        ON grid.event_type = c.event_type AND grid.bucket = c.bucket
+    ),
+    tot AS (
+      SELECT event_type, sum(n_a) AS tot_a, sum(n_b) AS tot_b FROM dense GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(t.tot_a AS BIGINT) AS n_before,
+           CAST(t.tot_b AS BIGINT) AS n_after,
+           round(sum(
+             ((d.n_a + 1.0) / (t.tot_a + {PSI_BUCKETS}) - (d.n_b + 1.0) / (t.tot_b + {PSI_BUCKETS}))
+             * ln(((d.n_a + 1.0) / (t.tot_a + {PSI_BUCKETS}))
+                / ((d.n_b + 1.0) / (t.tot_b + {PSI_BUCKETS})))
+           ), 6) AS psi
+    FROM dense d JOIN tot t USING (event_type)
+    GROUP BY 1, 2, 3 ORDER BY 1
+    """,
+)
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The heavy pass is ONE conditional aggregation over the scan (both
+    # snapshot counters in the same groupBy — never two scans); everything
+    # after runs on a <= n_types x {PSI_BUCKETS} frame. The dense grid is
+    # generated with sequence+explode and the counts broadcast onto it.
+    # At 100 TB this is the nightly data-quality gate: map-side combine,
+    # one small shuffle, constant-size tail.
+    ev = table(spark, sf_dir, "events")
+    cut = F.lit(PSI_CUTOFF).cast("timestamp")
+    bucket = F.least(
+        F.lit(PSI_BUCKETS - 1), F.floor(F.col("value") / 50).cast("int")
+    )
+    c = ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("ts") >= cut, 1).otherwise(0)).alias("n_b"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(PSI_BUCKETS - 1))).alias("bucket"))
+    )
+    dense = (
+        grid.join(F.broadcast(c), ["event_type", "bucket"], "left")
+        .fillna(0, subset=["n_a", "n_b"])
+    )
+    tot = dense.groupBy("event_type").agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+    )
+    d = dense.join(F.broadcast(tot), "event_type")
+    p = (F.col("n_a") + 1.0) / (F.col("tot_a") + PSI_BUCKETS)
+    q = (F.col("n_b") + 1.0) / (F.col("tot_b") + PSI_BUCKETS)
+    return (
+        d.groupBy(
+            "event_type",
+            F.col("tot_a").cast("long").alias("n_before"),
+            F.col("tot_b").cast("long").alias("n_after"),
+        )
+        .agg(F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"))
+        .orderBy("event_type")
+    )

@@ -932,3 +932,65 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("component_id")
     )
+
+
+EDIT_PFX = 80  # verify on a bounded prefix: levenshtein is O(len^2)
+EDIT_NEAR = 10  # near-dup iff prefix edit distance <= this
+
+
+@query(
+    "dedup_edit_distance_verified",
+    oracle=f"""
+    -- Bucketed edit-distance near-dup: candidates share (lang, length
+    -- bucket, first token) — a cheap inverted-index equi-join — then each
+    -- candidate pair is verified with levenshtein on a bounded {EDIT_PFX}-char
+    -- prefix. The O(len^2) DP never runs on the full cross product.
+    WITH d AS (
+      SELECT doc_id, lang,
+             length(text) // 25 AS len_bucket,
+             string_split(text, ' ')[1] AS w1,
+             substr(text, 1, {EDIT_PFX}) AS pfx
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+           CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS prefix_edit_dist,
+           levenshtein(a.pfx, b.pfx) <= {EDIT_NEAR} AS is_near
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.w1 = b.w1
+     AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_edit_distance_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Candidate generation is a self equi-join on a composite blocking key
+    # (one shuffle on (lang, len_bucket, w1), AQE handles hot buckets);
+    # levenshtein runs JVM-side (built-in) only on pairs that share the
+    # block — the classic blocking+verify shape that bounds cost by bucket
+    # occupancy, not corpus size. Prefix bounding keeps the DP matrix
+    # <= 80x80 regardless of document length.
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.floor(F.length("text") / 25).alias("len_bucket"),
+        F.split("text", " ").getItem(0).alias("w1"),
+        F.substring("text", 1, EDIT_PFX).alias("pfx"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.w1") == F.col("b.w1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            dist.cast("long").alias("prefix_edit_dist"),
+            (dist <= EDIT_NEAR).alias("is_near"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

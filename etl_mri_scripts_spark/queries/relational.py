@@ -1700,3 +1700,49 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@query(
+    "agg_argmax_max_by",
+    oracle=f"""
+    -- Per-nation argmax/argmin without a self-join or window: max_by /
+    -- min_by over a composed exact-integer ordering key (cents(acctbal)
+    -- scaled, custkey as tie-break) so the winner is unique and identical
+    -- in both engines even when balances tie.
+    WITH k AS (
+      SELECT c_nationkey, c_name, c_acctbal,
+             {cents_sql('c_acctbal')} * 10000000 + c_custkey AS okey
+      FROM customer
+    )
+    SELECT n.n_name,
+           max_by(k.c_name, k.okey) AS richest_customer,
+           min_by(k.c_name, k.okey) AS poorest_customer,
+           round(max(k.c_acctbal), 6) AS max_acctbal,
+           round(min(k.c_acctbal), 6) AS min_acctbal,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM k JOIN nation n ON k.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def agg_argmax_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_by/min_by fold argmax into the ONE existing aggregation shuffle
+    # — the 100 TB replacement for the "window rank + filter rn=1" idiom,
+    # which would add a per-group sort. The ordering key is exact long
+    # arithmetic (cents * 1e7 + custkey), collision-free while custkey
+    # < 1e7 — holds through sf100; revisit the scale factor beyond that.
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    okey = cents(F.col("c_acctbal")) * 10000000 + F.col("c_custkey")
+    return (
+        c.select("c_nationkey", "c_name", "c_acctbal", okey.alias("okey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.max_by("c_name", "okey").alias("richest_customer"),
+            F.min_by("c_name", "okey").alias("poorest_customer"),
+            F.round(F.max("c_acctbal"), 6).alias("max_acctbal"),
+            F.round(F.min("c_acctbal"), 6).alias("min_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("n_name")
+    )

@@ -102,3 +102,63 @@ def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < KEEP_BUCKETS)
         .orderBy("doc_id")
     )
+
+
+WEIGHTED_K = 50  # weighted sample size (Efraimidis–Spirakis top-k)
+
+
+@query(
+    "sample_weighted_exact",
+    oracle=f"""
+    -- Deterministic weighted sampling (Efraimidis–Spirakis A-ES): each
+    -- doc draws u from a md5-derived uniform and scores ln(u)/weight
+    -- (monotone in u^(1/w)); the top-{WEIGHTED_K} by score form the sample,
+    -- so inclusion probability is proportional to weight (n_chars). The
+    -- score is rounded before ranking so both engines rank identical
+    -- keys; ties (impossible-but-cheap insurance) break on doc_id.
+    WITH s AS (
+      SELECT doc_id, lang, n_chars,
+             round(ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) + 0.5)
+                      / 65536.0) / n_chars, 6) AS es_score
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight, es_score,
+             row_number() OVER (ORDER BY es_score DESC, doc_id) AS sample_rank
+      FROM s
+    )
+    SELECT doc_id, lang, weight, es_score, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM r WHERE sample_rank <= {WEIGHTED_K} ORDER BY doc_id
+    """,
+)
+def sample_weighted_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A-ES makes weighted sampling a pure top-k: no global state, no
+    # rejection loop, and the per-row score is a deterministic function of
+    # the key — identical under retries/speculation and incrementally
+    # stable as the corpus grows. Catalyst plans the rank-filter as
+    # TakeOrderedAndProject at small k (no full sort materialization);
+    # at 100 TB this is a map + a k-sized heap per partition + one merge.
+    d = table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "long"
+        )
+        + 0.5
+    ) / 65536.0
+    s = d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.round(F.log(u) / F.col("n_chars"), 6).alias("es_score"),
+    )
+    r = s.select(
+        "doc_id",
+        "lang",
+        "weight",
+        "es_score",
+        F.row_number()
+        .over(Window.orderBy(F.desc("es_score"), "doc_id"))
+        .cast("long")
+        .alias("sample_rank"),
+    )
+    return r.filter(F.col("sample_rank") <= WEIGHTED_K).orderBy("doc_id")

@@ -544,3 +544,50 @@ def embedding_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "embedding_l2_normalize_hof",
+    oracle="""
+    -- Higher-order-function vector math, fully JVM-side: L2 norm via
+    -- transform+aggregate, sign census via filter, peak via transform+max.
+    -- Every element is cast to DOUBLE before multiplying so both engines
+    -- square in double precision (float32*float32 would drift), and both
+    -- fold the sum sequentially over the same element order.
+    SELECT vec_id, label,
+           round(sqrt(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2_norm,
+           round(CAST(embedding[1] AS DOUBLE)
+                 / sqrt(list_aggregate(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS comp0_unit,
+           CAST(len(list_filter(embedding, x -> x >= 0)) AS BIGINT) AS n_nonneg,
+           round(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))), 6) AS max_abs
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def embedding_l2_normalize_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The scale path for per-row vector math: higher-order functions
+    # (transform / aggregate / filter / array_max) evaluate inside
+    # whole-stage codegen with zero Python, zero shuffle — contrast with a
+    # pandas UDF that pays Arrow serialization for arithmetic this simple.
+    # One narrow map over the scan; the posexplode layout used by the
+    # centroid queries is only needed when aggregating ACROSS rows.
+    e = table(spark, sf_dir, "embeddings")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: dbl(x) * dbl(x)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(sq_sum)
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(dbl(F.col("embedding").getItem(0)) / norm, 6).alias("comp0_unit"),
+        F.size(F.filter("embedding", lambda x: x >= 0)).cast("long").alias("n_nonneg"),
+        F.round(
+            F.array_max(F.transform("embedding", lambda x: F.abs(dbl(x)))), 6
+        ).alias("max_abs"),
+    ).orderBy("vec_id")

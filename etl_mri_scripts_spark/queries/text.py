@@ -604,3 +604,64 @@ def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_slope(ln(f), ln(rnk))"), 6).alias("zipf_slope"),
         F.round(F.expr("regr_r2(ln(f), ln(rnk))"), 6).alias("r2"),
     )
+
+
+CHUNK_LEN = 120  # characters per chunk
+CHUNK_STRIDE = 90  # 25% overlap — the RAG-standard sliding window
+
+
+@query(
+    "text_chunk_overlapping",
+    oracle=f"""
+    -- Overlapping chunk extraction: the text analog of the reference's
+    -- sliding-window patch grid (P8, v2/patch_utils.py:36-46), including
+    -- its trailing-edge rule — if the last regular window leaves a
+    -- remainder, emit one extra chunk flush against the end (thresh 0).
+    -- Chunk identity is the start offset, so keys need no ordinality.
+    WITH g AS (
+      SELECT doc_id, text, length(text) AS n,
+             CASE WHEN length(text) > {CHUNK_LEN}
+                   AND (length(text) - {CHUNK_LEN}) % {CHUNK_STRIDE} > 0
+               THEN list_append(
+                 generate_series(1, greatest(1, length(text) - {CHUNK_LEN} + 1), {CHUNK_STRIDE}),
+                 length(text) - {CHUNK_LEN} + 1)
+               ELSE generate_series(1, greatest(1, length(text) - {CHUNK_LEN} + 1), {CHUNK_STRIDE})
+             END AS starts
+      FROM documents
+    ),
+    c AS (SELECT doc_id, n, unnest(starts) AS chunk_start, text FROM g)
+    SELECT doc_id, chunk_start,
+           printf('%d__c%06d', doc_id, chunk_start) AS chunk_key,
+           CAST(length(substr(text, chunk_start, {CHUNK_LEN})) AS BIGINT) AS chunk_len,
+           md5(substr(text, chunk_start, {CHUNK_LEN})) AS chunk_md5
+    FROM c ORDER BY doc_id, chunk_start
+    """,
+)
+def text_chunk_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The patch-grid pattern (SURVEY §2.3 P8) applied to text: the start
+    # grid is GENERATED as an array column (sequence + conditional
+    # trailing element) and posexploded — fan-out is metadata-predictable
+    # (~n/stride per doc), no UDF, no shuffle at all until the final
+    # orderBy; at 100 TB this is a pure map stage that chains into
+    # whatever consumes the chunks. Emitting md5(chunk) instead of the
+    # chunk body keeps the verified output narrow.
+    d = table(spark, sf_dir, "documents")
+    n = F.length("text")
+    base = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), n - CHUNK_LEN + 1), F.lit(CHUNK_STRIDE)
+    )
+    trailing = (n > CHUNK_LEN) & (((n - CHUNK_LEN) % CHUNK_STRIDE) > 0)
+    starts = F.when(
+        trailing, F.concat(base, F.array(n - CHUNK_LEN + 1))
+    ).otherwise(base)
+    c = d.select(
+        "doc_id", "text", F.explode(starts).alias("chunk_start")
+    )
+    chunk = F.substring(F.col("text"), F.col("chunk_start"), F.lit(CHUNK_LEN))
+    return c.select(
+        "doc_id",
+        "chunk_start",
+        F.format_string("%d__c%06d", "doc_id", "chunk_start").alias("chunk_key"),
+        F.length(chunk).alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_start")

@@ -489,3 +489,50 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    -- Markov transition matrix over per-user event sequences: next event
+    -- via LEAD over (user, time), then count and row-normalize per source
+    -- state. Deterministic tie-break on event_id for equal timestamps.
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions
+      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type, next_type, n_transitions,
+           round(n_transitions * 1.0 /
+                 sum(n_transitions) OVER (PARTITION BY event_type), 6) AS p_transition
+    FROM c ORDER BY event_type, next_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One shuffle on user_id for the sequence window (users are numerous,
+    # so it parallelizes; no global sort), then a tiny 5x5-state aggregate.
+    # The normalizing sum is a window over the already-aggregated 25-row
+    # frame — free. This is the sessionized-behavior shape (next-action
+    # prediction features) that at 100 TB must never self-join events.
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = s.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    tot = Window.partitionBy("event_type")
+    return c.select(
+        "event_type",
+        "next_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / F.sum("n_transitions").over(tot), 6).alias(
+            "p_transition"
+        ),
+    ).orderBy("event_type", "next_type")
