@@ -506,3 +506,64 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"))
         .orderBy("event_type")
     )
+
+
+COMPACT_TARGET = 25_000  # target chars per output shard file
+
+
+@query(
+    "docs_compaction_plan",
+    oracle=f"""
+    -- Small-file compaction planner: greedy sequential bin-packing of
+    -- docs into ~{COMPACT_TARGET}-char output files per language. A doc's
+    -- file is floor(exclusive-prefix-sum / target) — one window pass,
+    -- no iteration; files can overflow by at most one doc (the standard
+    -- streaming-compaction bound). Pure integer arithmetic end to end.
+    WITH s AS (
+      SELECT lang, doc_id, n_chars,
+             coalesce(sum(n_chars) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM documents
+    )
+    SELECT lang,
+           CAST(cum_before // {COMPACT_TARGET} AS BIGINT) AS file_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS file_chars,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM s GROUP BY 1, 2 ORDER BY lang, file_id
+    """,
+)
+def docs_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The write-side twin of AQE coalescing: plan output files of
+    # near-uniform size BEFORE the write so object-store listings stay
+    # sane at 100 TB (millions of tiny files is the classic lake
+    # pathology). The prefix sum shuffles once on lang; the per-lang
+    # sequential scan is the unavoidable cost of order-preserving
+    # packing; everything downstream (count/sum per file) is partial-agg.
+    d = table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = d.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return (
+        s.groupBy(
+            "lang",
+            F.floor(F.col("cum_before") / COMPACT_TARGET).alias("file_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("file_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "file_id")
+    )

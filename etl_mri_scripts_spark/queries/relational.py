@@ -1746,3 +1746,65 @@ def agg_argmax_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "revenue_pareto_share",
+    oracle=f"""
+    -- Pareto concentration: customers ranked by lifetime order value,
+    -- running cumulative share of total revenue, and the 80%-frontier
+    -- flag. The boundary test is exact integer arithmetic
+    -- (5*cum <= 4*total  <=>  share <= 0.8) so the flag can never flip
+    -- on float rounding; the rounded share column is display-only.
+    WITH r AS (
+      SELECT o_custkey AS custkey,
+             sum({cents_sql('o_totalprice')}) AS rev_cents
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT custkey, rev_cents,
+             sum(rev_cents) OVER (ORDER BY rev_cents DESC, custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+             sum(rev_cents) OVER () AS tot_cents,
+             row_number() OVER (ORDER BY rev_cents DESC, custkey) AS rev_rank
+      FROM r
+    )
+    SELECT custkey, CAST(rev_rank AS BIGINT) AS rev_rank,
+           round(rev_cents / 100.0, 6) AS revenue,
+           round(cum_cents * 1.0 / tot_cents, 6) AS cum_share,
+           5 * cum_cents <= 4 * tot_cents AS in_top80
+    FROM t ORDER BY rev_rank
+    """,
+)
+def revenue_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Aggregate-then-window: the running share is computed over the
+    # CUSTOMER-grain aggregate (|customers| rows), never over raw orders —
+    # at 100 TB the scan+agg is the only heavy stage and it partial-aggs
+    # map-side. The global-order window is a single-partition sort of the
+    # reduced frame; if customers themselves outgrew one partition the
+    # same plan re-expresses as a two-pass rank (range-partitioned sort +
+    # broadcast per-partition offsets), which training_shard_assignment
+    # already demonstrates.
+    o = table(spark, sf_dir, "orders")
+    r = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("rev_cents")
+    )
+    w_ord = Window.orderBy(F.desc("rev_cents"), "custkey")
+    t = r.select(
+        "custkey",
+        "rev_cents",
+        F.sum("rev_cents")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_cents"),
+        F.sum("rev_cents")
+        .over(Window.partitionBy())
+        .alias("tot_cents"),
+        F.row_number().over(w_ord).alias("rev_rank"),
+    )
+    return t.select(
+        "custkey",
+        F.col("rev_rank").cast("long").alias("rev_rank"),
+        F.round(F.col("rev_cents") / 100.0, 6).alias("revenue"),
+        F.round(F.col("cum_cents") / F.col("tot_cents"), 6).alias("cum_share"),
+        (5 * F.col("cum_cents") <= 4 * F.col("tot_cents")).alias("in_top80"),
+    ).orderBy("rev_rank")

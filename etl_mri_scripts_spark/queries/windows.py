@@ -536,3 +536,113 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_transition"
         ),
     ).orderBy("event_type", "next_type")
+
+
+@query(
+    "events_gap_fill_forward",
+    oracle="""
+    -- Daily per-user series with gaps densified and forward-filled: the
+    -- grid spans each user's own active range (bounded fan-out), missing
+    -- days join to NULL, and last_value IGNORE NULLS carries the previous
+    -- observation forward. gap_days measures staleness of the carried
+    -- value. Day sums use exact cents so both engines fill identical
+    -- numbers.
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS day_cents
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    ),
+    j AS (
+      SELECT g.user_id, g.day, d.day_cents
+      FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    )
+    SELECT user_id, day, day_cents IS NOT NULL AS observed,
+           round(last_value(day_cents IGNORE NULLS) OVER w / 100.0, 6) AS value_filled,
+           CAST(day - last_value(CASE WHEN day_cents IS NOT NULL THEN day END IGNORE NULLS)
+                OVER w AS BIGINT) AS gap_days
+    FROM j
+    WINDOW w AS (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, day
+    """,
+)
+def events_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Time-series densify + forward-fill, the feature-store staple. The
+    # heavy input collapses to (user x active-day) in ONE conditional
+    # aggregation; the grid is sequence()-generated from each user's span
+    # (metadata-predictable fan-out, max ~span-days rows per user — never
+    # a calendar cross-join against the full user dimension). The fill is
+    # last(ignorenulls) over a user-partitioned window: one shuffle on
+    # user_id shared by grid build and fill. At 100 TB the events scan
+    # dominates; everything after runs on the tiny daily frame.
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("day_cents"))
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    obs_day = F.when(F.col("day_cents").isNotNull(), F.col("day"))
+    return j.select(
+        "user_id",
+        "day",
+        F.col("day_cents").isNotNull().alias("observed"),
+        F.round(F.last("day_cents", ignorenulls=True).over(w) / 100.0, 6).alias(
+            "value_filled"
+        ),
+        F.datediff(F.col("day"), F.last(obs_day, ignorenulls=True).over(w))
+        .cast("long")
+        .alias("gap_days"),
+    ).orderBy("user_id", "day")
+
+
+@query(
+    "scd2_user_state_intervals",
+    oracle="""
+    -- SCD2 interval build from an event log: each event opens a state
+    -- interval [valid_from, valid_to) closed by the user's next event;
+    -- the latest interval stays open (valid_to NULL, is_current). The
+    -- standard dimension-table history builder, done with one LEAD —
+    -- never an ordered self-join. Durations are exact integer micros.
+    SELECT user_id, ts AS valid_from, event_type AS state,
+           lead(ts) OVER w AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current,
+           CAST(epoch_us(lead(ts) OVER w) - epoch_us(ts) AS BIGINT) AS duration_us,
+           CAST(row_number() OVER w AS BIGINT) AS version
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, valid_from, version
+    """,
+)
+def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One shuffle on user_id serves LEAD + row_number together (same
+    # window spec -> single Sort + Window in the plan). Event-id tie-break
+    # keeps interval order deterministic under equal timestamps, which is
+    # what makes re-runs produce byte-identical history at any scale.
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.col("event_type").alias("state"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        (F.unix_micros(nxt) - F.unix_micros("ts")).alias("duration_us"),
+        F.row_number().over(w).cast("long").alias("version"),
+    ).orderBy("user_id", "valid_from", "version")
