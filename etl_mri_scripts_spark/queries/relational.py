@@ -1808,3 +1808,211 @@ def revenue_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cum_cents") / F.col("tot_cents"), 6).alias("cum_share"),
         (5 * F.col("cum_cents") <= 4 * F.col("tot_cents")).alias("in_top80"),
     ).orderBy("rev_rank")
+
+
+CDC_CUTOFF = "2024-01-25"  # base snapshot before, change batch after
+
+
+@query(
+    "cdc_upsert_latest_wins",
+    oracle=f"""
+    -- Lakehouse MERGE / CDC apply, expressed shuffle-minimally: base
+    -- snapshot (latest state per user before the cutoff) unioned with the
+    -- change batch, then ONE latest-wins pick per key — never a per-row
+    -- MERGE loop. action classifies the outcome per key: update (delta
+    -- superseded base), insert (new key), unchanged (no delta arrived).
+    WITH base AS (
+      SELECT user_id, event_type AS state, ts
+      FROM (SELECT user_id, event_type, ts,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '{CDC_CUTOFF}')
+      WHERE rn = 1
+    ),
+    delta AS (
+      SELECT user_id, event_type AS state, ts
+      FROM events WHERE ts >= TIMESTAMP '{CDC_CUTOFF}'
+    ),
+    merged AS (
+      SELECT user_id, state, ts, src,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, src DESC) AS rn,
+             max(CASE WHEN src = 'delta' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id) AS has_delta,
+             max(CASE WHEN src = 'base' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id) AS has_base
+      FROM (SELECT *, 'base' AS src FROM base
+            UNION ALL SELECT *, 'delta' AS src FROM delta)
+    )
+    SELECT user_id, state AS current_state, ts AS state_ts,
+           CASE WHEN has_base = 0 THEN 'insert'
+                WHEN has_delta = 0 THEN 'unchanged'
+                ELSE 'update' END AS action
+    FROM merged WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def cdc_upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The union co-partitions on user_id once; latest-wins row_number and
+    # the two existence censuses share that single window shuffle. At
+    # 100 TB the base side is the big one — the plan never rewrites
+    # untouched rows (they flow through the same one pass), which is the
+    # property that makes log-structured CDC apply viable.
+    ev = table(spark, sf_dir, "events")
+    cut = F.lit(CDC_CUTOFF).cast("timestamp")
+    w_latest = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    base = (
+        ev.filter(F.col("ts") < cut)
+        .select(
+            "user_id", F.col("event_type").alias("state"), "ts", "event_id",
+            F.row_number().over(w_latest).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "state", "ts", F.lit("base").alias("src"))
+    )
+    delta = ev.filter(F.col("ts") >= cut).select(
+        "user_id", F.col("event_type").alias("state"), "ts",
+        F.lit("delta").alias("src"),
+    )
+    u = base.unionByName(delta)
+    w_user = Window.partitionBy("user_id")
+    w_pick = w_user.orderBy(F.desc("ts"), F.desc("src"))
+    m = u.select(
+        "user_id", "state", "ts",
+        F.row_number().over(w_pick).alias("rn"),
+        F.max(F.when(F.col("src") == "delta", 1).otherwise(0))
+        .over(w_user).alias("has_delta"),
+        F.max(F.when(F.col("src") == "base", 1).otherwise(0))
+        .over(w_user).alias("has_base"),
+    )
+    return (
+        m.filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("state").alias("current_state"),
+            F.col("ts").alias("state_ts"),
+            F.when(F.col("has_base") == 0, "insert")
+            .when(F.col("has_delta") == 0, "unchanged")
+            .otherwise("update")
+            .alias("action"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "ingest_union_schema_drift",
+    oracle="""
+    -- Schema-drift ingestion: two batches with different column sets
+    -- (old writer lacks priority; new writer dropped totalprice) are
+    -- aligned BY NAME with missing columns null-filled, then audited.
+    -- The read-side answer to schema evolution when rewriting history
+    -- is off the table.
+    WITH a AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate, 'v1' AS batch
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    b AS (
+      SELECT o_orderkey, o_orderdate, o_orderpriority, 'v2' AS batch
+      FROM orders WHERE o_orderkey % 3 = 1
+    ),
+    u AS (SELECT * FROM a UNION ALL BY NAME SELECT * FROM b)
+    SELECT batch,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(o_totalprice) AS BIGINT) AS n_totalprice,
+           CAST(count(o_orderpriority) AS BIGINT) AS n_priority,
+           min(o_orderdate) AS first_date,
+           max(o_orderdate) AS last_date
+    FROM u GROUP BY batch ORDER BY batch
+    """,
+)
+def ingest_union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # unionByName(allowMissingColumns=True) is position-independent and
+    # null-fills the drift — the batch twin of the store's mergeSchema
+    # read (operators/pipeline.py read_dataset). Nothing shuffles until
+    # the audit aggregate; column pruning still reaches both scans.
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderdate", F.lit("v1").alias("batch")
+    )
+    b = o.filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", F.lit("v2").alias("batch")
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return (
+        u.groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_totalprice").alias("n_totalprice"),
+            F.count("o_orderpriority").alias("n_priority"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+        .orderBy("batch")
+    )
+
+
+@query(
+    "fk_integrity_audit",
+    oracle="""
+    -- Referential-integrity audit across the star schema: orphan counts
+    -- per FK edge in one report. Each edge is an anti-join; COUNT rows
+    -- that reference a missing parent. The nightly DQ gate before any
+    -- downstream join assumes clean keys.
+    SELECT 'lineitem->orders' AS fk_edge,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_orphans,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT),
+           CAST((SELECT count(*) FROM customer) AS BIGINT)
+    ORDER BY fk_edge
+    """,
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Each edge is a left-anti join reduced to a count — at 100 TB the
+    # dimension side of every edge broadcasts (orders' key set is the big
+    # exception: that edge shuffles once on orderkey and AQE picks SMJ vs
+    # shuffled-hash from runtime stats). The three one-row frames union
+    # into the report; totals ride the same scans via count aggregates.
+    # Fully lazy: each edge is child LEFT JOIN parent-keys -> one agg row
+    # (count(*) + count of null parents); no driver-side actions, so the
+    # whole report is ONE job and Catalyst can share scans.
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+
+    def edge(name, child, key, parent_keys, pkey):
+        return (
+            child.select(key)
+            .join(parent_keys, F.col(key) == F.col(pkey), "left")
+            .agg(
+                F.lit(name).alias("fk_edge"),
+                F.sum(F.when(F.col(pkey).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphans"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .select("fk_edge", "n_orphans", "n_rows")
+        )
+
+    return (
+        edge("lineitem->orders", li, "l_orderkey", o.select("o_orderkey"), "o_orderkey")
+        .unionByName(edge("orders->customer", o, "o_custkey", c.select("c_custkey"), "c_custkey"))
+        .unionByName(
+            edge("customer->nation", c, "c_nationkey", F.broadcast(n.select("n_nationkey")), "n_nationkey")
+        )
+        .orderBy("fk_edge")
+    )

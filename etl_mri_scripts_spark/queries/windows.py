@@ -646,3 +646,72 @@ def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(nxt) - F.unix_micros("ts")).alias("duration_us"),
         F.row_number().over(w).cast("long").alias("version"),
     ).orderBy("user_id", "valid_from", "version")
+
+
+DEBOUNCE_GAP_S = 600  # a new burst starts after 10 minutes of silence
+
+
+@query(
+    "events_debounce_collapse",
+    oracle=f"""
+    -- Event debouncing: collapse rapid-fire repeats of the same
+    -- (user, event_type) into one burst row. A burst starts when the gap
+    -- from the previous same-key event exceeds {DEBOUNCE_GAP_S}s; burst_id is
+    -- the running count of starts, and each burst reports its span and
+    -- how many raw events it absorbed — the dedup that tracking/retry
+    -- noise needs before counting anything.
+    WITH g AS (
+      SELECT user_id, event_type, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {DEBOUNCE_GAP_S} * 1000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    ),
+    b AS (
+      SELECT user_id, event_type, ts, value,
+             sum(is_start) OVER (PARTITION BY user_id, event_type
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst_id
+      FROM g
+    )
+    SELECT user_id, event_type, CAST(burst_id AS BIGINT) AS burst_id,
+           min(ts) AS burst_start, max(ts) AS burst_end,
+           CAST(count(*) AS BIGINT) AS n_collapsed,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM b GROUP BY 1, 2, 3 ORDER BY user_id, event_type, burst_id
+    """,
+)
+def events_debounce_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lag -> gap flag -> running sum -> group: the gaps-and-islands
+    # pattern. Both windows and the final groupBy share ONE shuffle on
+    # (user_id, event_type) — Catalyst reuses the sort; the collapse
+    # aggregate is partial-aggregable. This is the batch twin of the
+    # session_window stream (same burst boundaries, same gap rule).
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    g = ev.select(
+        "user_id", "event_type", "ts", "event_id", "value",
+        F.when(prev.isNull() | (gap_us > DEBOUNCE_GAP_S * 1_000_000), 1)
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    b = g.select(
+        "user_id", "event_type", "ts", "value",
+        F.sum("is_start")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("burst_id"),
+    )
+    return (
+        b.groupBy("user_id", "event_type", "burst_id")
+        .agg(
+            F.min("ts").alias("burst_start"),
+            F.max("ts").alias("burst_end"),
+            F.count(F.lit(1)).alias("n_collapsed"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .orderBy("user_id", "event_type", "burst_id")
+    )
