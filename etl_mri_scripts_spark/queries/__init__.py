@@ -17,3 +17,4 @@ from . import sampling  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import imaging  # noqa: E402,F401
+from . import tpch_shapes  # noqa: E402,F401
