@@ -18,3 +18,4 @@ from . import curation  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import imaging  # noqa: E402,F401
 from . import tpch_shapes  # noqa: E402,F401
+from . import pipeline_analytics  # noqa: E402,F401

@@ -1,0 +1,259 @@
+"""Training-pipeline analytics extras: irregular time series, robust stats,
+attribution, per-dimension embedding diagnostics.
+
+These extend the north-star set (COVERAGE.md bottom table) with shapes a
+production data-curation stack runs daily: time-weighted signal averages
+over irregular event streams, trimmed/winsorized robust aggregates for
+outlier-tolerant dataset stats (the relational twin of the reference's
+robust percentile rescale, v2/degradation_function_v2.py:330-360), marketing
+-style last-touch attribution (last-preceding-qualifying-event join), and
+per-dimension variance screening over embedding columns (feature-quality
+triage before ANN indexing).
+
+All exact-arithmetic rules from queries/exact.py apply: money/value columns
+are lifted to integer cents so sums are associative and bit-identical in
+both engines; only final divisions produce doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import table
+from .exact import cents, cents_sql
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Time-weighted average over an irregular event stream: each reading holds
+# until the next one (step interpolation), so the mean weights each value by
+# its holding duration. One window shuffle on (user_id), which the groupBy
+# reuses (same key). Weights are exact integer microseconds; value is exact
+# cents; the single final division is the only float op, so both engines
+# produce the identical double. Scale note: sum(cents*micros) stays < 2^63
+# for any per-user span under ~30 years; at larger spans switch the weight
+# unit to millis (the comparison contract is unchanged).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle=f"""
+    WITH stepped AS (
+        SELECT user_id,
+               {cents_sql('value')} AS v_cents,
+               date_diff('microsecond', ts,
+                         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS dt_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(sum(v_cents * dt_us) AS BIGINT) AS weighted_fixed,
+           CAST(sum(dt_us) AS BIGINT) AS span_us,
+           sum(v_cents * dt_us) / (100.0 * sum(dt_us)) AS time_weighted_avg
+    FROM stepped
+    WHERE dt_us IS NOT NULL
+    GROUP BY 1
+    HAVING sum(dt_us) > 0
+    ORDER BY 1
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "user_id",
+        cents(F.col("value")).alias("v_cents"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.sum(F.col("v_cents") * F.col("dt_us")).alias("weighted_fixed"),
+            F.sum("dt_us").alias("span_us"),
+        )
+        .filter(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            "weighted_fixed",
+            "span_us",
+            (F.col("weighted_fixed") / (100.0 * F.col("span_us"))).alias("time_weighted_avg"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trimmed + winsorized robust means per group. The exact p05/p95 boundaries
+# come from ONE percentile aggregate; the robust means are then composed
+# exactly: interior mass as integer cents, boundary mass as count x boundary
+# (one float multiply per group, identical in both engines). The window
+# partitionBy matches the final groupBy key, so Catalyst plans a single
+# exchange on l_returnflag for the whole query.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_trimmed_winsorized_stats",
+    oracle=f"""
+    WITH b AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.05) OVER (PARTITION BY l_returnflag) AS p05,
+               quantile_cont(l_extendedprice, 0.95) OVER (PARTITION BY l_returnflag) AS p95,
+               l_extendedprice AS price,
+               {cents_sql('l_extendedprice')} AS price_cents
+        FROM lineitem
+    )
+    SELECT l_returnflag AS return_flag,
+           round(any_value(p05), 6) AS p05,
+           round(any_value(p95), 6) AS p95,
+           count(*) AS n_rows,
+           CAST(count(CASE WHEN price < p05 THEN 1 END) AS BIGINT) AS n_below,
+           CAST(count(CASE WHEN price > p95 THEN 1 END) AS BIGINT) AS n_above,
+           round(sum(CASE WHEN price >= p05 AND price <= p95 THEN price_cents ELSE 0 END)
+                 / 100.0 / count(CASE WHEN price >= p05 AND price <= p95 THEN 1 END), 6)
+               AS trimmed_mean,
+           round((sum(CASE WHEN price >= p05 AND price <= p95 THEN price_cents ELSE 0 END) / 100.0
+                  + count(CASE WHEN price < p05 THEN 1 END) * any_value(p05)
+                  + count(CASE WHEN price > p95 THEN 1 END) * any_value(p95)) / count(*), 6)
+               AS winsorized_mean
+    FROM b
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def agg_trimmed_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    w = Window.partitionBy("l_returnflag")
+    b = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        cents(F.col("l_extendedprice")).alias("price_cents"),
+        F.percentile("l_extendedprice", F.lit(0.05)).over(w).alias("p05"),
+        F.percentile("l_extendedprice", F.lit(0.95)).over(w).alias("p95"),
+    )
+    interior = (F.col("price") >= F.col("p05")) & (F.col("price") <= F.col("p95"))
+    sum_in = F.sum(F.when(interior, F.col("price_cents")).otherwise(F.lit(0)))
+    n_in = F.count(F.when(interior, F.lit(1)))
+    n_below = F.count(F.when(F.col("price") < F.col("p05"), F.lit(1)))
+    n_above = F.count(F.when(F.col("price") > F.col("p95"), F.lit(1)))
+    return (
+        b.groupBy(F.col("l_returnflag").alias("return_flag"))
+        .agg(
+            F.round(F.any_value("p05"), 6).alias("p05"),
+            F.round(F.any_value("p95"), 6).alias("p95"),
+            F.count(F.lit(1)).alias("n_rows"),
+            n_below.alias("n_below"),
+            n_above.alias("n_above"),
+            F.round(sum_in / 100.0 / n_in, 6).alias("trimmed_mean"),
+            F.round(
+                (sum_in / 100.0 + n_below * F.any_value("p05") + n_above * F.any_value("p95"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("return_flag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: each purchase credits the most recent preceding
+# click/view by the same user within a 7-day lookback. The classic
+# formulation is an as-of self-join; the one-shuffle form is a single
+# ordered window with a conditional last(..., ignoreNulls) over the
+# preceding frame — no join, no row inflation, state is O(1) per row.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_last_touch_attribution",
+    oracle="""
+    WITH tagged AS (
+        SELECT event_id, user_id, event_type, ts,
+               last_value(CASE WHEN event_type IN ('click','view') THEN event_id END IGNORE NULLS)
+                   OVER w AS touch_event_id,
+               last_value(CASE WHEN event_type IN ('click','view') THEN ts END IGNORE NULLS)
+                   OVER w AS touch_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_event_id,
+           user_id,
+           touch_event_id,
+           date_diff('microsecond', touch_ts, ts) / 1000000.0 AS gap_seconds
+    FROM tagged
+    WHERE event_type = 'purchase'
+      AND touch_ts IS NOT NULL
+      AND ts - touch_ts <= INTERVAL 7 DAY
+    ORDER BY purchase_event_id
+    """,
+)
+def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True).over(w).alias("touch_event_id"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w).alias("touch_ts"),
+    )
+    return (
+        tagged.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("touch_ts").isNotNull()
+            & (F.col("ts") - F.col("touch_ts") <= F.expr("INTERVAL 7 DAYS"))
+        )
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            "touch_event_id",
+            ((F.unix_micros(F.col("ts")) - F.unix_micros(F.col("touch_ts"))) / 1000000.0).alias(
+                "gap_seconds"
+            ),
+        )
+        .orderBy("purchase_event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding variance screen (feature-quality triage: dead or
+# exploding dimensions before ANN indexing / quantization). posexplode turns
+# the array column into (dim, value) rows — at 100 TB this is the layout
+# that aggregates without skew (the groupBy key cardinality is the embedding
+# width, so partial aggregation collapses each partition to <=64 rows before
+# the exchange). Variance/mean are float; rounded to 6 dp on both sides.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_dimension_variance",
+    oracle="""
+    SELECT CAST(t.i + 1 AS INT) AS dim,
+           round(avg(e.embedding[CAST(t.i + 1 AS INT)]), 6) AS mean_val,
+           round(var_samp(e.embedding[CAST(t.i + 1 AS INT)]), 6) AS var_val,
+           count(*) AS n_vecs
+    FROM embeddings e, range(64) t(i)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def embedding_dimension_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("embedding")
+    return (
+        emb.select(F.posexplode("embedding").alias("pos", "val"))
+        .groupBy((F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            F.round(F.avg("val"), 6).alias("mean_val"),
+            F.round(F.var_samp("val"), 6).alias("var_val"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .orderBy("dim")
+    )
