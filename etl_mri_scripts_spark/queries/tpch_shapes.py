@@ -32,9 +32,13 @@ from .registry import query
 
 # ---------------------------------------------------------------------------
 # Q2 shape: min-cost supplier per part. Correlated MIN subquery decorrelated
-# as a window-min over the per-(part, supplier) aggregate: the window
-# partitionBy reuses the groupBy shuffle (both keyed on p_partkey), so the
-# whole query is ONE exchange plus a broadcast of the 100-row supplier dim.
+# as a window-min over the per-(part, supplier) aggregate. Two exchanges by
+# design: the first is keyed (part_key, l_suppkey) so map-side partial
+# aggregation collapses raw lineitem rows BEFORE any shuffle (~Nx fewer
+# bytes); the second re-keys the already-aggregated offer table (one row per
+# part-supplier pair) for the window. Re-keying the small table beats
+# pre-partitioning the raw fact scan by part_key (which would shuffle every
+# raw row to make the window free). Supplier dim broadcasts.
 # ---------------------------------------------------------------------------
 
 

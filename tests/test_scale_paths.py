@@ -112,6 +112,8 @@ def test_no_query_plans_a_cartesian_or_nested_loop(spark, sf_dir):
         "ann_ivf_kmeans_topk",
         "imaging_key_parity_gate",
         "corpus_mix_plan",  # crossJoin with broadcast 1-row binding-constraint agg
+        "supplier_value_share_threshold",  # broadcast 1-row global-total agg (Q11 HAVING scalar)
+        "idle_rich_customers_by_nation",  # broadcast 1-row avg-balance agg (Q22 scalar subquery)
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
@@ -213,3 +215,66 @@ def test_profile_scans_prune_to_single_columns(spark, sf_dir):
     for s in scans:
         cols = s.split("FileScan parquet [")[1].split("]")[0].split(",")
         assert len(cols) == 1, s[:120]
+
+
+def _executed_plan(spark, name, sf_dir):
+    from etl_mri_scripts_spark.queries import QUERIES
+
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_decorrelated_shapes_reuse_one_fact_exchange(spark, sf_dir):
+    # Q17 shape: the window decorrelation partitions on the SAME key the
+    # correlated filter uses, so the whole query must pay exactly one hash
+    # exchange keyed l_partkey — a second one means Catalyst lost the
+    # co-partitioning (and the semi-join gate must stay broadcast).
+    plan = _executed_plan(spark, "small_quantity_revenue_below_avg", sf_dir)
+    fact_ex = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "l_partkey" in l
+    ]
+    assert len(fact_ex) == 1, fact_ex
+
+    # Q2 shape: exactly two hash exchanges by design — the raw-fact one is
+    # keyed (part_key, l_suppkey) so map-side partial aggregation combines
+    # BEFORE the shuffle; the window one re-keys only the aggregated offer
+    # table. A part_key exchange below the aggregate would mean raw rows
+    # are being shuffled to subsidize the window — strictly more bytes.
+    plan = _executed_plan(spark, "join_min_cost_supplier_per_part", sf_dir)
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) == 2, ex
+    pair_keyed = [l for l in ex if "part_key" in l and "l_suppkey" in l]
+    assert len(pair_keyed) == 1, ex
+
+
+def test_late_sole_supplier_has_no_fact_self_join(spark, sf_dir):
+    # Q21 shape: the textbook EXISTS/NOT-EXISTS form self-joins lineitem
+    # twice; the engine's groupBy collapse must scan lineitem exactly once.
+    plan = _executed_plan(spark, "late_sole_supplier_orders", sf_dir)
+    li_scans = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "l_orderkey" in l
+    ]
+    assert len(li_scans) == 1, li_scans
+
+
+def test_large_order_survivors_broadcast_not_dims(spark, sf_dir):
+    # Q18 shape: the HAVING survivors (tiny) must be the broadcast side so
+    # the orders/customer tables never shuffle for this join.
+    plan = _executed_plan(spark, "large_order_customers", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # orders and customer scans feed joins directly — no hash exchange may
+    # sit between their scans and the first join.
+    assert not [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and ("o_orderkey" in l or "c_custkey" in l)
+    ]
+
+
+def test_attribution_and_twa_share_window_and_agg_exchange(spark, sf_dir):
+    # events_time_weighted_avg: window partitionBy(user_id) and the final
+    # groupBy(user_id) must plan ONE user_id exchange, not two.
+    plan = _executed_plan(spark, "events_time_weighted_avg", sf_dir)
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len([l for l in ex if "user_id" in l]) == 1, ex
