@@ -257,3 +257,134 @@ def embedding_dimension_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist-term scrubbing (the shape of PII/toxicity redaction in a text
+# curation stack: word-boundary alternation regex, per-doc hit counts,
+# before/after sizes). Pure JVM-side regexp_count/regexp_replace — no Python
+# in the row path, so the scan stays inside whole-stage codegen. The same
+# word-boundary \b semantics hold in Java regex and DuckDB RE2.
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST_RE = r"\b(customer|key|hash)\b"
+
+
+@query(
+    "text_blocklist_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BLOCKLIST_RE}')) AS BIGINT) AS n_hits,
+           length(text) AS len_before,
+           length(regexp_replace(text, '{_BLOCKLIST_RE}', '[REDACTED]', 'g')) AS len_after
+    FROM documents
+    WHERE len(regexp_extract_all(text, '{_BLOCKLIST_RE}')) > 0
+    ORDER BY doc_id
+    """,
+)
+def text_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_hits = F.regexp_count(F.col("text"), F.lit(_BLOCKLIST_RE))
+    return (
+        docs.select(
+            "doc_id",
+            n_hits.cast("long").alias("n_hits"),
+            F.length("text").alias("len_before"),
+            F.length(F.regexp_replace(F.col("text"), _BLOCKLIST_RE, "[REDACTED]")).alias("len_after"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnostic — the pre-flight report you run BEFORE a big join
+# to decide between plain shuffle / AQE skew split / salting (the engine's
+# join_skew_salted_replicated). One aggregation pass keyed by the join key;
+# the global max/avg ratio comes from an unpartitioned window over the
+# per-key result — key-cardinality rows, not fact rows (the
+# nation_revenue_share percent-of-total pattern).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_key_skew_diagnostic",
+    oracle="""
+    WITH per_key AS (
+        SELECT l_suppkey AS join_key, count(*) AS key_rows
+        FROM lineitem GROUP BY 1
+    ), g AS (
+        SELECT max(key_rows) AS max_rows, avg(key_rows) AS avg_rows,
+               CAST(sum(key_rows) AS BIGINT) AS total_rows
+        FROM per_key
+    )
+    SELECT p.join_key, p.key_rows,
+           round(p.key_rows / g.avg_rows, 6) AS hot_factor,
+           round(g.max_rows / g.avg_rows, 6) AS global_skew_ratio,
+           p.key_rows > 2 * g.avg_rows AS salt_recommended
+    FROM per_key p, g
+    ORDER BY p.key_rows DESC, p.join_key
+    """,
+)
+def join_key_skew_diagnostic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("join_key"))
+    per_key = li.groupBy("join_key").agg(F.count(F.lit(1)).alias("key_rows"))
+    w = Window.partitionBy()
+    return (
+        per_key.withColumn("max_rows", F.max("key_rows").over(w))
+        .withColumn("avg_rows", F.avg("key_rows").over(w))
+        .select(
+            "join_key",
+            "key_rows",
+            F.round(F.col("key_rows") / F.col("avg_rows"), 6).alias("hot_factor"),
+            F.round(F.col("max_rows") / F.col("avg_rows"), 6).alias("global_skew_ratio"),
+            (F.col("key_rows") > 2 * F.col("avg_rows")).alias("salt_recommended"),
+        )
+        .orderBy(F.desc("key_rows"), "join_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group z-score standardization (feature scaling before model training).
+# mean/stddev attach via a window partitioned by the group key — one
+# exchange, rows stay put for the per-row transform. Sums under the window
+# are float (stddev is inherently float); outputs round to 6 dp per the
+# cross-engine convention, and the z-score denominator guards stddev=0.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "feature_zscore_standardize",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, lang, n_chars,
+               avg(n_chars) OVER (PARTITION BY lang) AS mu,
+               stddev_samp(n_chars) OVER (PARTITION BY lang) AS sigma
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars,
+           round((n_chars - mu) / nullif(sigma, 0.0), 6) AS zscore,
+           abs(n_chars - mu) > 2 * sigma AS is_outlier
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def feature_zscore_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    w = Window.partitionBy("lang")
+    s = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.avg("n_chars").over(w).alias("mu"),
+        F.stddev_samp("n_chars").over(w).alias("sigma"),
+    )
+    return s.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(
+            (F.col("n_chars") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0)), 6
+        ).alias("zscore"),
+        (F.abs(F.col("n_chars") - F.col("mu")) > 2 * F.col("sigma")).alias("is_outlier"),
+    ).orderBy("doc_id")
