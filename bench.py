@@ -58,6 +58,10 @@ HEADLINE = [
     "cohort_retention_weekly",
     "text_chunk_overlapping",
     "events_transition_matrix",
+    "late_sole_supplier_orders",
+    "customer_order_count_distribution",
+    "events_time_weighted_avg",
+    "agg_trimmed_winsorized_stats",
     "sample_weighted_exact",
 ]
 
