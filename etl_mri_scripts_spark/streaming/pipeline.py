@@ -218,3 +218,68 @@ def dedup_within_watermark_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def attribution_stream(events: DataFrame, lookback_days: int = 7) -> DataFrame:
+    """Streaming last-touch attribution (the incremental form of the batch
+    q:events_last_touch_attribution): per-user state holds only the most
+    recent qualifying touch (click/view), and every purchase within the
+    lookback emits an attribution row in the same micro-batch. State is one
+    (event_id, ts) pair per user — O(|users|), independent of stream length
+    — where the batch form needs the full ordered history per user.
+
+    Rows are processed in event-time order WITHIN each micro-batch (sorted
+    in the UDF) and batches arrive in file order; for out-of-order sources
+    put a watermark + sorted repartition in front, or the touch state may
+    briefly lag.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "purchase_event_id long, user_id long, touch_event_id long, gap_seconds double"
+    )
+    state_schema = "touch_id long, touch_us long"
+    lookback_us = lookback_days * 86_400_000_000
+
+    def update(key, pdfs, state: GroupState):
+        touch_id, touch_us = state.get if state.exists else (None, None)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ev_id, ev_type, ts in zip(
+                pdf["event_id"], pdf["event_type"], pdf["ts"]
+            ):
+                ts_us = int(pd.Timestamp(ts).value) // 1000
+                if ev_type in ("click", "view"):
+                    touch_id, touch_us = int(ev_id), ts_us
+                elif ev_type == "purchase" and touch_us is not None:
+                    gap = ts_us - touch_us
+                    if 0 <= gap <= lookback_us:
+                        out.append(
+                            {
+                                "purchase_event_id": int(ev_id),
+                                "user_id": int(key[0]),
+                                "touch_event_id": touch_id,
+                                "gap_seconds": gap / 1_000_000.0,
+                            }
+                        )
+        if touch_us is not None:
+            state.update((touch_id, touch_us))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "purchase_event_id",
+                "user_id",
+                "touch_event_id",
+                "gap_seconds",
+            ],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -272,3 +272,50 @@ def test_dedup_within_watermark_drops_duplicates(spark, tmp_path, sf_dir):
     rows = spark.sql("select event_id from dd_wm").collect()
     ids = [r["event_id"] for r in rows]
     assert len(ids) == len(set(ids)) == ev.count()
+
+
+def test_streaming_attribution_matches_batch(spark, tmp_path, sf_dir):
+    # Streaming last-touch attribution must reproduce the batch query when
+    # fed the same events time-split into two micro-batches (early half
+    # first, so cross-batch event-time order holds per user).
+    from etl_mri_scripts_spark.queries import QUERIES
+    from etl_mri_scripts_spark.streaming.pipeline import attribution_stream
+    from etl_mri_scripts_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    split_ts = ev.agg(F.percentile_approx("ts", F.lit(0.5), F.lit(100))).first()[0]
+    in_dir = str(tmp_path / "ain")
+    os.makedirs(in_dir)
+    ev.filter(F.col("ts") <= F.lit(split_ts)).write.mode("overwrite").parquet(
+        in_dir + "/chunk=a"
+    )
+
+    # parquet feed: json serializes timestamps at millisecond precision,
+    # which perturbs the micro-exact gaps; parquet preserves micros.
+    stream = stream_events(spark, in_dir + "/*", fmt="parquet")
+    attributed = attribution_stream(stream)
+    q = (
+        attributed.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ackpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ev.filter(F.col("ts") > F.lit(split_ts)).write.mode("overwrite").parquet(
+            in_dir + "/chunk=b"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["purchase_event_id"], r["touch_event_id"], round(r["gap_seconds"], 3))
+        for r in spark.sql("select * from attrib").collect()
+    }
+    expected = {
+        (r["purchase_event_id"], r["touch_event_id"], round(r["gap_seconds"], 3))
+        for r in QUERIES["events_last_touch_attribution"](spark, sf_dir).collect()
+    }
+    assert got == expected and len(expected) > 0
