@@ -388,3 +388,91 @@ def feature_zscore_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("zscore"),
         (F.abs(F.col("n_chars") - F.col("mu")) > 2 * F.col("sigma")).alias("is_outlier"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test over a contingency table (label-vs-source
+# bias checks in dataset audits). The fact table aggregates ONCE to cell
+# counts (R x C rows); marginals and the statistic come from windows over
+# that tiny frame — the same aggregate-then-window discipline as
+# nation_revenue_share, so fact rows shuffle exactly once.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_crosstab_chi2",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderpriority AS r, o_orderstatus AS c, count(*) AS n
+        FROM orders GROUP BY 1, 2
+    ), m AS (
+        SELECT r, c, n,
+               sum(n) OVER (PARTITION BY r) AS row_tot,
+               sum(n) OVER (PARTITION BY c) AS col_tot,
+               sum(n) OVER () AS grand_tot
+        FROM cells
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS BIGINT) AS dof,
+           round(sum(pow(n - row_tot * col_tot / CAST(grand_tot AS DOUBLE), 2)
+                     / (row_tot * col_tot / CAST(grand_tot AS DOUBLE))), 6) AS chi2
+    FROM m
+    """,
+)
+def orders_crosstab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("c")
+    )
+    cells = orders.groupBy("r", "c").agg(F.count(F.lit(1)).alias("n"))
+    m = cells.select(
+        "r",
+        "c",
+        "n",
+        F.sum("n").over(Window.partitionBy("r")).alias("row_tot"),
+        F.sum("n").over(Window.partitionBy("c")).alias("col_tot"),
+        F.sum("n").over(Window.partitionBy()).alias("grand_tot"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("grand_tot").cast("double")
+    return m.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        ((F.countDistinct("r") - 1) * (F.countDistinct("c") - 1)).alias("dof"),
+        F.round(F.sum(F.pow(F.col("n") - e, 2) / e), 6).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise correlation matrix over the numeric fact columns (feature
+# redundancy screen). ONE aggregate pass computes every pairwise corr —
+# Spark's corr/covar accumulators merge associatively across partitions, so
+# this is a single map-side-combined reduction; never per-pair scans.
+# Emitted in long (pair-per-row) form, the layout a feature store ingests.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_numeric_correlations",
+    oracle="""
+    WITH s AS (
+        SELECT round(corr(l_quantity, l_extendedprice), 6) AS qty_price,
+               round(corr(l_quantity, l_discount), 6) AS qty_discount,
+               round(corr(l_extendedprice, l_discount), 6) AS price_discount,
+               round(corr(l_extendedprice, l_tax), 6) AS price_tax
+        FROM lineitem
+    )
+    SELECT 'qty_price' AS pair, qty_price AS corr_val FROM s
+    UNION ALL SELECT 'qty_discount', qty_discount FROM s
+    UNION ALL SELECT 'price_discount', price_discount FROM s
+    UNION ALL SELECT 'price_tax', price_tax FROM s
+    ORDER BY pair
+    """,
+)
+def lineitem_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("qty_discount"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("price_discount"),
+        F.round(F.corr("l_extendedprice", "l_tax"), 6).alias("price_tax"),
+    )
+    long = s.unpivot([], ["qty_price", "qty_discount", "price_discount", "price_tax"], "pair", "corr_val")
+    return long.orderBy("pair")
