@@ -283,3 +283,64 @@ def attribution_stream(events: DataFrame, lookback_days: int = 7) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def time_weighted_avg_stream(events: DataFrame) -> DataFrame:
+    """Streaming time-weighted average (incremental form of the batch
+    q:events_time_weighted_avg): per-user state carries (last_ts, last_value,
+    accumulated weighted mass, accumulated span) — four longs — and each
+    micro-batch folds its events in. The step-interpolation weights are the
+    same exact integer microseconds as the batch form, so after any batch
+    the emitted row equals the batch query over the prefix seen so far:
+    stream-batch parity is exact, not approximate.
+
+    Same in-order contract as attribution_stream: rows sort by event time
+    within a batch; batches must arrive in time order per user.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, weighted_fixed long, span_us long, time_weighted_avg double"
+    )
+    state_schema = "last_us long, last_v long, acc_w long, acc_s long"
+
+    def update(key, pdfs, state: GroupState):
+        last_us, last_v, acc_w, acc_s = (
+            state.get if state.exists else (None, None, 0, 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ev_ts, ev_val in zip(pdf["ts"], pdf["value"]):
+                ts_us = int(pd.Timestamp(ev_ts).value) // 1000
+                v_cents = int(round(float(ev_val) * 100))
+                if last_us is not None:
+                    dt = ts_us - last_us
+                    acc_w += last_v * dt
+                    acc_s += dt
+                last_us, last_v = ts_us, v_cents
+        state.update((last_us, last_v, acc_w, acc_s))
+        if acc_s > 0:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": int(key[0]),
+                        "weighted_fixed": acc_w,
+                        "span_us": acc_s,
+                        "time_weighted_avg": acc_w / (100.0 * acc_s),
+                    }
+                ]
+            )
+        else:
+            yield pd.DataFrame(
+                [],
+                columns=["user_id", "weighted_fixed", "span_us", "time_weighted_avg"],
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

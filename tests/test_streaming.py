@@ -319,3 +319,53 @@ def test_streaming_attribution_matches_batch(spark, tmp_path, sf_dir):
         for r in QUERIES["events_last_touch_attribution"](spark, sf_dir).collect()
     }
     assert got == expected and len(expected) > 0
+
+
+def test_streaming_twa_matches_batch_exactly(spark, tmp_path, sf_dir):
+    # Incremental TWA must equal the batch query bit-exactly after the
+    # final micro-batch (exact integer weights -> identical double).
+    from etl_mri_scripts_spark.queries import QUERIES
+    from etl_mri_scripts_spark.streaming.pipeline import time_weighted_avg_stream
+    from etl_mri_scripts_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    split_ts = ev.agg(F.percentile_approx("ts", F.lit(0.5), F.lit(100))).first()[0]
+    in_dir = str(tmp_path / "twain")
+    os.makedirs(in_dir)
+    ev.filter(F.col("ts") <= F.lit(split_ts)).write.mode("overwrite").parquet(
+        in_dir + "/chunk=a"
+    )
+
+    stream = stream_events(spark, in_dir + "/*", fmt="parquet")
+    twa = time_weighted_avg_stream(stream)
+    q = (
+        twa.writeStream.format("memory")
+        .queryName("twa")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "twackpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ev.filter(F.col("ts") > F.lit(split_ts)).write.mode("overwrite").parquet(
+            in_dir + "/chunk=b"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # keep the LAST emitted row per user (max span: state only grows)
+    rows = spark.sql("select * from twa").collect()
+    latest = {}
+    for r in rows:
+        if r["user_id"] not in latest or r["span_us"] > latest[r["user_id"]]["span_us"]:
+            latest[r["user_id"]] = r
+    got = {
+        u: (r["weighted_fixed"], r["span_us"], r["time_weighted_avg"])
+        for u, r in latest.items()
+    }
+    expected = {
+        r["user_id"]: (r["weighted_fixed"], r["span_us"], r["time_weighted_avg"])
+        for r in QUERIES["events_time_weighted_avg"](spark, sf_dir).collect()
+    }
+    assert got == expected and len(expected) > 0
