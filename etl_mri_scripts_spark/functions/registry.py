@@ -58,4 +58,41 @@ def register_all(spark: SparkSession) -> list[str]:
     spark.udf.register("parse_field_target", parse_field_target_udf)
     spark.udf.register("normalize_key", normalize_key_udf)
     spark.udf.register("p98", p98_udaf)
-    return ["snr_target_from_field", "parse_field_target", "normalize_key", "p98"]
+    spark.udtf.register("chunk_text", chunk_text_udtf())
+    return [
+        "snr_target_from_field",
+        "parse_field_target",
+        "normalize_key",
+        "p98",
+        "chunk_text",
+    ]
+
+
+def chunk_text_udtf():
+    """Python UDTF (table function): overlapping chunk extraction as a SQL
+    lateral — ``SELECT d.doc_id, c.* FROM documents d, LATERAL
+    chunk_text(d.text) c``. Same grid semantics as the Catalyst
+    q:text_chunk_overlapping (sequence + trailing-edge rule, SURVEY §2.3
+    P8 on text); that zero-Python form is the scale path — this UDTF
+    exists so SQL-text callers get the operator without DataFrame access.
+    Declared lazily so merely importing this module needs no Spark."""
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    from ..queries.text import CHUNK_LEN, CHUNK_STRIDE
+
+    @udtf(returnType="chunk_start int, chunk_len int, chunk_md5 string")
+    class ChunkText:
+        def eval(self, text: str):
+            if text is None:
+                return
+            n = len(text)
+            starts = list(range(1, max(1, n - CHUNK_LEN + 1) + 1, CHUNK_STRIDE)) or [1]
+            if n > CHUNK_LEN and (n - CHUNK_LEN) % CHUNK_STRIDE > 0:
+                starts.append(n - CHUNK_LEN + 1)
+            for s in starts:
+                chunk = text[s - 1 : s - 1 + CHUNK_LEN]
+                yield s, len(chunk), hashlib.md5(chunk.encode()).hexdigest()
+
+    return ChunkText

@@ -10,7 +10,13 @@ from etl_mri_scripts_spark.functions import register_all
 
 def test_register_and_call_from_sql_text(spark):
     names = register_all(spark)
-    assert set(names) == {"snr_target_from_field", "parse_field_target", "normalize_key", "p98"}
+    assert set(names) == {
+        "snr_target_from_field",
+        "parse_field_target",
+        "normalize_key",
+        "p98",
+        "chunk_text",
+    }
     row = spark.sql(
         "SELECT normalize_key('vol001__axial__slice_003__HR_s007') AS nk,"
         "       parse_field_target('1,5T') AS tesla,"
@@ -62,3 +68,25 @@ def test_p98_udaf_groupby_matches_numpy(spark, sf_dir):
     for flag, grp in pdf.groupby("l_returnflag"):
         want = float(np.percentile(grp["l_extendedprice"].to_numpy(), 98))
         assert abs(got[flag] - want) < 1e-6
+
+
+def test_chunk_text_udtf_matches_catalyst_query(spark, sf_dir):
+    # The SQL-lateral UDTF must reproduce the zero-Python Catalyst chunker
+    # exactly (grid starts, trailing-edge rule, md5 payload digests).
+    from etl_mri_scripts_spark.queries import QUERIES
+    from etl_mri_scripts_spark.tables import table
+
+    register_all(spark)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    got = {
+        (r["doc_id"], r["chunk_start"], r["chunk_len"], r["chunk_md5"])
+        for r in spark.sql(
+            "SELECT d.doc_id, c.chunk_start, c.chunk_len, c.chunk_md5 "
+            "FROM docs_udtf d, LATERAL chunk_text(d.text) c"
+        ).collect()
+    }
+    expected = {
+        (r["doc_id"], r["chunk_start"], r["chunk_len"], r["chunk_md5"])
+        for r in QUERIES["text_chunk_overlapping"](spark, sf_dir).collect()
+    }
+    assert got == expected and len(expected) > 0
