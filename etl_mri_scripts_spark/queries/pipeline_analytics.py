@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..tables import table
-from .exact import cents, cents_sql
+from .exact import REVENUE_FIXED_SQL, cents, cents_sql, revenue_fixed
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -476,3 +476,159 @@ def lineitem_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     long = s.unpivot([], ["qty_price", "qty_discount", "price_discount", "price_tax"], "pair", "corr_val")
     return long.orderBy("pair")
+
+
+# ---------------------------------------------------------------------------
+# Median absolute deviation per group — the robust scale estimate paired
+# with the reference's robust percentile rescale (D11). Two exact-median
+# passes; both windows partition on the SAME key, so Catalyst plans one
+# exchange and the second pass rides the first's sort order.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_median_abs_deviation",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag, l_extendedprice,
+               quantile_cont(l_extendedprice, 0.5) OVER (PARTITION BY l_returnflag) AS med
+        FROM lineitem
+    ), d AS (
+        SELECT l_returnflag, med,
+               quantile_cont(abs(l_extendedprice - med), 0.5)
+                   OVER (PARTITION BY l_returnflag) AS mad
+        FROM m
+    )
+    SELECT l_returnflag AS return_flag,
+           round(any_value(med), 6) AS median_price,
+           round(any_value(mad), 6) AS mad,
+           round(any_value(mad) * 1.4826, 6) AS sigma_robust
+    FROM d
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    w = Window.partitionBy("l_returnflag")
+    m = li.withColumn("med", F.percentile("l_extendedprice", F.lit(0.5)).over(w))
+    d = m.withColumn(
+        "mad",
+        F.percentile(F.abs(F.col("l_extendedprice") - F.col("med")), F.lit(0.5)).over(w),
+    )
+    return (
+        d.groupBy(F.col("l_returnflag").alias("return_flag"))
+        .agg(
+            F.round(F.any_value("med"), 6).alias("median_price"),
+            F.round(F.any_value("mad"), 6).alias("mad"),
+            F.round(F.any_value("mad") * 1.4826, 6).alias("sigma_robust"),
+        )
+        .orderBy("return_flag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer revenue per nation (inequality diagnostic,
+# the scalar companion to q:revenue_pareto_share's curve). Revenue sums are
+# exact cents; the rank-weighted form G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n
+# needs one ordered window and one aggregate on the same key — the rank
+# weights are exact longs, so the only float math is the final expression.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_revenue_gini",
+    oracle=f"""
+    WITH rev AS (
+        SELECT c.c_nationkey AS nation_key, c.c_custkey,
+               CAST(sum({REVENUE_FIXED_SQL}) AS BIGINT) AS r
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT nation_key, r,
+               row_number() OVER (PARTITION BY nation_key ORDER BY r, c_custkey) AS i
+        FROM rev
+    )
+    SELECT nation_key,
+           count(*) AS n_customers,
+           round(2.0 * sum(i * r) / (count(*) * CAST(sum(r) AS DOUBLE))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM ranked
+    GROUP BY 1
+    HAVING sum(r) > 0
+    ORDER BY 1
+    """,
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation_key"), "c_custkey")
+        .agg(F.sum(revenue_fixed(F.col("l_extendedprice"), F.col("l_discount"))).alias("r"))
+    )
+    wr = Window.partitionBy("nation_key").orderBy("r", "c_custkey")
+    ranked = rev.withColumn("i", F.row_number().over(wr))
+    return (
+        ranked.groupBy("nation_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("r")) / (F.count(F.lit(1)) * F.sum("r").cast("double"))
+                - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+                6,
+            ).alias("gini"),
+            F.sum("r").alias("_tot"),
+        )
+        .filter(F.col("_tot") > 0)
+        .drop("_tot")
+        .orderBy("nation_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy of the language mix per source (corpus balance
+# diagnostic; low entropy = a source collapsed to one language). Cell
+# counts aggregate once; the per-source totals come from a window over the
+# cell table (|sources| x |langs| rows).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "label_entropy_by_source",
+    oracle="""
+    WITH cells AS (
+        SELECT source, lang, count(*) AS n
+        FROM documents GROUP BY 1, 2
+    ), m AS (
+        SELECT source, lang, n, sum(n) OVER (PARTITION BY source) AS tot
+        FROM cells
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           count(*) AS n_langs,
+           round(-sum((n / CAST(tot AS DOUBLE)) * ln(n / CAST(tot AS DOUBLE))), 6)
+               AS lang_entropy_nats
+    FROM m
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def label_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("source", "lang")
+    cells = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    m = cells.withColumn("tot", F.sum("n").over(Window.partitionBy("source")))
+    p = F.col("n") / F.col("tot").cast("double")
+    return (
+        m.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy_nats"),
+        )
+        .orderBy("source")
+    )
