@@ -278,3 +278,41 @@ def test_attribution_and_twa_share_window_and_agg_exchange(spark, sf_dir):
     plan = _executed_plan(spark, "events_time_weighted_avg", sf_dir)
     ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len([l for l in ex if "user_id" in l]) == 1, ex
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    # 100 TB scale path: when a selective dim filter feeds a SHUFFLE join,
+    # Spark injects a runtime bloom filter on the fact side so the big scan
+    # drops non-joining rows before the exchange. Local thresholds are
+    # sized for clusters (10 GB application side), so pin them down here
+    # and assert the rewrite actually engages — this documents the exact
+    # knobs the engine relies on in production.
+    from etl_mri_scripts_spark.tables import table
+    from pyspark.sql import functions as F
+
+    tweaks = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tweaks}
+    try:
+        for k, v in tweaks.items():
+            spark.conf.set(k, v)
+        orders = table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
