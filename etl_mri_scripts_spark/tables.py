@@ -41,16 +41,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects. Read it as raw long nanos (legacy conf) and truncate to
-    microseconds with integer division — bit-identical to how DuckDB coerces
-    TIMESTAMP_NS to its microsecond TIMESTAMP, so oracle comparisons hold.
+    """events.ts may be parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects. When it is, read it as raw long nanos (legacy conf) and
+    truncate to microseconds with integer division — bit-identical to how
+    DuckDB coerces TIMESTAMP_NS to its microsecond TIMESTAMP, so oracle
+    comparisons hold. When the file already carries TIMESTAMP(MICROS), the
+    scan needs no rewrite.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
