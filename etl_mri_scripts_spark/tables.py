@@ -41,20 +41,45 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts may be parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects. When it is, read it as raw long nanos (legacy conf) and
-    truncate to microseconds with integer division — bit-identical to how
-    DuckDB coerces TIMESTAMP_NS to its microsecond TIMESTAMP, so oracle
-    comparisons hold. When the file already carries TIMESTAMP(MICROS), the
-    scan needs no rewrite.
+    """Normalize events.ts to TimestampType regardless of parquet encoding.
+
+    Three encodings appear in the wild:
+      * TIMESTAMP(NANOS) — Spark's vectorized reader rejects it, so read as
+        raw long nanos (legacy conf) and truncate to micros with integer
+        division, bit-identical to DuckDB's TIMESTAMP_NS -> TIMESTAMP coerce.
+      * TIMESTAMP(MICROS, isAdjustedToUTC=false) — Spark 4.x with default
+        ``inferTimestampNTZ=true`` reads this as TIMESTAMP_NTZ; cast to
+        TIMESTAMP. Session tz is pinned UTC (session.py), so the cast is a
+        pure re-tag and values match the DuckDB oracle exactly.
+      * TIMESTAMP(MICROS, adjusted) — already TimestampType, no rewrite.
+
+    The ``nanosAsLong`` conf is set/restored around the read so the catalog
+    does not mutate how the caller's session reads other parquet files.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        prev = spark.conf.get(conf_key)
+    except Exception:
+        prev = None
+    spark.conf.set(conf_key, "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # NANOS file: the conf must STAY set — the scan re-checks it when the
+        # lazy plan executes. This is the only case with a session-wide
+        # side effect, and it is required for the read to work at all.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Non-NANOS file: restore the caller's conf so the catalog does not
+    # change how other parquet reads in this session interpret NANOS.
+    if prev is None:
+        spark.conf.unset(conf_key)
+    else:
+        spark.conf.set(conf_key, prev)
+    if isinstance(ts_type, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
