@@ -149,7 +149,7 @@ _SHINGLES_DUCK = """
 
 
 @query(
-    "dedup_ngram_jaccard_pairs",
+    "dedup_ngram_jaccard_pairs_diagnostic",
     oracle=f"""
     WITH sh AS (
       SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
@@ -169,11 +169,12 @@ _SHINGLES_DUCK = """
     ORDER BY doc_a, doc_b
     """,
 )
-def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Near-dup pairs by exact Jaccard over distinct 3-shingles, but the
-    # pair space comes from an inverted-index self-join on shingle (only
-    # docs SHARING a shingle are ever paired), not a cross join. At 100 TB
-    # the same plan holds with a document-frequency cap on shingles.
+def dedup_ngram_jaccard_pairs_diagnostic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DIAGNOSTIC-ONLY: exact Jaccard with NO document-frequency cap. A
+    # shingle appearing in d docs fans out d^2 candidate rows, so this is a
+    # small-corpus ground-truth tool for validating dedup_jaccard_dfcap and
+    # the MinHash/LSH paths — never the production plan. At scale use
+    # dedup_jaccard_dfcap (df-capped, bounded bucket fan-out) below.
     sh = _exploded_shingles(spark, sf_dir, cache=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")

@@ -285,12 +285,16 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK
     )
     df_tab = words.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar: dimension-free literal, no crossJoin needed
+    # corpus size as a broadcast 1-row aggregate (same pattern as
+    # curation.corpus_mix_plan) — keeps query construction lazy instead of
+    # running an eager count() job per invocation.
+    n_tab = F.broadcast(d.agg(F.count(F.lit(1)).alias("n_docs")))
     tf = words.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("tf"))
-    score = F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0))
+    score = F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
     w_rank = Window.partitionBy("lang").orderBy(F.desc_nulls_last("score"), F.asc("w"))
     return (
         tf.join(df_tab, "w")
+        .crossJoin(n_tab)
         .withColumn("score", score)
         .withColumn("rk", F.row_number().over(w_rank))
         .filter(F.col("rk") <= 3)

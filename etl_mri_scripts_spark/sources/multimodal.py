@@ -2,11 +2,10 @@
 opaque binary payloads with typed metadata columns.
 
 The Spark-side plumbing — schema, Arrow batching, partitioning, fan-out
-shape — is real and tested. Codec decode (JPEG/PNG/WAV/MP4) is STUBBED:
-the image/audio libraries are not in this container, so `codec_decode`
-raises NotImplementedError behind an import-try, and the deterministic
-`.npy` payload path stands in for decoded content end-to-end (same
-contract the NIfTI source uses, sources/volumes.py).
+shape — is real and tested. PNG decode/encode is REAL (the engine's
+zero-dependency codec, sources/codecs.py), as is the deterministic `.npy`
+payload path. JPEG/WAV/MP4 need cv2/PIL/soundfile, absent from this
+container, so those mimes raise NotImplementedError behind an import-try.
 
 Scale notes: payloads never enter group-by keys or join keys; every
 operation below is a narrow per-row map (mapInPandas) or an explode whose
@@ -15,6 +14,8 @@ rows (fat) as early as possible so shuffles move features, not media.
 """
 
 from __future__ import annotations
+
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -72,19 +73,82 @@ def synthetic_media(spark: SparkSession, n: int = 12, seed: int = 21) -> DataFra
 
 
 def codec_decode(payload: bytes, mime: str) -> np.ndarray:
-    """Real codec decode — STUB. PIL/cv2/soundfile are unavailable here;
-    the .npy mime is the deterministic fake used by tests and the
-    synthetic source."""
+    """Codec decode. Natively supported with zero third-party deps:
+      * */x-npy — the deterministic synthetic payload format,
+      * image/png — via the engine's spec-compliant PNG codec
+        (sources/codecs.py; ref: extract_subimages.py:52 cv2.imread).
+    JPEG/WAV/MP4 require cv2/PIL/soundfile, absent from this container —
+    those mimes raise NotImplementedError behind an import-try."""
     if mime.endswith("/x-npy"):
         return npy_bytes_to_np(payload)
+    if mime == "image/png":
+        from .codecs import decode_png
+
+        return decode_png(bytes(payload))
     try:
         import PIL  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
             f"codec decode for {mime} requires image/audio libraries not "
-            "present in this container; payloads of mime */x-npy decode natively"
+            "present in this container; */x-npy and image/png decode natively"
         ) from exc
     raise NotImplementedError(f"unsupported mime {mime}")
+
+
+def scan_png_tree(spark: SparkSession, root: str) -> DataFrame:
+    """S7/K1 read side: recursive binary scan of a PNG tree -> decoded
+    media rows (ref: extract_subimages.py:43-52 glob + cv2.imread). Decode
+    runs on executors in Arrow batches via the engine's PNG codec; pixels
+    re-enter the engine as .npy payloads so every downstream operator is
+    codec-agnostic."""
+    from .codecs import decode_png
+
+    scanned = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.png")
+        .load(root)
+        .select("path", "content")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img = decode_png(bytes(content))
+                h, w = img.shape[:2]
+                c = 1 if img.ndim == 2 else img.shape[2]
+                stem = str(path).rsplit("/", 1)[-1][: -len(".png")]
+                rows.append(dict(
+                    media_id=np.int64(zlib.crc32(stem.encode())), kind="image",
+                    mime="image/x-npy", payload=np_to_npy_bytes(img, "uint8"),
+                    width=w, height=h, channels=c, sample_rate=0, n_frames=1,
+                ))
+            yield pd.DataFrame(
+                rows, columns=[f.split(" ")[0] for f in MEDIA_SCHEMA.split(", ")]
+            )
+
+    return scanned.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def write_png_tree(df: DataFrame, out_dir: str, compression: int = 6) -> None:
+    """K1/K2: write each row's uint8 payload as a real .png file named by
+    ``key`` (ref: slice PNG tree, extract_subimages.py:80-86 cv2.imwrite
+    with IMWRITE_PNG_COMPRESSION). One foreachPartition writer per task —
+    executors write files in parallel, the driver moves no pixels. Expects
+    columns (key string, payload binary[.npy uint8])."""
+    from .codecs import encode_png
+
+    def write_partition(rows):
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        for r in rows:
+            img = npy_bytes_to_np(bytes(r["payload"]))
+            with open(os.path.join(out_dir, f"{r['key']}.png"), "wb") as f:
+                f.write(encode_png(np.ascontiguousarray(img), compression))
+
+    df.select("key", "payload").foreachPartition(write_partition)
 
 
 def _area_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

@@ -71,39 +71,42 @@ def scan_nifti(spark: SparkSession, root: str, path_regex: str = r".*/anat/.*\.n
     )
 
 
-def decode_nifti(scanned: DataFrame) -> DataFrame:
-    """S4-S6: NIfTI decode to VOLUME_SCHEMA via mapInPandas.
+def _decode_one_nifti(content: bytes) -> tuple[np.ndarray, tuple[float, float, float]]:
+    """Decode one NIfTI blob: nibabel when installed (full format coverage),
+    else the engine's spec-compliant pure-numpy NIfTI-1 reader
+    (sources/codecs.py) — both return (float32 volume, zooms), matching the
+    reference's nib.load(...).get_fdata() at slice_generator.py:69-70."""
+    try:
+        import nibabel as nib
+    except ImportError:
+        from .codecs import decode_nifti1
 
-    Requires nibabel; unavailable here, so this raises at plan-execution
-    time with the plumbing intact (the synthetic source exercises the same
-    downstream schema).
-    """
+        return decode_nifti1(bytes(content))
+    import os
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".nii.gz", delete=False) as f:
+        f.write(content)
+        tmp = f.name
+    try:
+        img = nib.load(tmp)
+        vol = np.asarray(img.get_fdata(), dtype=np.float32)
+        zooms = tuple(float(z) for z in img.header.get_zooms()[:3])
+    finally:
+        os.unlink(tmp)
+    return vol, zooms
+
+
+def decode_nifti(scanned: DataFrame) -> DataFrame:
+    """S4-S6: NIfTI decode to VOLUME_SCHEMA via mapInPandas (Arrow batches;
+    pixels stay in one binary column, metadata in optimizer-visible
+    columns)."""
 
     def decode(batches):
-        try:
-            import nibabel as nib  # noqa: F401
-        except ImportError as exc:  # pragma: no cover - env-dependent
-            raise NotImplementedError(
-                "nibabel is not installed in this environment; use "
-                "synthetic_volumes() or install nibabel for real NIfTI ingest"
-            ) from exc
-        import os
-        import tempfile
-
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                # nib needs a file handle; write the blob to tmp (executor-local)
-                suffix = ".nii.gz" if str(path).endswith(".gz") else ".nii"
-                with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as f:
-                    f.write(content)
-                    tmp = f.name
-                try:
-                    img = nib.load(tmp)
-                    vol = np.asarray(img.get_fdata(), dtype=np.float32)
-                    zooms = tuple(float(z) for z in img.header.get_zooms()[:3])
-                finally:
-                    os.unlink(tmp)
+                vol, zooms = _decode_one_nifti(bytes(content))
                 base = (
                     str(path).rsplit("/", 1)[-1].replace(".nii.gz", "").replace(".nii", "")
                 )

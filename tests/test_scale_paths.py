@@ -40,7 +40,7 @@ def test_minhash_lsh_candidates_superset_of_high_jaccard(spark, sf_dir):
 
     exact_pairs = {
         (r["doc_a"], r["doc_b"])
-        for r in QUERIES["dedup_ngram_jaccard_pairs"](spark, sf_dir).collect()
+        for r in QUERIES["dedup_ngram_jaccard_pairs_diagnostic"](spark, sf_dir).collect()
     }
     cand_pairs = {
         (r["doc_a"], r["doc_b"])
@@ -114,6 +114,7 @@ def test_no_query_plans_a_cartesian_or_nested_loop(spark, sf_dir):
         "corpus_mix_plan",  # crossJoin with broadcast 1-row binding-constraint agg
         "supplier_value_share_threshold",  # broadcast 1-row global-total agg (Q11 HAVING scalar)
         "idle_rich_customers_by_nation",  # broadcast 1-row avg-balance agg (Q22 scalar subquery)
+        "text_tfidf_top_terms",  # crossJoin with broadcast 1-row n_docs agg
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
