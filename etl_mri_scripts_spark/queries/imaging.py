@@ -254,3 +254,24 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "frame_i", "height", "width", F.md5("payload").alias("checksum"))
         .orderBy("media_id", "frame_i")
     )
+
+
+@query("imaging_triptych_render")
+def imaging_triptych_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 (rows-only): degradation triptych render (HR | 3T | 1.5T) on
+    deterministic synthetic volumes — real PNG payloads via the engine's
+    codec, exposed to the driver as metadata + content checksums
+    (ref: v2/viz_degradation.py:30-91)."""
+    from ..operators.viz import render_triptychs
+    from ..sources.volumes import synthetic_volumes
+
+    vols = synthetic_volumes(spark, 2, (24, 24, 6), seed=11)
+    return (
+        render_triptychs(vols, axis="axial", seed=123)
+        .select(
+            "base", "axis", "slice_idx", "height", "width",
+            F.md5("hr_png").alias("hr_checksum"),
+            F.md5("triptych_png").alias("triptych_checksum"),
+        )
+        .orderBy("base")
+    )
