@@ -63,6 +63,9 @@ HEADLINE = [
     "events_time_weighted_avg",
     "agg_trimmed_winsorized_stats",
     "sample_weighted_exact",
+    "nation_pair_shipping_volume",
+    "profit_by_supp_nation_year",
+    "disjunctive_bracket_revenue",
 ]
 
 RUNS_PER_QUERY = 2  # report min (steady-state; first run pays Catalyst compile)

@@ -458,3 +458,516 @@ def idle_rich_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("nation_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape: forecast-revenue-change. The canonical zero-shuffle query: every
+# predicate (date band, discount band, quantity cap) is a parquet scan
+# filter, the aggregate is a single global partial+final — at 100 TB the
+# only bytes that move are one partial sum per task. Revenue term
+# extendedprice*discount is kept in exact 1e-4 fixed point.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "forecast_revenue_discount_band",
+    oracle=f"""
+    SELECT round(sum({cents_sql('l_extendedprice')} * {cents_sql('l_discount')})
+                 / 10000.0, 6) AS revenue_increase
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_discount_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(cents(F.col("l_extendedprice")) * cents(F.col("l_discount")))
+                / 10000.0,
+                6,
+            ).alias("revenue_increase")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape: shipping volume between nation pairs. Scale plan: both nation
+# filters are applied to the DIMENSION sides (supplier, customer) before any
+# fact join, so the big lineitem<->orders sort-merge only carries rows whose
+# supplier already matched — the runtime bloom filter on l_suppkey prunes
+# the fact scan further. The nation dim (25 rows) broadcasts; year comes
+# from the ship date, and the pair aggregate reuses AQE-coalesced shuffle
+# partitions.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nation_pair_shipping_volume",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           round(sum({REVENUE_FIXED_SQL}) / 10000.0, 6) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1998-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def nation_pair_shipping_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(revenue_fixed(F.col("l_extendedprice"), F.col("l_discount")))
+                / 10000.0,
+                6,
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape: market share of one supplier nation inside one consuming region.
+# The share is a conditional-sum over the same aggregate rows — one pass,
+# no second join. All dimension filters (region via customer nation, part
+# type) cut BEFORE the fact joins; the two nation lookups broadcast.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nation_market_share_in_region",
+    oracle=f"""
+    SELECT CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+           round(sum(CASE WHEN sn.n_name = 'NATION_2' THEN {REVENUE_FIXED_SQL} ELSE 0 END)
+                 * 1.0 / sum({REVENUE_FIXED_SQL}), 6) AS mkt_share
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN region r   ON cn.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND p.p_type = 'PROMO'
+      AND l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1998-01-01'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def nation_market_share_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region")
+    asia_nations = (
+        nat.join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey")
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    promo_parts = (
+        table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rev = revenue_fixed(F.col("l_extendedprice"), F.col("l_discount"))
+    return (
+        li.join(F.broadcast(promo_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("l_shipdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(F.lit(0)))
+                * 1.0
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape: profit by supplier nation and year. partsupp's supplycost is
+# re-anchored on part.p_retailprice (cost proxy), keeping the shape: profit
+# = revenue - cost*qty, aggregated (nation, year). Fixed-point end to end:
+# revenue is 1e-4, cost*qty lifted to 1e-4 to subtract exactly.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "profit_by_supp_nation_year",
+    oracle=f"""
+    SELECT sn.n_name AS nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+           round(sum({REVENUE_FIXED_SQL}
+                     - {cents_sql('p.p_retailprice')} * {whole_sql('l.l_quantity')} * 100)
+                 / 10000.0, 6) AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE p.p_type = 'ECONOMY'
+    GROUP BY 1, 2
+    ORDER BY 1, 2 DESC
+    """,
+)
+def profit_by_supp_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    parts = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey", "p_retailprice")
+    )
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    profit = revenue_fixed(F.col("l_extendedprice"), F.col("l_discount")) - cents(
+        F.col("p_retailprice")
+    ) * whole(F.col("l_quantity")) * 100
+    return (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("l_shipdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(profit) / 10000.0, 6).alias("profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 shape: revenue lost to returned items, top-20 customers. The heavy
+# fact-side work (returnflag filter + quarter window on orders) happens
+# before the customer join; the final top-k is a driver-cheap sorted limit
+# on the aggregated (customer) table, not the fact stream.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "returned_item_revenue_customers",
+    oracle=f"""
+    SELECT c.c_custkey,
+           c.c_name,
+           round(sum({REVENUE_FIXED_SQL}) / 10000.0, 6) AS revenue,
+           c.c_acctbal,
+           n.n_name AS nation
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1996-04-01'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    ).select("o_orderkey", "o_custkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "nation")
+        .agg(
+            F.round(
+                F.sum(revenue_fixed(F.col("l_extendedprice"), F.col("l_discount")))
+                / 10000.0,
+                6,
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape: late-shipment priority census. The driver schema carries no
+# shipmode/commitdate, so the mode dimension is l_linestatus and "late"
+# reuses Q4's ship-more-than-90-days-after-order rule. The conditional
+# counts are one pass over the joined rows; the orders join carries only
+# (o_orderkey, o_orderdate, o_orderpriority).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "late_lines_priority_by_status",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(count(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
+                AS BIGINT) AS high_line_count,
+           CAST(count(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)
+                AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def late_lines_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(is_high, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~is_high, F.lit(1))).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: supplier diversity per part attribute group. The part-supplier
+# relation is the distinct (l_partkey, l_suppkey) edge set from lineitem
+# (no partsupp in this schema). The NOT-IN supplier exclusion is an
+# anti-join (never a per-row subquery), applied to the edge table BEFORE
+# the count-distinct aggregate.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "supplier_count_by_part_attrs",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    excluded AS (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    SELECT p.p_brand,
+           p.p_type,
+           p.p_size,
+           CAST(count(DISTINCT e.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM edges e
+    JOIN part p ON e.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND e.l_suppkey NOT IN (SELECT s_suppkey FROM excluded)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    parts = (
+        table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    excluded = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        edges.join(F.broadcast(excluded), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunctive bracketed predicates (OR of AND-brackets spanning
+# the join). The part-side conjuncts (brand+size) prune the broadcast dim;
+# the lineitem-side quantity bounds stay in the parquet scan as a single
+# OR-range filter (qty 1..30 covers all brackets), and the exact bracket
+# match evaluates post-join inside codegen — no bracket explodes into a
+# separate scan.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "disjunctive_bracket_revenue",
+    oracle=f"""
+    SELECT round(sum({REVENUE_FIXED_SQL}) / 10000.0, 6) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    parts = table(spark, sf_dir, "part").filter(
+        (
+            (F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 5)
+            | (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10)
+            | (F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 15)
+        )
+        & (F.col("p_size") >= 1)
+    ).select("p_partkey", "p_brand", "p_size")
+    bracket = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(bracket)
+        .agg(
+            F.round(
+                F.sum(revenue_fixed(F.col("l_extendedprice"), F.col("l_discount")))
+                / 10000.0,
+                6,
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: suppliers with heavy volume in a brand's parts. Nested
+# semi-join chain, all decorrelated: brand parts (broadcast) gate the fact
+# edges; the per-(supplier, part) volume aggregate applies the HAVING
+# threshold; the surviving supplier keys semi-join the nation-filtered
+# supplier dim. No step rescans the fact table.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "excess_volume_suppliers",
+    oracle="""
+    WITH brand_parts AS (
+        SELECT p_partkey FROM part WHERE p_brand = 'Brand#2'
+    ),
+    vol AS (
+        SELECT l_suppkey, l_partkey, sum(CAST(round(l_quantity) AS BIGINT)) AS qty
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM brand_parts)
+        GROUP BY 1, 2
+        HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 50
+    )
+    SELECT DISTINCT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_4')
+      AND s.s_suppkey IN (SELECT l_suppkey FROM vol)
+    ORDER BY s_name
+    """,
+)
+def excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brand_parts = (
+        table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2").select("p_partkey")
+    )
+    vol = (
+        table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(whole(F.col("l_quantity"))).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    nat = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_4")
+    ).select("n_nationkey")
+    return (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(vol, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .distinct()
+        .orderBy("s_name")
+    )
