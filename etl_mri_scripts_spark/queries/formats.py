@@ -1,0 +1,137 @@
+"""Interchange-format round-trip queries: parquet -> JSONL/CSV -> engine,
+verified against the parquet truth by the DuckDB oracle.
+
+Each query derives an interchange copy of the documents table under a
+deterministic /tmp path, reads it back through the format scanner
+(sources/textual.py), and aggregates. The oracle computes the identical
+aggregate straight from the parquet view — a lossless write/read path is
+exactly a hash match. This is how the engine proves its format options
+(quoting, escapes, schema, corrupt-record mode) rather than asserting them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.textual import (
+    read_documents_csv,
+    read_documents_jsonl,
+    write_documents_csv,
+    write_documents_jsonl,
+)
+from ..tables import table
+from .registry import query
+
+_EXPORT_ROOT = "/tmp/spark_graft_formats"
+
+_CORPUS_AGG_SQL = """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(length(text)) AS BIGINT) AS total_text_len,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
+def _export_dir(sf_dir: str, fmt: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join(_EXPORT_ROOT, f"{fmt}_{tag}")
+
+
+def _corpus_agg(docs: DataFrame) -> DataFrame:
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("total_text_len"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query("source_jsonl_roundtrip", oracle=_CORPUS_AGG_SQL)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet -> JSONL shards -> schema'd PERMISSIVE read -> aggregate.
+    Hash-matching the parquet oracle proves the JSONL path is lossless
+    (unicode, quotes, embedded structure all survive)."""
+    docs = table(spark, sf_dir, "documents")
+    out = _export_dir(sf_dir, "jsonl")
+    write_documents_jsonl(docs, out)
+    back = read_documents_jsonl(spark, out).drop("_corrupt_record")
+    return _corpus_agg(back)
+
+
+@query("source_csv_roundtrip", oracle=_CORPUS_AGG_SQL)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet -> RFC-4180 CSV -> multiLine quoted read -> aggregate.
+    Free text embeds commas/quotes/newlines; a hash match against parquet
+    truth proves the quoting options are right, not just plausible."""
+    docs = table(spark, sf_dir, "documents")
+    out = _export_dir(sf_dir, "csv")
+    write_documents_csv(docs, out)
+    return _corpus_agg(read_documents_csv(spark, out))
+
+
+@query(
+    "source_jsonl_corrupt_quarantine",
+    oracle="""
+    -- every 7th exported line is corrupted (deterministic injection);
+    -- PERMISSIVE mode must quarantine exactly those and keep the rest
+    SELECT CAST(count(*) - count(*) // 7 AS BIGINT) AS good_rows,
+           CAST(count(*) // 7 AS BIGINT) AS corrupt_rows
+    FROM documents
+    """,
+)
+def source_jsonl_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record discipline, measured: re-export the corpus with every
+    7th line deterministically truncated mid-JSON, read PERMISSIVE, count
+    quarantined vs clean rows. The oracle computes the expected split by
+    arithmetic on the parquet row count."""
+    docs = table(spark, sf_dir, "documents").orderBy("doc_id")
+    out = _export_dir(sf_dir, "jsonl_corrupt")
+
+    # deterministic corruption: rank rows by doc_id, truncate every 7th
+    # (1-indexed multiples of 7) JSON line so it no longer parses
+    jsonl = docs.select(
+        F.row_number().over(Window.orderBy("doc_id")).alias("rn"),
+        F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars")).alias("line"),
+    ).select(
+        F.when(
+            F.col("rn") % 7 == 0, F.concat(F.lit("{\"broken"), F.substring("line", 1, 5))
+        )
+        .otherwise(F.col("line"))
+        .alias("value")
+    )
+    jsonl.write.mode("overwrite").text(out)
+
+    # Quarantine via text-scan + from_json (returns NULL struct on a
+    # malformed line): the json datasource forbids aggregates whose pruned
+    # column set is only _corrupt_record (QUERY_ONLY_CORRUPT_RECORD_COLUMN),
+    # and this form keeps the quarantine logic in optimizer-visible
+    # expressions anyway.
+    from ..sources.textual import DOCUMENT_SCHEMA_PERMISSIVE
+
+    back = spark.read.text(out).select(
+        F.from_json(
+            "value",
+            DOCUMENT_SCHEMA_PERMISSIVE,
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        )
+        .getField("_corrupt_record")
+        .isNotNull()
+        .alias("is_corrupt")
+    )
+    return back.agg(
+        F.count(F.when(~F.col("is_corrupt"), F.lit(1))).alias("good_rows"),
+        F.count(F.when(F.col("is_corrupt"), F.lit(1))).alias("corrupt_rows"),
+    )
