@@ -591,3 +591,185 @@ def embedding_l2_normalize_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(F.transform("embedding", lambda x: F.abs(dbl(x)))), 6
         ).alias("max_abs"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC): the
+# billion-vector memory plan (Jégou et al. 2011, public method). 64-dim
+# float vectors compress to M=8 sub-codes (one byte each, 32x smaller);
+# queries stay uncompressed and score codes through a per-query lookup
+# table. Training state is M x Ks x (dim/M) doubles on the driver — the
+# same bounded-state k-means pattern as ann_ivf_kmeans_topk; encoding and
+# scoring are fully distributed (broadcast codebooks/LUTs, map-side joins).
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_KS = 32  # centroids per subspace
+PQ_SUBDIM = EMB_DIM // PQ_M
+PQ_ITERS = 3
+# Shortlist breadth: high-dim random-ish embeddings concentrate distances,
+# so ADC ordering is noisy near the decision boundary — rerank 10*K exact.
+# At corpus scale the shortlist is still vanishingly small vs N.
+PQ_RERANK = 10
+
+
+def _pq_train(spark: SparkSession, v: DataFrame) -> list[list[list[float]]]:
+    """Per-subspace k-means codebooks, trained jointly in ONE distributed
+    pass per iteration: subvectors for all M subspaces are exploded into
+    (sub_id, sub_e) rows, so each k-means step is a single broadcast-join +
+    min_by + groupBy over the whole table — M independent quantizers, no
+    per-subspace jobs. Deterministic: init from the Ks lowest vec_ids,
+    means rounded to 6 dp."""
+    subs = v.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("sub_id"),
+                    F.slice("e", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub_e"),
+                )
+                for m in range(PQ_M)
+            ])
+        ).alias("s"),
+    ).select("vec_id", F.col("s.sub_id").alias("sub_id"), F.col("s.sub_e").alias("sub_e"))
+
+    init = (
+        subs.filter(F.col("vec_id") < PQ_KS)
+        .orderBy("vec_id", "sub_id")
+        .collect()
+    )
+    books: list[list[list[float]]] = [[None] * PQ_KS for _ in range(PQ_M)]  # type: ignore[list-item]
+    for r in init:
+        books[r["sub_id"]][r["vec_id"]] = [round(float(x), 6) for x in r["sub_e"]]
+
+    d2 = F.expr(
+        "aggregate(zip_with(sub_e, ce, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, z) -> acc + z)"
+    )
+
+    def assign(sdf, bks):
+        cdf = spark.createDataFrame(
+            [(m, k, bks[m][k]) for m in range(PQ_M) for k in range(PQ_KS)],
+            "sub_id int, code int, ce array<double>",
+        )
+        return (
+            sdf.join(F.broadcast(cdf), "sub_id")
+            .select("vec_id", "sub_id", "sub_e", "code", d2.alias("d2"))
+            .groupBy("vec_id", "sub_id")
+            .agg(F.min_by(F.struct("code", "sub_e"), F.struct("d2", "code")).alias("s"))
+            .select(
+                "vec_id",
+                "sub_id",
+                F.col("s.code").alias("code"),
+                F.col("s.sub_e").alias("sub_e"),
+            )
+        )
+
+    for _ in range(PQ_ITERS):
+        assigned = assign(subs, books)
+        means = (
+            assigned.select("sub_id", "code", F.posexplode("sub_e").alias("pos", "val"))
+            .groupBy("sub_id", "code", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .collect()
+        )
+        nxt: dict[tuple[int, int], list[float]] = {}
+        for r in means:
+            nxt.setdefault((r["sub_id"], r["code"]), [0.0] * PQ_SUBDIM)[r["pos"]] = float(r["m"])
+        books = [
+            [nxt.get((m, k), books[m][k]) for k in range(PQ_KS)] for m in range(PQ_M)
+        ]
+    return books
+
+
+@query("ann_pq_adc_topk")
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN with ADC scoring and exact rerank (rows-only:
+    iterative training). Plan shape at scale: codes are M tiny ints per
+    vector (the 100 TB corpus fits hot in memory at 32x compression);
+    scoring joins the exploded code table against a broadcast per-query
+    LUT (M*Ks rows/query) — an equi-join on (sub_id, code), map-side
+    combinable sum, no vector arithmetic in the hot loop; the exact
+    cosine runs only on the PQ_RERANK*TOP_K shortlist."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = _vectors(emb)
+    books = _pq_train(spark, v)
+
+    # --- encode corpus: nearest sub-centroid per subspace -> code column
+    cdf = spark.createDataFrame(
+        [(m, k, books[m][k]) for m in range(PQ_M) for k in range(PQ_KS)],
+        "sub_id int, code int, ce array<double>",
+    )
+    subs = v.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("sub_id"),
+                    F.slice("e", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub_e"),
+                )
+                for m in range(PQ_M)
+            ])
+        ).alias("s"),
+    ).select("vec_id", F.col("s.sub_id").alias("sub_id"), F.col("s.sub_e").alias("sub_e"))
+    d2 = F.expr(
+        "aggregate(zip_with(sub_e, ce, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, z) -> acc + z)"
+    )
+    codes = (
+        subs.join(F.broadcast(cdf), "sub_id")
+        .select("vec_id", "sub_id", "code", d2.alias("d2"))
+        .groupBy("vec_id", "sub_id")
+        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
+    )
+
+    # --- per-query ADC lookup tables (driver builds M*Ks*N_QUERIES rows —
+    # tiny, broadcast): LUT[q][m][k] = ||q_sub_m - centroid_mk||^2
+    qrows = v.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "e", "nrm").collect()
+    lut = []
+    for qr in qrows:
+        qe = [float(x) for x in qr["e"]]
+        for m in range(PQ_M):
+            qs = qe[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+            for k in range(PQ_KS):
+                c = books[m][k]
+                lut.append(
+                    (
+                        int(qr["vec_id"]),
+                        m,
+                        k,
+                        round(sum((a - b) * (a - b) for a, b in zip(qs, c)), 6),
+                    )
+                )
+    lut_df = spark.createDataFrame(lut, "query_id long, sub_id int, code int, qd2 double")
+
+    approx = (
+        codes.join(F.broadcast(lut_df), ["sub_id", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd2").alias("adc_d2"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    shortlist = (
+        approx.withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= PQ_RERANK * TOP_K)
+        .select("query_id", "vec_id")
+    )
+
+    # --- exact rerank on the shortlist only
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qnrm")
+    )
+    cand = shortlist.join(v, "vec_id").join(F.broadcast(q), "query_id")
+    cos = F.expr(
+        "aggregate(zip_with(qe, e, (x, y) -> x * y), 0.0D, (acc, z) -> acc + z)"
+    ) / (F.col("qnrm") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )

