@@ -19,6 +19,7 @@ from . import similarity  # noqa: E402,F401
 from . import imaging  # noqa: E402,F401
 from . import bpe  # noqa: E402,F401
 from . import formats  # noqa: E402,F401
+from . import quality  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import tpch_shapes  # noqa: E402,F401

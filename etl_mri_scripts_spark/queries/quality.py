@@ -1,0 +1,207 @@
+"""Data-quality validation: declarative constraint checking as queries.
+
+The deequ/dbt-tests pattern (public concepts) expressed Spark-first: every
+constraint over one table folds into a SINGLE aggregation pass (conditional
+counts — no per-constraint scans), referential integrity is one anti-join
+count per foreign-key edge, and the result is a tidy (check, violations)
+report a pipeline can gate on. At 100 TB the single-pass property is the
+whole point: a 20-constraint suite costs one scan, not twenty.
+
+Also: HyperLogLog sketch rollups (Spark 4 DataSketches functions) — the
+pre-aggregation pattern where per-group sketches persist and re-union to
+coarser groupings without rescanning the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+from .registry import query
+
+
+@query(
+    "dq_lineitem_constraints",
+    oracle="""
+    -- one scan, many constraints: each row of the report is a conditional
+    -- count computed in the same aggregate
+    WITH agg AS (
+        SELECT
+          CAST(count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT) AS null_orderkey,
+          CAST(count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS BIGINT) AS qty_out_of_range,
+          CAST(count(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END) AS BIGINT) AS discount_out_of_range,
+          CAST(count(CASE WHEN l_extendedprice <= 0 THEN 1 END) AS BIGINT) AS nonpositive_price,
+          CAST(count(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 END) AS BIGINT) AS bad_returnflag,
+          CAST(count(CASE WHEN l_shipdate < DATE '1990-01-01'
+                           OR l_shipdate > DATE '2030-01-01' THEN 1 END) AS BIGINT) AS shipdate_outlier,
+          CAST(count(CASE WHEN l_tax < 0 THEN 1 END) AS BIGINT) AS negative_tax
+        FROM lineitem
+    )
+    SELECT 'bad_returnflag' AS check_name, bad_returnflag AS violations FROM agg
+    UNION ALL SELECT 'discount_out_of_range', discount_out_of_range FROM agg
+    UNION ALL SELECT 'negative_tax', negative_tax FROM agg
+    UNION ALL SELECT 'nonpositive_price', nonpositive_price FROM agg
+    UNION ALL SELECT 'null_orderkey', null_orderkey FROM agg
+    UNION ALL SELECT 'qty_out_of_range', qty_out_of_range FROM agg
+    UNION ALL SELECT 'shipdate_outlier', shipdate_outlier FROM agg
+    ORDER BY check_name
+    """,
+)
+def dq_lineitem_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    checks = {
+        "null_orderkey": F.col("l_orderkey").isNull(),
+        "qty_out_of_range": (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+        "discount_out_of_range": (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+        "nonpositive_price": F.col("l_extendedprice") <= 0,
+        "bad_returnflag": ~F.col("l_returnflag").isin("A", "N", "R"),
+        "shipdate_outlier": (F.col("l_shipdate") < F.lit("1990-01-01"))
+        | (F.col("l_shipdate") > F.lit("2030-01-01")),
+        "negative_tax": F.col("l_tax") < 0,
+    }
+    wide = li.agg(
+        *[F.count(F.when(cond, F.lit(1))).alias(name) for name, cond in checks.items()]
+    )
+    # wide 1-row aggregate -> tall report via stack (no extra scan)
+    n = len(checks)
+    pairs = ", ".join(f"'{name}', {name}" for name in checks)
+    return (
+        wide.select(F.expr(f"stack({n}, {pairs}) as (check_name, violations)"))
+        .orderBy("check_name")
+    )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    -- orphan count per foreign-key edge; 0 everywhere = referentially closed
+    SELECT 'customer.nation' AS fk_edge,
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+               AS orphans
+    UNION ALL
+    SELECT 'lineitem.orders',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.part',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.supplier',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders.customer',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    ORDER BY fk_edge
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One anti-join count per FK edge. Scale notes: each edge is an
+    independent subplan (they parallelize); the dimension side of every
+    anti-join broadcasts (or AQE converts it), so no edge shuffles the fact
+    table; a persistent deployment would run edges against bucketed tables
+    to make them exchange-free."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    part = table(spark, sf_dir, "part")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+
+    def orphans(fact, dim, fk, pk, edge):
+        return (
+            fact.join(dim, fact[fk] == dim[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("orphans"))
+            .select(F.lit(edge).alias("fk_edge"), "orphans")
+        )
+
+    edges = [
+        orphans(cust, nation, "c_nationkey", "n_nationkey", "customer.nation"),
+        orphans(li, orders, "l_orderkey", "o_orderkey", "lineitem.orders"),
+        orphans(li, part, "l_partkey", "p_partkey", "lineitem.part"),
+        orphans(li, supp, "l_suppkey", "s_suppkey", "lineitem.supplier"),
+        orphans(orders, cust, "o_custkey", "c_custkey", "orders.customer"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionAll(e)
+    return out.orderBy("fk_edge")
+
+
+@query(
+    "dq_uniqueness_report",
+    oracle="""
+    -- duplicate-key audit across primary keys: n_rows - n_distinct per table
+    SELECT 'customer.c_custkey' AS key_name,
+           CAST((SELECT count(*) - count(DISTINCT c_custkey) FROM customer) AS BIGINT) AS duplicates
+    UNION ALL
+    SELECT 'lineitem.(l_orderkey,l_linenumber)',
+           CAST((SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'orders.o_orderkey',
+           CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'part.p_partkey',
+           CAST((SELECT count(*) - count(DISTINCT p_partkey) FROM part) AS BIGINT)
+    ORDER BY key_name
+    """,
+)
+def dq_uniqueness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness as count(*) - count_distinct(key) per table —
+    each an independent single-agg subplan. The composite lineitem key uses
+    a struct count-distinct (one shuffle of the key columns only)."""
+
+    def dup(df, key_cols, name):
+        return df.agg(
+            (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in key_cols]))
+            .alias("duplicates")
+        ).select(F.lit(name).alias("key_name"), "duplicates")
+
+    cust = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    part = table(spark, sf_dir, "part")
+    reports = [
+        dup(cust, ["c_custkey"], "customer.c_custkey"),
+        dup(li, ["l_orderkey", "l_linenumber"], "lineitem.(l_orderkey,l_linenumber)"),
+        dup(orders, ["o_orderkey"], "orders.o_orderkey"),
+        dup(part, ["p_partkey"], "part.p_partkey"),
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("key_name")
+
+
+@query("hll_sketch_rollup_nation_region")
+def hll_sketch_rollup_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (sketch bytes are implementation-defined, no SQL oracle):
+    the sketch pre-aggregation pattern. Per-nation HLL sketches of the
+    customer set are built ONCE from the fact table; the region level
+    re-unions the 25 nation sketches WITHOUT rescanning customers — the
+    100 TB dashboard pattern (persist sketch bytes per fine grain, roll up
+    coarser grains from sketches alone). Estimates carry ~2% HLL error;
+    the test asserts tolerance vs exact."""
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    per_nation = (
+        cust.groupBy("c_nationkey")
+        .agg(F.hll_sketch_agg("c_custkey").alias("sketch"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        per_nation.groupBy("n_regionkey")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_customers")
+        )
+        .orderBy("n_regionkey")
+    )

@@ -346,3 +346,29 @@ def test_pq_adc_deterministic(spark, sf_dir):
     a = QUERIES["ann_pq_adc_topk"](spark, sf_dir).collect()
     b = QUERIES["ann_pq_adc_topk"](spark, sf_dir).collect()
     assert a == b
+
+
+def test_hll_sketch_rollup_tracks_exact(spark, sf_dir):
+    # sketch-union rollup must track the exact region-level distinct count
+    # within HLL tolerance (~2% at default lgConfigK=12; allow 5%).
+    from etl_mri_scripts_spark.queries import QUERIES
+    from etl_mri_scripts_spark.tables import table
+
+    approx = {
+        r["n_regionkey"]: r["approx_customers"]
+        for r in QUERIES["hll_sketch_rollup_nation_region"](spark, sf_dir).collect()
+    }
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    exact = {
+        r["n_regionkey"]: r["exact"]
+        for r in cust.join(
+            F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+        )
+        .groupBy("n_regionkey")
+        .agg(F.count_distinct("c_custkey").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(0.05 * exact[k], 3), (k, approx[k], exact[k])
