@@ -669,3 +669,76 @@ def text_chunk_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(chunk).alias("chunk_len"),
         F.md5(chunk).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_start")
+
+
+# One pattern string each, valid in BOTH regex engines (Java on the Spark
+# side, RE2 in DuckDB): no backrefs, no lookaround, ASCII word boundaries.
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    -- PII scrubbing (emails / phone numbers / IPv4) — the synthetic corpus
+    -- carries no PII, so both engines inject identical deterministic PII
+    -- per doc, then scrub; matching counts AND scrubbed-text md5 proves the
+    -- replacement semantics, not just the tallies.
+    WITH injected AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+             '-4567 from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                 '{_IP_RE}', '[IP]', 'g'),
+               '{_PHONE_RE}', '[PHONE]', 'g') AS clean
+      FROM injected
+    )
+    SELECT doc_id, n_emails, n_phones,
+           CAST(length(clean) AS BIGINT) AS clean_len,
+           md5(clean) AS clean_md5
+    FROM scrubbed
+    ORDER BY doc_id
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scrub order matters: emails first (their local part can contain
+    # digit runs), then IPv4 (dotted quads), then phones — each pass is a
+    # JVM-side regexp_replace, so the whole scrub is one codegen'd
+    # projection over the corpus: zero shuffles, zero Python.
+    d = table(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-4567 from 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".1"),
+        ).alias("t"),
+    )
+    email, phone, ip = _EMAIL_RE, _PHONE_RE, _IP_RE
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), email, "[EMAIL]"), ip, "[IP]"
+        ),
+        phone,
+        "[PHONE]",
+    )
+    return injected.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(email)).cast("long").alias("n_emails"),
+        F.regexp_count("t", F.lit(phone)).cast("long").alias("n_phones"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    ).orderBy("doc_id")
