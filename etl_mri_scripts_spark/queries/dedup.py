@@ -995,3 +995,106 @@ def dedup_edit_distance_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+PR_ITERS = 10
+PR_DAMPING = 0.85
+
+
+def pagerank_ranks(
+    spark: SparkSession,
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list (s, d) with no
+    dangling nodes (every s has out-degree >= 1). Per pass ONE shuffle
+    (contributions grouped by destination); contribution = rank/out_degree
+    computed map-side; lineage truncated per pass with localCheckpoint so
+    the plan stays constant-size across iterations. Returns (doc_id, rank).
+    """
+    from pyspark import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = edges.select(F.col("s").alias("doc_id")).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_nodes = nodes.count()  # scalar; bounded by graph size
+    if n_nodes == 0:
+        return spark.createDataFrame([], "doc_id long, rank double")
+    out_deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+
+    ranks = nodes.select("doc_id", F.lit(1.0 / n_nodes).alias("rank"))
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges.s == ranks.doc_id)
+            .join(out_deg, "s")
+            .select(F.col("d").alias("doc_id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.lit(base) + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+@query("dedup_pagerank_representatives")
+def dedup_pagerank_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality-based canonical selection (rows-only: iterative): PageRank
+    over the verified near-dup graph, then each component keeps its
+    highest-centrality member — the 'most linked-to duplicate is the
+    canonical copy' policy, vs the quality policy of
+    dedup_cluster_representatives.
+
+    Power iteration, Spark-shaped like the CC loop above: per pass ONE
+    shuffle (contributions grouped by destination), contribution =
+    rank/out_degree computed map-side, lineage truncated per pass with
+    localCheckpoint so the plan stays constant-size. Driver state: nothing —
+    ranks live in the cluster; only convergence is fixed-K (deterministic
+    across runs and partitionings since the merge is an exact sum of
+    rationals rounded at emit)."""
+    from pyspark.sql.window import Window
+
+    pairs = dedup_lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # symmetrized near-dup graph: no dangling nodes (every node has
+    # out-degree >= 1), so PageRank mass is conserved without a dangling term
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("s"), F.col("doc_b").alias("d")),
+                    F.struct(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.d").alias("d"))
+    )
+    ranks = pagerank_ranks(spark, edges)
+    if not ranks.head(1):
+        return spark.createDataFrame(
+            [], "component_id long, representative_id long, pagerank double, component_size long"
+        )
+
+    # reuse the converged CC labels for component ids
+    comp = dedup_connected_components(spark, sf_dir).select("doc_id", "component_id")
+    w = Window.partitionBy("component_id").orderBy(F.desc("rank"), F.asc("doc_id"))
+    return (
+        comp.join(ranks, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("component_size", F.count(F.lit(1)).over(Window.partitionBy("component_id")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("representative_id"),
+            F.round("rank", 9).alias("pagerank"),
+            F.col("component_size").cast("long"),
+        )
+        .orderBy("component_id")
+    )

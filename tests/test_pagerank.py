@@ -1,0 +1,69 @@
+"""PageRank centrality: known-answer validation against a NumPy power
+iteration on hand-built graphs, plus the corpus-level representative query
+invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from etl_mri_scripts_spark.queries.dedup import PR_DAMPING, pagerank_ranks
+
+
+def _numpy_pagerank(edges, n, iters, d=PR_DAMPING):
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1 - d) / n)
+        for s, t in edges:
+            nxt[t] += d * r[s] / deg[s]
+        r = nxt
+    return r
+
+
+@pytest.mark.parametrize(
+    "edges,n",
+    [
+        # undirected star: hub 0 <-> leaves 1..4 (hub must dominate)
+        ([(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)], 5),
+        # chain 0-1-2-3 symmetrized (middle nodes above endpoints)
+        ([(i, i + 1) for i in range(3)] + [(i + 1, i) for i in range(3)], 4),
+    ],
+)
+def test_pagerank_matches_numpy_reference(spark, edges, n):
+    edf = spark.createDataFrame(edges, "s long, d long")
+    got = {
+        r["doc_id"]: r["rank"] for r in pagerank_ranks(spark, edf, iters=10).collect()
+    }
+    expect = _numpy_pagerank(edges, n, iters=10)
+    assert set(got) == set(range(n))
+    for i in range(n):
+        assert got[i] == pytest.approx(expect[i], rel=1e-9), i
+    # mass conservation on dangling-free graphs
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_pagerank_star_hub_dominates(spark):
+    edges = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    edf = spark.createDataFrame(edges, "s long, d long")
+    got = {r["doc_id"]: r["rank"] for r in pagerank_ranks(spark, edf).collect()}
+    assert got[0] > 3 * max(got[i] for i in range(1, 6))
+
+
+def test_pagerank_representatives_invariants(spark, sf_dir):
+    from etl_mri_scripts_spark.queries import QUERIES
+
+    reps = QUERIES["dedup_pagerank_representatives"](spark, sf_dir).collect()
+    assert reps
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in QUERIES["dedup_connected_components"](spark, sf_dir).collect()
+    }
+    # one representative per component, and it belongs to its component
+    assert len({r["component_id"] for r in reps}) == len(reps)
+    assert {r["component_id"] for r in reps} == set(comp.values())
+    for r in reps:
+        assert comp[r["representative_id"]] == r["component_id"]
+        assert r["pagerank"] > 0
