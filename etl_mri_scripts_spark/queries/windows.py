@@ -715,3 +715,42 @@ def events_debounce_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type", "burst_id")
     )
+
+
+@query(
+    "window_time_range_frame",
+    oracle="""
+    -- time-based RANGE frame: per-user rolling 1-hour value sum/count over
+    -- irregular events — the frame is defined by event-time distance, not
+    -- row count, so bursts widen the frame's row span automatically
+    SELECT event_id, user_id, ts,
+           round(sum(value) OVER w, 6) AS rolling_1h_sum,
+           CAST(count(*) OVER w AS BIGINT) AS rolling_1h_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark expresses time-RANGE frames over a numeric ordering column:
+    # order by epoch seconds, rangeBetween(-3600, 0) — identical inclusive
+    # bounds to DuckDB's INTERVAL frame on the micro-truncated timestamps.
+    # One shuffle (user_id); the frame evaluation is streaming within each
+    # sorted partition, state bounded by the 1-hour horizon.
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)  # 1 hour in microseconds
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.sum("value").over(w), 6).alias("rolling_1h_sum"),
+            F.count(F.lit(1)).over(w).cast("long").alias("rolling_1h_events"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
