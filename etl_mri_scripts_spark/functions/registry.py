@@ -59,13 +59,60 @@ def register_all(spark: SparkSession) -> list[str]:
     spark.udf.register("normalize_key", normalize_key_udf)
     spark.udf.register("p98", p98_udaf)
     spark.udtf.register("chunk_text", chunk_text_udtf())
+    _register_sql_macros(spark)
     return [
         "snr_target_from_field",
         "parse_field_target",
         "normalize_key",
         "p98",
         "chunk_text",
+        "pii_scrub",
+        "jaccard",
+        "morton2",
     ]
+
+
+def _register_sql_macros(spark: SparkSession) -> None:
+    """SQL scalar UDFs (CREATE FUNCTION ... RETURN <expr>): the zero-Python
+    tier — the body inlines into the caller's plan as a Catalyst expression,
+    so these run inside whole-stage codegen like any built-in. Preferred
+    over pandas UDFs whenever the logic is expressible."""
+    from ..queries.text import _EMAIL_RE, _IP_RE, _PHONE_RE
+
+    def q(pattern: str) -> str:
+        # Spark SQL single-quoted literals process escapes: double each
+        # backslash so the regex engine sees the original pattern
+        return pattern.replace("\\", "\\\\")
+
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION pii_scrub(s STRING) RETURNS STRING
+        RETURN regexp_replace(regexp_replace(regexp_replace(s,
+          '{q(_EMAIL_RE)}', '[EMAIL]'),
+          '{q(_IP_RE)}', '[IP]'),
+          '{q(_PHONE_RE)}', '[PHONE]')
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION jaccard(a ARRAY<STRING>, b ARRAY<STRING>)
+        RETURNS DOUBLE
+        RETURN size(array_intersect(a, b)) / CAST(size(array_union(a, b)) AS DOUBLE)
+        """
+    )
+    # Morton/Z-order key for two pre-normalized [0, 2^21) dims — the SQL
+    # twin of operators/layout._interleave, generated from the same loop.
+    terms = []
+    for b in range(21):
+        terms.append(f"shiftleft(shiftright(x, {b}) & 1, {2 * b})")
+        terms.append(f"shiftleft(shiftright(y, {b}) & 1, {2 * b + 1})")
+    zexpr = " | ".join(terms)
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION morton2(x BIGINT, y BIGINT)
+        RETURNS BIGINT RETURN {zexpr}
+        """
+    )
 
 
 def chunk_text_udtf():

@@ -4,6 +4,7 @@ agreement with the Catalyst builders / plain-Python helpers."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from etl_mri_scripts_spark.functions import register_all
 
@@ -16,6 +17,9 @@ def test_register_and_call_from_sql_text(spark):
         "normalize_key",
         "p98",
         "chunk_text",
+        "pii_scrub",
+        "jaccard",
+        "morton2",
     }
     row = spark.sql(
         "SELECT normalize_key('vol001__axial__slice_003__HR_s007') AS nk,"
@@ -90,3 +94,54 @@ def test_chunk_text_udtf_matches_catalyst_query(spark, sf_dir):
         for r in QUERIES["text_chunk_overlapping"](spark, sf_dir).collect()
     }
     assert got == expected and len(expected) > 0
+
+
+def test_sql_macro_pii_scrub_matches_query_semantics(spark):
+    from etl_mri_scripts_spark.functions.registry import register_all
+
+    register_all(spark)
+    got = spark.sql(
+        "SELECT pii_scrub('mail a.b@c.org ip 10.0.0.1 tel 555-123-4567 end') AS r"
+    ).first()["r"]
+    assert got == "mail [EMAIL] ip [IP] tel [PHONE] end"
+
+
+def test_sql_macro_jaccard(spark):
+    from etl_mri_scripts_spark.functions.registry import register_all
+
+    register_all(spark)
+    got = spark.sql(
+        "SELECT jaccard(array('a','b','c'), array('b','c','d')) AS j"
+    ).first()["j"]
+    assert got == pytest.approx(2 / 4)
+
+
+def test_sql_macro_morton2_matches_layout_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from etl_mri_scripts_spark.functions.registry import register_all
+    from etl_mri_scripts_spark.operators.layout import _interleave
+
+    register_all(spark)
+    df = spark.createDataFrame([(3, 1), (7, 5), (0, 0), (1048575, 524287)], "x long, y long")
+    rows = df.select(
+        F.expr("morton2(x, y)").alias("sql_z"),
+        _interleave([F.col("x"), F.col("y")], bits=21).alias("py_z"),
+    ).collect()
+    for r in rows:
+        assert r["sql_z"] == r["py_z"]
+
+
+def test_sql_macros_stay_codegen(spark):
+    # the macro body must inline as Catalyst expressions — no BatchEvalPython
+    # or ArrowEvalPython stage may appear in the plan
+    from etl_mri_scripts_spark.functions.registry import register_all
+
+    register_all(spark)
+    plan = (
+        spark.sql("SELECT pii_scrub(text) AS t FROM VALUES ('x') AS v(text)")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
