@@ -2016,3 +2016,91 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fk_edge")
     )
+
+
+@query(
+    "cdc_apply_with_deletes",
+    oracle=f"""
+    -- Full MERGE semantics incl. tombstones: deltas whose event_type is
+    -- 'error' act as DELETE ops for their key; other deltas upsert.
+    -- Single-pass form: union base+delta, one latest-wins window, then a
+    -- post-merge classify — deleted keys survive into the report (action
+    -- 'delete', state NULL) so downstream consumers can propagate the
+    -- tombstone; rows never loop through per-row MERGE logic.
+    WITH base AS (
+      SELECT user_id, event_type AS state, ts
+      FROM (SELECT user_id, event_type, ts,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '{CDC_CUTOFF}')
+      WHERE rn = 1
+    ),
+    delta AS (
+      SELECT user_id, event_type AS state, ts
+      FROM events WHERE ts >= TIMESTAMP '{CDC_CUTOFF}'
+    ),
+    merged AS (
+      SELECT user_id, state, ts, src,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, src DESC) AS rn,
+             max(CASE WHEN src = 'delta' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id) AS has_delta,
+             max(CASE WHEN src = 'base' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id) AS has_base
+      FROM (SELECT *, 'base' AS src FROM base
+            UNION ALL SELECT *, 'delta' AS src FROM delta)
+    )
+    SELECT user_id,
+           CASE WHEN state = 'error' AND src = 'delta' THEN NULL
+                ELSE state END AS current_state,
+           ts AS state_ts,
+           CASE WHEN state = 'error' AND src = 'delta' THEN 'delete'
+                WHEN has_base = 0 THEN 'insert'
+                WHEN has_delta = 0 THEN 'unchanged'
+                ELSE 'update' END AS action
+    FROM merged WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def cdc_apply_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with matched/not-matched/delete clauses, shuffle-minimally:
+    the same single union + latest-wins window as cdc_upsert_latest_wins,
+    with 'error'-typed deltas interpreted as tombstones. The delete is a
+    post-merge classification (one CASE on the winning row), so adding
+    delete semantics costs ZERO extra shuffles over plain upsert — the
+    property that keeps log-structured CDC apply viable when tombstones
+    are a tiny fraction of a 100 TB change stream."""
+    ev = table(spark, sf_dir, "events")
+    cut = F.lit(CDC_CUTOFF).cast("timestamp")
+    w_latest = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    base = (
+        ev.filter(F.col("ts") < cut)
+        .select(
+            "user_id", F.col("event_type").alias("state"), "ts",
+            F.row_number().over(w_latest).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "state", "ts", F.lit("base").alias("src"))
+    )
+    delta = ev.filter(F.col("ts") >= cut).select(
+        "user_id", F.col("event_type").alias("state"), "ts", F.lit("delta").alias("src")
+    )
+    u = base.unionByName(delta)
+    w_all = Window.partitionBy("user_id")
+    w_pick = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("src"))
+    merged = u.select(
+        "user_id", "state", "ts", "src",
+        F.row_number().over(w_pick).alias("rn"),
+        F.max(F.when(F.col("src") == "delta", 1).otherwise(0)).over(w_all).alias("has_delta"),
+        F.max(F.when(F.col("src") == "base", 1).otherwise(0)).over(w_all).alias("has_base"),
+    ).filter(F.col("rn") == 1)
+    is_tombstone = (F.col("state") == "error") & (F.col("src") == "delta")
+    return merged.select(
+        "user_id",
+        F.when(is_tombstone, F.lit(None)).otherwise(F.col("state")).alias("current_state"),
+        F.col("ts").alias("state_ts"),
+        F.when(is_tombstone, "delete")
+        .when(F.col("has_base") == 0, "insert")
+        .when(F.col("has_delta") == 0, "unchanged")
+        .otherwise("update")
+        .alias("action"),
+    ).orderBy("user_id")
