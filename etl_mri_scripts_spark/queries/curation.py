@@ -567,3 +567,129 @@ def docs_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "file_id")
     )
+
+
+MIX_ALPHA = 0.5  # temperature: alpha < 1 upweights low-resource sources
+MIX_BUDGET = 10_000  # target documents in the mixed corpus
+
+
+@query(
+    "corpus_temperature_mix",
+    oracle=f"""
+    -- Temperature-based corpus mixing (the multilingual-LM data-mix rule:
+    -- q_s proportional to p_s^alpha, alpha={MIX_ALPHA}): upweights low-resource
+    -- sources relative to their raw byte share. All shares computed over
+    -- the per-source aggregate (20 rows), so the window sums are free.
+    WITH per_source AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY 1
+    ),
+    shares AS (
+      SELECT source, n_docs, total_chars,
+             total_chars * 1.0 / sum(total_chars) OVER () AS p_raw,
+             pow(total_chars * 1.0 / sum(total_chars) OVER (), {MIX_ALPHA}) AS p_pow
+      FROM per_source
+    )
+    SELECT source, n_docs, total_chars,
+           round(p_raw, 6) AS raw_share,
+           round(p_pow / sum(p_pow) OVER (), 6) AS mix_share,
+           round((p_pow / sum(p_pow) OVER ()) / p_raw, 6) AS boost,
+           CAST(round((p_pow / sum(p_pow) OVER ()) * {MIX_BUDGET}) AS BIGINT)
+               AS target_docs
+    FROM shares ORDER BY source
+    """,
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-heavy step is one groupBy(source) over the corpus
+    (map-side combined); every share/boost column is a window over the
+    20-row aggregate, so the 'global sum' windows cost nothing. At 100 TB
+    the same plan holds: shares always live on the aggregated table."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    w = Window.partitionBy()
+    p_raw = F.col("total_chars") * 1.0 / F.sum("total_chars").over(w)
+    shares = per_source.select(
+        "source", "n_docs", "total_chars",
+        p_raw.alias("p_raw"),
+        F.pow(p_raw, MIX_ALPHA).alias("p_pow"),
+    )
+    mix = F.col("p_pow") / F.sum("p_pow").over(w)
+    return shares.select(
+        "source", "n_docs", "total_chars",
+        F.round("p_raw", 6).alias("raw_share"),
+        F.round(mix, 6).alias("mix_share"),
+        F.round(mix / F.col("p_raw"), 6).alias("boost"),
+        F.round(mix * MIX_BUDGET).cast("long").alias("target_docs"),
+    ).orderBy("source")
+
+
+BFD_CAP = 512  # bin capacity in whitespace tokens
+
+
+@query("pack_sequences_bestfit")
+def pack_sequences_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (bin packing is inherently sequential per shard): best-fit
+    -decreasing packing WITHOUT document splitting — the packing flavor
+    used when cross-document attention contamination matters more than
+    perfect fill. Counterpart to pack_sequences_concat (which splits).
+
+    Scale shape: packing state is per-LANGUAGE-shard, so the corpus
+    parallelizes across shards (applyInPandas, one group per lang); inside
+    a shard the FFD/BFD loop is O(n log n) python over that shard's
+    metadata ONLY (doc_id + token count — never text). Documents longer
+    than the bin capacity get singleton oversize bins, flagged."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    meta = d.select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+
+    out_schema = (
+        "lang string, doc_id long, n_tokens long, bin_id long, "
+        "bin_fill long, oversize boolean"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        lang = pdf["lang"].iloc[0]
+        docs = sorted(
+            zip(pdf["doc_id"], pdf["n_tokens"]),
+            key=lambda t: (-t[1], t[0]),  # decreasing size, id tiebreak
+        )
+        bins: list[int] = []  # remaining capacity per bin
+        rows = []
+        for doc_id, n in docs:
+            n = int(n)
+            if n >= BFD_CAP:
+                bins.append(0)
+                rows.append((lang, int(doc_id), n, len(bins) - 1, n, True))
+                continue
+            # best fit: fullest bin that still takes n
+            best, best_rem = -1, BFD_CAP + 1
+            for i, rem in enumerate(bins):
+                if n <= rem < best_rem:
+                    best, best_rem = i, rem
+            if best < 0:
+                bins.append(BFD_CAP - n)
+                best = len(bins) - 1
+            else:
+                bins[best] -= n
+            rows.append((lang, int(doc_id), n, best, BFD_CAP - bins[best], False))
+        out = pd.DataFrame(
+            rows,
+            columns=["lang", "doc_id", "n_tokens", "bin_id", "bin_fill", "oversize"],
+        )
+        return out
+
+    return (
+        meta.groupBy("lang")
+        .applyInPandas(pack, schema=out_schema)
+        .orderBy("lang", "bin_id", "doc_id")
+    )

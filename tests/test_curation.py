@@ -102,3 +102,42 @@ def test_int8_quantization_error_bound(spark, sf_dir):
         true_scale = max(max(abs(x) for x in r["e"]) / 127.0, 1e-12)
         for x, q in zip(r["e"], r["q"]):
             assert abs(x - q * true_scale) <= true_scale / 2 + 1e-12
+
+
+def test_bestfit_packing_invariants(spark, sf_dir):
+    from collections import defaultdict
+
+    from etl_mri_scripts_spark.queries import QUERIES
+    from etl_mri_scripts_spark.queries.curation import BFD_CAP
+
+    rows = QUERIES["pack_sequences_bestfit"](spark, sf_dir).collect()
+    assert rows
+    fill = defaultdict(int)
+    for r in rows:
+        fill[(r["lang"], r["bin_id"])] += r["n_tokens"]
+        if r["oversize"]:
+            assert r["n_tokens"] >= BFD_CAP
+    for (lang, b), tot in fill.items():
+        # non-oversize bins respect capacity
+        members = [r for r in rows if r["lang"] == lang and r["bin_id"] == b]
+        if not any(m["oversize"] for m in members):
+            assert tot <= BFD_CAP, (lang, b, tot)
+            # oversize bins are singletons
+        else:
+            assert len(members) == 1
+    # packing is reasonably tight: bins used within 30% of the lower bound
+    for lang in {r["lang"] for r in rows}:
+        lang_rows = [r for r in rows if r["lang"] == lang and not r["oversize"]]
+        if not lang_rows:
+            continue
+        used = len({r["bin_id"] for r in lang_rows})
+        lower = -(-sum(r["n_tokens"] for r in lang_rows) // BFD_CAP)
+        assert used <= 1.3 * lower + 1, (lang, used, lower)
+
+
+def test_bestfit_packing_deterministic(spark, sf_dir):
+    from etl_mri_scripts_spark.queries import QUERIES
+
+    a = QUERIES["pack_sequences_bestfit"](spark, sf_dir).collect()
+    b = QUERIES["pack_sequences_bestfit"](spark, sf_dir).collect()
+    assert a == b
