@@ -543,6 +543,49 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CC_MAX_PASSES = 40  # graph-diameter ceiling; exceeding it raises loudly
+
+
+def connected_component_labels(edges: DataFrame) -> DataFrame:
+    """Min-label propagation over a symmetric edge list (s, d) -> one
+    (node, lab) row per node, lab = component min. Each pass is ONE shuffle
+    (edges x labels equi-join + groupBy-min with map-side partial agg);
+    localCheckpoint truncates lineage so the plan stays constant-size.
+    Convergence certificate: labels only decrease, so the decimal(38,0)
+    label sum strictly drops on any change — one cheap agg per pass.
+
+    Raises RuntimeError if the diameter exceeds CC_MAX_PASSES instead of
+    returning silently-wrong labels; graphs that deep want the
+    pointer-jumping / large-star-small-star variant, not a bigger cap."""
+    labels = (
+        edges.select(F.col("s").alias("node")).distinct().withColumn("lab", F.col("node"))
+    ).localCheckpoint(eager=True)
+
+    def _label_sum(df: DataFrame) -> int:
+        return df.agg(F.sum(F.col("lab").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
+    if prev_sum is None:  # empty graph
+        return labels
+    for _ in range(CC_MAX_PASSES):
+        labels = (
+            edges.join(labels, edges["s"] == labels["node"])
+            .select(F.col("d").alias("node"), "lab")
+            .unionAll(labels)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+        ).localCheckpoint(eager=True)
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected components did not converge within {CC_MAX_PASSES} passes "
+        "(graph diameter exceeds the cap) — labels would be wrong; use a "
+        "pointer-jumping variant for path-like graphs this deep"
+    )
+
+
 @query(
     "dedup_connected_components",
     oracle=f"""
@@ -614,31 +657,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("e.s").alias("s"), F.col("e.d").alias("d"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-
-    labels = (
-        edges.select(F.col("s").alias("node")).distinct().withColumn("lab", F.col("node"))
-    ).localCheckpoint(eager=True)
-
-    def _label_sum(df: DataFrame) -> int:
-        # Convergence certificate: labels only ever decrease, so the label
-        # sum strictly drops on any change — one cheap agg per pass instead
-        # of a join-based diff. decimal(38,0) so the sum can't overflow at
-        # any corpus size.
-        return df.agg(F.sum(F.col("lab").cast("decimal(38,0)"))).collect()[0][0]
-
-    prev_sum = _label_sum(labels)
-    for _ in range(20):  # diameter cap; real exit is the no-change check
-        labels = (
-            edges.join(labels, edges["s"] == labels["node"])
-            .select(F.col("d").alias("node"), "lab")
-            .unionAll(labels)
-            .groupBy("node")
-            .agg(F.min("lab").alias("lab"))
-        ).localCheckpoint(eager=True)
-        cur_sum = _label_sum(labels)
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    labels = connected_component_labels(edges)
     edges.unpersist()
 
     comp = labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("component_id"))

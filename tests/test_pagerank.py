@@ -67,3 +67,35 @@ def test_pagerank_representatives_invariants(spark, sf_dir):
     for r in reps:
         assert comp[r["representative_id"]] == r["component_id"]
         assert r["pagerank"] > 0
+
+
+def test_connected_components_converges_on_deep_chain(spark):
+    # Adversarial diameter: a 30-node path graph needs ~29 propagation
+    # passes — LSH near-dup cliques never exercise this. The loop must
+    # converge (cap is 40) and label every node with the chain min.
+    from etl_mri_scripts_spark.queries.dedup import connected_component_labels
+
+    n = 30
+    chain = [(i, i + 1) for i in range(n - 1)] + [(i + 1, i) for i in range(n - 1)]
+    # two extra singleton-pair components to prove separation
+    chain += [(100, 101), (101, 100), (200, 201), (201, 200)]
+    edges = spark.createDataFrame(chain, "s long, d long")
+    labs = {r["node"]: r["lab"] for r in connected_component_labels(edges).collect()}
+    assert all(labs[i] == 0 for i in range(n))
+    assert labs[100] == labs[101] == 100
+    assert labs[200] == labs[201] == 200
+
+
+def test_connected_components_raises_beyond_diameter_cap(spark):
+    from etl_mri_scripts_spark.queries.dedup import (
+        CC_MAX_PASSES,
+        connected_component_labels,
+    )
+
+    n = CC_MAX_PASSES + 5  # path deeper than the cap
+    chain = [(i, i + 1) for i in range(n)] + [(i + 1, i) for i in range(n)]
+    edges = spark.createDataFrame(chain, "s long, d long")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_component_labels(edges)
