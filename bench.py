@@ -17,6 +17,7 @@ import os
 import re
 import sys
 import time
+from statistics import median
 
 # Headline set: one per operator family; extended as phases land.
 HEADLINE = [
@@ -68,7 +69,9 @@ HEADLINE = [
     "disjunctive_bracket_revenue",
 ]
 
-RUNS_PER_QUERY = 2  # report min (steady-state; first run pays Catalyst compile)
+RUNS_PER_QUERY = 5  # report median (robust to run-to-run noise on sub-second
+# queries; the first run pays Catalyst compile and lands above the median, so
+# no separate warmup discard is needed per query)
 
 
 def main() -> None:
@@ -102,7 +105,7 @@ def main() -> None:
             errors[name] = "not registered"
             continue
         try:
-            times[name] = round(min(run(name) for _ in range(RUNS_PER_QUERY)), 4)
+            times[name] = round(median(run(name) for _ in range(RUNS_PER_QUERY)), 4)
         except Exception as exc:  # noqa: BLE001 — harness must survive anything
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 

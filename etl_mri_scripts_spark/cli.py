@@ -57,6 +57,7 @@ def cmd_nii_to_lmdb(args: argparse.Namespace) -> int:
         pmax=args.pmax,
         split_ratios=(args.train_ratio, args.val_ratio,
                       max(0.0, 1.0 - args.train_ratio - args.val_ratio)),
+        seed=args.seed,
     )
     vols = _load_volumes(spark, args.input_dir, args.pattern)
     patches = run_pipeline(spark, vols, cfg)

@@ -62,6 +62,8 @@ class PipelineConfig:
     pmax: float = 99.0
     split_ratios: tuple[float, float, float] = (0.95, 0.03, 0.02)
     split_unit: str = "volume"  # volume (group-consistent) | slice
+    seed: int = 123  # salts the per-slice degradation seed derivation; the
+    # reference CLI's --seed controls degradation randomness the same way
     extra: dict = field(default_factory=dict)
 
 
@@ -149,7 +151,8 @@ def degrade_and_patch(
     scales, preset, dtype_out = tuple(config.scales), config.preset, config.dtype_out
 
     slices = slices.withColumn(
-        "seed", F.xxhash64("slice_id").bitwiseAND(F.lit(0x7FFFFFFF))
+        "seed",
+        F.xxhash64(F.lit(config.seed), "slice_id").bitwiseAND(F.lit(0x7FFFFFFF)),
     ).repartition(F.col("slice_id"))
 
     def gen(batches):

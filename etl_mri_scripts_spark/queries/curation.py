@@ -667,7 +667,8 @@ def pack_sequences_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = []
         for doc_id, n in docs:
             n = int(n)
-            if n >= BFD_CAP:
+            if n > BFD_CAP:  # strictly longer than capacity; an exact-fit
+                # doc (n == BFD_CAP) occupies a normal full bin below
                 bins.append(0)
                 rows.append((lang, int(doc_id), n, len(bins) - 1, n, True))
                 continue

@@ -235,6 +235,8 @@ def dedup_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 16k shingles at sf0.01) so the anti-join broadcasts under AQE, and
     # the pair join then never sees a bucket wider than DF_CAP docs —
     # worst-case fan-out per shingle is DF_CAP^2 instead of corpus^2.
+    from pyspark import StorageLevel
+
     sh = _exploded_shingles(spark, sf_dir, cache=True)
     hot = (
         sh.groupBy("shingle")
@@ -242,7 +244,10 @@ def dedup_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > DF_CAP)
         .select("shingle")
     )
-    rare = sh.join(hot, "shingle", "left_anti")
+    # Persist the df-capped shingle relation: it feeds THREE consumers
+    # (sizes + both self-join sides); unpersisted, each re-runs the
+    # explode + anti-join lineage — the plan showed 8 parquet scans.
+    rare = sh.join(hot, "shingle", "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = rare.alias("a")
     b = rare.alias("b")
@@ -271,16 +276,22 @@ def _minhash_duck(seed: int) -> str:
     "dedup_minhash_signatures",
     oracle=f"""
     SELECT doc_id,
-           [{', '.join(_minhash_duck(s) for s in range(N_MINHASH))}] AS signature
+           array_to_string([{', '.join(_minhash_duck(s) for s in range(N_MINHASH))}],
+                           '|') AS signature
     FROM documents ORDER BY doc_id
     """,
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MinHash signature: per permutation (salted md5), the min hash over the
     # doc's shingle set — explode + partial-agg min (see _minhash_signature_df).
+    # The signature is emitted '|"-joined as ONE string column: hex digests
+    # are fixed-width text, so the encoding is lossless, and scalar cells are
+    # what an order-insensitive value-hash comparator can factorize (an
+    # array<string> cell is unhashable for pandas-based canonicalizers).
     sigs = _minhash_signature_df(spark, sf_dir)
     return sigs.select(
-        "doc_id", F.array(*[F.col(f"m{s}") for s in range(N_MINHASH)]).alias("signature")
+        "doc_id",
+        F.concat_ws("|", *[F.col(f"m{s}") for s in range(N_MINHASH)]).alias("signature"),
     ).orderBy("doc_id")
 
 
@@ -1064,9 +1075,75 @@ def pagerank_ranks(
     return ranks
 
 
-@query("dedup_pagerank_representatives")
+def _pagerank_duck(iters: int, damping: float) -> str:
+    """Oracle for the fixed-K power iteration: the K update steps are
+    UNROLLED as chained CTEs (pr0..pr{K}) — standard SQL forbids aggregates
+    in a recursive term, and a fixed iteration count needs no recursion.
+    Float literals go through CAST('<repr>' AS DOUBLE) so the oracle uses
+    the exact same IEEE doubles as the Python driver constants (a bare
+    decimal literal would round-trip through DuckDB DECIMAL and can be off
+    by an ulp)."""
+    base_lit = f"CAST('{(1.0 - damping)!r}' AS DOUBLE)"
+    d_lit = f"CAST('{damping!r}' AS DOUBLE)"
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+    pr{k} AS (
+      SELECT n.node AS doc_id,
+             ({base_lit} / nn.n) + {d_lit} * COALESCE(c.in_sum, CAST(0.0 AS DOUBLE))
+               AS rank
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.d AS doc_id, sum(p.rank / o.deg) AS in_sum
+        FROM edges e
+        JOIN pr{k - 1} p ON p.doc_id = e.s
+        JOIN outdeg o ON o.s = e.s
+        GROUP BY e.d
+      ) c ON c.doc_id = n.node
+    )""")
+    return ",".join(steps)
+
+
+_PAGERANK_REPS_ORACLE = f"""
+    -- PageRank canonical selection: {PR_ITERS} unrolled power-iteration
+    -- steps over the symmetrized verified near-dup graph (no dangling
+    -- nodes), then each connected component keeps its highest-rank member.
+    WITH RECURSIVE {_VERIFIED_PAIRS_DUCK},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM vpairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM vpairs
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (SELECT s, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY s),
+    pr0 AS (SELECT node AS doc_id, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
+    {_pagerank_duck(PR_ITERS, PR_DAMPING)},
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lab) AS component_id FROM reach GROUP BY 1),
+    ranked AS (
+      SELECT c.component_id, c.doc_id, p.rank,
+             row_number() OVER (PARTITION BY c.component_id
+                                ORDER BY p.rank DESC, c.doc_id) AS rn,
+             count(*) OVER (PARTITION BY c.component_id) AS csize
+      FROM comp c JOIN pr{PR_ITERS} p ON p.doc_id = c.doc_id
+    )
+    SELECT component_id, doc_id AS representative_id,
+           round(rank, 9) AS pagerank,
+           CAST(csize AS BIGINT) AS component_size
+    FROM ranked WHERE rn = 1
+    ORDER BY component_id
+"""
+
+
+@query("dedup_pagerank_representatives", oracle=_PAGERANK_REPS_ORACLE)
 def dedup_pagerank_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Centrality-based canonical selection (rows-only: iterative): PageRank
+    """Centrality-based canonical selection (PageRank is iterative but
+    fixed-K deterministic, so the oracle unrolls the K steps): PageRank
     over the verified near-dup graph, then each component keeps its
     highest-centrality member — the 'most linked-to duplicate is the
     canonical copy' policy, vs the quality policy of

@@ -41,9 +41,14 @@ _CORPUS_AGG_SQL = """
 """
 
 
-def _export_dir(sf_dir: str, fmt: str) -> str:
+def _export_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    # Keyed by (sf_dir, Spark applicationId): two concurrent sessions
+    # benchmarking the same sf_dir must not overwrite each other's exports
+    # mid-read (mode=overwrite deletes files another session's lazy scan
+    # may still be streaming).
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return os.path.join(_EXPORT_ROOT, f"{fmt}_{tag}")
+    app = spark.sparkContext.applicationId
+    return os.path.join(_EXPORT_ROOT, app, f"{fmt}_{tag}")
 
 
 def _corpus_agg(docs: DataFrame) -> DataFrame:
@@ -65,7 +70,7 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-matching the parquet oracle proves the JSONL path is lossless
     (unicode, quotes, embedded structure all survive)."""
     docs = table(spark, sf_dir, "documents")
-    out = _export_dir(sf_dir, "jsonl")
+    out = _export_dir(spark, sf_dir, "jsonl")
     write_documents_jsonl(docs, out)
     back = read_documents_jsonl(spark, out).drop("_corrupt_record")
     return _corpus_agg(back)
@@ -77,7 +82,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Free text embeds commas/quotes/newlines; a hash match against parquet
     truth proves the quoting options are right, not just plausible."""
     docs = table(spark, sf_dir, "documents")
-    out = _export_dir(sf_dir, "csv")
+    out = _export_dir(spark, sf_dir, "csv")
     write_documents_csv(docs, out)
     return _corpus_agg(read_documents_csv(spark, out))
 
@@ -98,7 +103,7 @@ def source_jsonl_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFra
     quarantined vs clean rows. The oracle computes the expected split by
     arithmetic on the parquet row count."""
     docs = table(spark, sf_dir, "documents").orderBy("doc_id")
-    out = _export_dir(sf_dir, "jsonl_corrupt")
+    out = _export_dir(spark, sf_dir, "jsonl_corrupt")
 
     # deterministic corruption: rank rows by doc_id, truncate every 7th
     # (1-indexed multiples of 7) JSON line so it no longer parses

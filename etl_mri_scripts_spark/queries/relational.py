@@ -1822,21 +1822,24 @@ CDC_CUTOFF = "2024-01-25"  # base snapshot before, change batch after
     -- MERGE loop. action classifies the outcome per key: update (delta
     -- superseded base), insert (new key), unchanged (no delta arrived).
     WITH base AS (
-      SELECT user_id, event_type AS state, ts
-      FROM (SELECT user_id, event_type, ts,
+      SELECT user_id, event_type AS state, ts, event_id
+      FROM (SELECT user_id, event_type, ts, event_id,
                    row_number() OVER (PARTITION BY user_id
                      ORDER BY ts DESC, event_id DESC) AS rn
             FROM events WHERE ts < TIMESTAMP '{CDC_CUTOFF}')
       WHERE rn = 1
     ),
     delta AS (
-      SELECT user_id, event_type AS state, ts
+      SELECT user_id, event_type AS state, ts, event_id
       FROM events WHERE ts >= TIMESTAMP '{CDC_CUTOFF}'
     ),
     merged AS (
       SELECT user_id, state, ts, src,
+             -- event_id is the FINAL tie-breaker: two delta events with
+             -- identical (user_id, ts) otherwise tie nondeterministically
+             -- and engines can pick different rows
              row_number() OVER (PARTITION BY user_id
-               ORDER BY ts DESC, src DESC) AS rn,
+               ORDER BY ts DESC, src DESC, event_id DESC) AS rn,
              max(CASE WHEN src = 'delta' THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id) AS has_delta,
              max(CASE WHEN src = 'base' THEN 1 ELSE 0 END)
@@ -1869,15 +1872,17 @@ def cdc_upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w_latest).alias("rn"),
         )
         .filter(F.col("rn") == 1)
-        .select("user_id", "state", "ts", F.lit("base").alias("src"))
+        .select("user_id", "state", "ts", "event_id", F.lit("base").alias("src"))
     )
     delta = ev.filter(F.col("ts") >= cut).select(
-        "user_id", F.col("event_type").alias("state"), "ts",
+        "user_id", F.col("event_type").alias("state"), "ts", "event_id",
         F.lit("delta").alias("src"),
     )
     u = base.unionByName(delta)
     w_user = Window.partitionBy("user_id")
-    w_pick = w_user.orderBy(F.desc("ts"), F.desc("src"))
+    # event_id as the final tie-breaker: identical (user_id, ts) delta
+    # events would otherwise tie nondeterministically across engines/runs
+    w_pick = w_user.orderBy(F.desc("ts"), F.desc("src"), F.desc("event_id"))
     m = u.select(
         "user_id", "state", "ts",
         F.row_number().over(w_pick).alias("rn"),
@@ -2028,21 +2033,24 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- 'delete', state NULL) so downstream consumers can propagate the
     -- tombstone; rows never loop through per-row MERGE logic.
     WITH base AS (
-      SELECT user_id, event_type AS state, ts
-      FROM (SELECT user_id, event_type, ts,
+      SELECT user_id, event_type AS state, ts, event_id
+      FROM (SELECT user_id, event_type, ts, event_id,
                    row_number() OVER (PARTITION BY user_id
                      ORDER BY ts DESC, event_id DESC) AS rn
             FROM events WHERE ts < TIMESTAMP '{CDC_CUTOFF}')
       WHERE rn = 1
     ),
     delta AS (
-      SELECT user_id, event_type AS state, ts
+      SELECT user_id, event_type AS state, ts, event_id
       FROM events WHERE ts >= TIMESTAMP '{CDC_CUTOFF}'
     ),
     merged AS (
       SELECT user_id, state, ts, src,
+             -- event_id is the FINAL tie-breaker: two delta events with
+             -- identical (user_id, ts) otherwise tie nondeterministically
+             -- and engines can pick different rows
              row_number() OVER (PARTITION BY user_id
-               ORDER BY ts DESC, src DESC) AS rn,
+               ORDER BY ts DESC, src DESC, event_id DESC) AS rn,
              max(CASE WHEN src = 'delta' THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id) AS has_delta,
              max(CASE WHEN src = 'base' THEN 1 ELSE 0 END)
@@ -2075,18 +2083,22 @@ def cdc_apply_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         ev.filter(F.col("ts") < cut)
         .select(
-            "user_id", F.col("event_type").alias("state"), "ts",
+            "user_id", F.col("event_type").alias("state"), "ts", "event_id",
             F.row_number().over(w_latest).alias("rn"),
         )
         .filter(F.col("rn") == 1)
-        .select("user_id", "state", "ts", F.lit("base").alias("src"))
+        .select("user_id", "state", "ts", "event_id", F.lit("base").alias("src"))
     )
     delta = ev.filter(F.col("ts") >= cut).select(
-        "user_id", F.col("event_type").alias("state"), "ts", F.lit("delta").alias("src")
+        "user_id", F.col("event_type").alias("state"), "ts", "event_id",
+        F.lit("delta").alias("src"),
     )
     u = base.unionByName(delta)
     w_all = Window.partitionBy("user_id")
-    w_pick = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("src"))
+    # event_id as the final tie-breaker (see cdc_upsert_latest_wins)
+    w_pick = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("src"), F.desc("event_id")
+    )
     merged = u.select(
         "user_id", "state", "ts", "src",
         F.row_number().over(w_pick).alias("rn"),

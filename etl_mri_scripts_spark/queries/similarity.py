@@ -214,11 +214,84 @@ KMEANS_ITERS = 2  # enough to move centroids off init; each iter is 2 jobs
 EMB_DIM = 64
 
 
-@query("ann_ivf_kmeans_topk")
+def _ivf_kmeans_duck() -> str:
+    """Oracle for the fixed-iteration deterministic k-means + IVF probe:
+    the Lloyd steps are UNROLLED as chained CTEs (c0 -> a1 -> c1 -> a2 ->
+    c2 -> a3). Deterministic because init is the K lowest vec_ids and every
+    centroid coordinate is rounded to 6 dp per step, exactly like the Spark
+    implementation below."""
+
+    def d2(e: str, ce: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+            f"i -> ({e}[i] - {ce}[i]) * ({e}[i] - {ce}[i])))"
+        )
+
+    steps = []
+    for j in range(1, KMEANS_ITERS + 2):  # assignments a1..a{K+1}
+        steps.append(f"""
+    a{j} AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d2("v.e", "c.ce")}, c.cid) AS rn
+        FROM v CROSS JOIN c{j - 1} c
+      ) WHERE rn = 1
+    )""")
+        if j <= KMEANS_ITERS:  # updates c1..c{K}; the last assignment only probes
+            steps.append(f"""
+    m{j} AS (
+      SELECT a.cid, g.dim, round(avg(v.e[g.dim]), 6) AS m
+      FROM a{j} a JOIN v ON v.vec_id = a.vec_id
+      CROSS JOIN (SELECT unnest(range(1, {EMB_DIM + 1})) AS dim) g
+      GROUP BY a.cid, g.dim
+    )""")
+            steps.append(f"""
+    c{j} AS (
+      SELECT p.cid, COALESCE(u.ce, p.ce) AS ce
+      FROM c{j - 1} p LEFT JOIN (
+        SELECT cid, list(m ORDER BY dim) AS ce FROM m{j} GROUP BY cid
+      ) u ON u.cid = p.cid
+    )""")
+    chain = ",".join(steps)
+    final = KMEANS_ITERS + 1
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             list_transform(e, x -> round(x, 6)) AS ce
+      FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {N_CENTROIDS})
+    ),
+    {chain},
+    clustered AS (
+      SELECT v.vec_id, v.e, a.cid FROM v JOIN a{final} a ON a.vec_id = v.vec_id
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS_DUCK} AS cosine
+      FROM clustered q JOIN clustered c
+        ON q.cid = c.cid AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(cosine, 6) DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
+@query("ann_ivf_kmeans_topk", oracle=_ivf_kmeans_duck())
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real IVF: coarse centroids learned by k-means, then each query probes
-    only its nearest centroid's inverted list. Rows-only (iterative training
-    is not SQL-expressible).
+    only its nearest centroid's inverted list. The training loop is
+    iterative but fixed-K and fully deterministic (lowest-K init, 6 dp
+    rounding each step), so the oracle unrolls the Lloyd iterations as
+    chained SQL CTEs instead of settling for a rows-only check.
 
     Spark-idiomatic iterative pattern (what MLlib does): the centroid state
     is tiny (K x dim doubles) and lives on the driver between iterations;
@@ -340,7 +413,8 @@ def embedding_norm_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT vec_id,
            round(scale, 6) AS scale,
-           list_transform(e, x -> CAST(round(x / scale) AS BIGINT)) AS q
+           array_to_string(list_transform(e, x -> CAST(round(x / scale) AS BIGINT)),
+                           '|') AS q
     FROM v ORDER BY vec_id
     """,
 )
@@ -361,10 +435,17 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("array_max(transform(e, x -> abs(x)))") / 127.0, F.lit(1e-12)
         ).alias("scale"),
     )
+    # '|'-joined string encoding of the int8 codes: integers render
+    # identically in every engine, so the join is lossless and the output
+    # row is all-scalar (hashable by pandas-based result canonicalizers;
+    # an array cell is not).
     return v.select(
         "vec_id",
         F.round("scale", 6).alias("scale"),
-        F.expr("transform(e, x -> cast(round(x / scale) as bigint))").alias("q"),
+        F.array_join(
+            F.expr("transform(e, x -> cast(cast(round(x / scale) as bigint) as string))"),
+            "|",
+        ).alias("q"),
     ).orderBy("vec_id")
 
 
@@ -383,35 +464,38 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (SELECT label, idx, avg(x) AS m FROM ex GROUP BY 1, 2)
     SELECT m.label,
-           list(round(m.m, 6) ORDER BY m.idx) AS centroid,
+           CAST(m.idx - 1 AS BIGINT) AS dim,
+           round(m.m, 6) AS centroid,
            n.n_vectors
     FROM m
     JOIN (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors
           FROM embeddings GROUP BY 1) n ON n.label = m.label
-    GROUP BY m.label, n.n_vectors
-    ORDER BY m.label
+    ORDER BY m.label, dim
     """,
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # posexplode -> groupBy(label, dim) avg -> re-assemble ordered array.
-    # The shuffle key is (label, dim): dim fans the vectors out so no
-    # reducer ever holds a label's full vector set (the skew-free layout
-    # for centroid updates at billion-vector scale — contrast with
-    # collect_list-per-label, which concentrates a hot label on one task).
-    # Partial aggregation means the shuffle carries (label, dim, sum,
-    # count) per map partition, not raw vectors.
+    # posexplode -> groupBy(label, dim) avg, emitted in LONG form: one
+    # (label, dim, centroid) row per coordinate. The shuffle key is
+    # (label, dim): dim fans the vectors out so no reducer ever holds a
+    # label's full vector set (the skew-free layout for centroid updates at
+    # billion-vector scale — contrast with collect_list-per-label, which
+    # concentrates a hot label on one task). Partial aggregation means the
+    # shuffle carries (label, dim, sum, count) per map partition, not raw
+    # vectors. Long form also keeps every output cell scalar: float arrays
+    # have no portable text encoding (engines disagree on scientific
+    # notation), while scalar doubles go through the comparator's numeric
+    # tolerance.
     emb = table(spark, sf_dir, "embeddings")
     ex = emb.select(
-        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("idx", "x")
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
     )
-    m = ex.groupBy("label", "idx").agg(F.avg("x").alias("m"))
-    cent = (
-        m.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("idx", "m"))).alias("s"))
-        .select("label", F.expr("transform(s, p -> round(p.m, 6))").alias("centroid"))
-    )
+    m = ex.groupBy("label", "dim").agg(F.round(F.avg("x"), 6).alias("centroid"))
     n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
-    return cent.join(n, "label").select("label", "centroid", "n_vectors").orderBy("label")
+    return (
+        m.join(n, "label")
+        .select("label", F.col("dim").cast("long").alias("dim"), "centroid", "n_vectors")
+        .orderBy("label", "dim")
+    )
 
 
 @query(

@@ -27,8 +27,17 @@ def _norm_cell(v):
         return ("t", ts.isoformat())
     if isinstance(v, date):
         return ("t", pd.Timestamp(v).isoformat())
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return ("l", tuple(_norm_cell(x) for x in v))
+    if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
+        # Driver-strict: the external comparator factorizes cells with
+        # pandas, which dies on unhashable (non-scalar) values. A query
+        # that emits arrays/structs would pass a lenient local canon and
+        # then fail the real gate — reject here so local green implies
+        # driver green. String-encode (ints / hex) or emit long form
+        # (floats) instead.
+        raise AssertionError(
+            f"non-scalar cell {type(v).__name__} in oracled query output; "
+            "encode arrays as strings or explode to long form"
+        )
     if isinstance(v, (int,)) or type(v).__name__ in ("int64", "int32", "uint64"):
         return ("i", int(v))
     if type(v).__name__ in ("float64", "float32"):

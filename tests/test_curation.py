@@ -97,10 +97,12 @@ def test_int8_quantization_error_bound(spark, sf_dir):
     )
     assert rows
     for r in rows:
-        assert all(-127 <= q <= 127 for q in r["q"])
+        codes = [int(t) for t in r["q"].split("|")]
+        assert len(codes) == len(r["e"])
+        assert all(-127 <= q <= 127 for q in codes)
         # scale column is rounded for the oracle; recover the true scale
         true_scale = max(max(abs(x) for x in r["e"]) / 127.0, 1e-12)
-        for x, q in zip(r["e"], r["q"]):
+        for x, q in zip(r["e"], codes):
             assert abs(x - q * true_scale) <= true_scale / 2 + 1e-12
 
 
@@ -116,7 +118,7 @@ def test_bestfit_packing_invariants(spark, sf_dir):
     for r in rows:
         fill[(r["lang"], r["bin_id"])] += r["n_tokens"]
         if r["oversize"]:
-            assert r["n_tokens"] >= BFD_CAP
+            assert r["n_tokens"] > BFD_CAP
     for (lang, b), tot in fill.items():
         # non-oversize bins respect capacity
         members = [r for r in rows if r["lang"] == lang and r["bin_id"] == b]

@@ -173,3 +173,33 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS bt_orders")
         spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+
+
+def test_real_lmdb_roundtrip(spark, patches, tmp_path):
+    """Round-trip through the ACTUAL lmdb package when it is installed
+    (skip otherwise): every exported value must be byte-identical when
+    read back via a point lookup. The fallback directory format is
+    covered by the layout tests above; this guards the lmdb-specific
+    branch of _write_store_partition (env/txn batching)."""
+    lmdb = pytest.importorskip("lmdb")
+    out = str(tmp_path / "stores_lmdb")
+    paths = export_kv_stores(patches, out)
+    assert paths
+    checked = 0
+    for p in paths:
+        keys = read_store_keys(p, limit=5)
+        want = {
+            r["key"]: bytes(r["value"])
+            for r in patches.filter(F.col("key").isin(keys))
+            .select("key", "value")
+            .collect()
+        }
+        env = lmdb.open(p, readonly=True, lock=False)
+        with env.begin() as txn:
+            for k in keys:
+                got = txn.get(k.encode("ascii"))
+                assert got is not None, f"missing key {k}"
+                assert bytes(got) == want[k], f"value mismatch for {k}"
+                checked += 1
+        env.close()
+    assert checked > 0
