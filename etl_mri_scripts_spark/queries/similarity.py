@@ -765,10 +765,110 @@ def _pq_train(spark: SparkSession, v: DataFrame) -> list[list[list[float]]]:
     return books
 
 
-@query("ann_pq_adc_topk")
+def _pq_adc_duck() -> str:
+    """Oracle for PQ train + encode + ADC + exact rerank: the per-subspace
+    k-means is fixed-iteration and deterministic (init = the Ks lowest
+    vec_ids per subspace, means rounded to 6 dp), so the Lloyd steps
+    unroll as chained CTEs exactly like _ivf_kmeans_duck — one extra
+    dimension (sub_id) threaded through every relation."""
+
+    def d2(e: str, ce: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), "
+            f"i -> ({e}[i] - {ce}[i]) * ({e}[i] - {ce}[i])))"
+        )
+
+    steps = []
+    for j in range(1, PQ_ITERS + 2):  # assignments a1..a{ITERS+1}; the last encodes
+        steps.append(f"""
+    a{j} AS (
+      SELECT vec_id, sub_id, sub_e, code FROM (
+        SELECT s.vec_id, s.sub_id, s.sub_e, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+                                  ORDER BY {d2("s.sub_e", "c.ce")}, c.code) AS rn
+        FROM subs s JOIN cb{j - 1} c ON c.sub_id = s.sub_id
+      ) WHERE rn = 1
+    )""")
+        if j <= PQ_ITERS:
+            steps.append(f"""
+    m{j} AS (
+      SELECT a.sub_id, a.code, g.dim, round(avg(a.sub_e[g.dim]), 6) AS m
+      FROM a{j} a
+      CROSS JOIN (SELECT unnest(range(1, {PQ_SUBDIM + 1})) AS dim) g
+      GROUP BY a.sub_id, a.code, g.dim
+    )""")
+            steps.append(f"""
+    cb{j} AS (
+      SELECT p.sub_id, p.code, COALESCE(u.ce, p.ce) AS ce
+      FROM cb{j - 1} p LEFT JOIN (
+        SELECT sub_id, code, list(m ORDER BY dim) AS ce
+        FROM m{j} GROUP BY sub_id, code
+      ) u ON u.sub_id = p.sub_id AND u.code = p.code
+    )""")
+    chain = ",".join(steps)
+    enc = PQ_ITERS + 1
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    subs AS (
+      SELECT vec_id, m AS sub_id,
+             e[m * {PQ_SUBDIM} + 1 : m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sub_e
+      FROM v, (SELECT unnest(range(0, {PQ_M})) AS m)
+    ),
+    cb0 AS (
+      SELECT sub_id, CAST(vec_id AS INT) AS code,
+             list_transform(sub_e, x -> round(x, 6)) AS ce
+      FROM subs WHERE vec_id < {PQ_KS}
+    ),
+    {chain},
+    codes AS (SELECT vec_id, sub_id, code FROM a{enc}),
+    lut AS (
+      SELECT q.vec_id AS query_id, q.sub_id, c.code,
+             round({d2("q.sub_e", "c.ce")}, 6) AS qd2
+      FROM subs q JOIN cb{PQ_ITERS} c ON c.sub_id = q.sub_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    approx AS (
+      SELECT l.query_id, k.vec_id, sum(l.qd2) AS adc_d2
+      FROM codes k JOIN lut l ON l.sub_id = k.sub_id AND l.code = k.code
+      WHERE k.vec_id <> l.query_id
+      GROUP BY l.query_id, k.vec_id
+    ),
+    shortlist AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d2 ASC, vec_id ASC) AS srank
+        FROM approx
+      ) WHERE srank <= {PQ_RERANK * TOP_K}
+    ),
+    scored AS (
+      SELECT s.query_id, s.vec_id AS neighbor_id,
+             round(
+               list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> q.e[i] * c.e[i])) /
+               (sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> q.e[i] * q.e[i]))) *
+                sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> c.e[i] * c.e[i])))),
+               6) AS cosine
+      FROM shortlist s
+      JOIN v c ON c.vec_id = s.vec_id
+      JOIN v q ON q.vec_id = s.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
+@query("ann_pq_adc_topk", oracle=_pq_adc_duck())
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-compressed ANN with ADC scoring and exact rerank (rows-only:
-    iterative training). Plan shape at scale: codes are M tiny ints per
+    """PQ-compressed ANN with ADC scoring and exact rerank (training is
+    iterative but fixed-K deterministic, so the oracle unrolls the Lloyd
+    steps per subspace). Plan shape at scale: codes are M tiny ints per
     vector (the 100 TB corpus fits hot in memory at 32x compression);
     scoring joins the exploded code table against a broadcast per-query
     LUT (M*Ks rows/query) — an equi-join on (sub_id, code), map-side

@@ -16,10 +16,29 @@ from etl_mri_scripts_spark.queries import QUERIES
 
 GOLDEN = {
     # name: (sha256[:16] of sorted canonical rows, row count)
+    # EVERY registered no-oracle query is pinned here, so the weaker
+    # rows-only driver check is always backed by a bit-exact local gate.
+    # (ann_pq_adc_topk graduated to a real DuckDB oracle — no pin needed.)
     "bpe_train_merges": ("dc75d333de0869db", 105),
-    "ann_pq_adc_topk": ("33fd8b6d87b5b450", 50),
+    "bpe_tokenize_counts": ("ee5729e5424e39f4", 500),
     "pack_sequences_bestfit": ("4886fd964d3eb8b6", 500),
+    "imaging_pipeline_patches": ("2b18d392403cfae3", 80),
+    "imaging_snr_metrics": ("b45d1e1a27d67062", 3),
+    "multimodal_feature_extract": ("68afe1f7481bc1c0", 12),
+    "multimodal_frame_sample": ("6f1277fef5b97cf9", 16),
+    "imaging_triptych_render": ("76746811f5b3549b", 2),
+    "hll_sketch_rollup_nation_region": ("7363c16bd2ecdd8c", 5),
 }
+
+
+def test_every_no_oracle_query_is_pinned():
+    from etl_mri_scripts_spark.queries import ORACLES
+
+    unpinned = set(QUERIES) - set(ORACLES) - set(GOLDEN)
+    assert not unpinned, (
+        f"no-oracle queries without a golden pin: {sorted(unpinned)} — "
+        "add a hash here or give them a DuckDB oracle"
+    )
 
 
 def _canon_hash(df) -> tuple[str, int]:
