@@ -48,7 +48,32 @@ def _export_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     # may still be streaming).
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     app = spark.sparkContext.applicationId
+    _sweep_stale_exports(keep=app)
     return os.path.join(_EXPORT_ROOT, app, f"{fmt}_{tag}")
+
+
+_STALE_EXPORT_SECS = 24 * 3600
+
+
+def _sweep_stale_exports(keep: str) -> None:
+    # Best-effort GC: exports are per-session scratch, so any sibling app
+    # dir untouched for a day is garbage from a dead session. Never touch
+    # the current session's dir; ignore races with concurrent sessions.
+    import shutil
+    import time
+
+    try:
+        entries = os.listdir(_EXPORT_ROOT)
+    except OSError:
+        return
+    cutoff = time.time() - _STALE_EXPORT_SECS
+    for name in entries:
+        path = os.path.join(_EXPORT_ROOT, name)
+        try:
+            if name != keep and os.path.isdir(path) and os.path.getmtime(path) < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue
 
 
 def _corpus_agg(docs: DataFrame) -> DataFrame:
