@@ -137,6 +137,7 @@ _DRIVER_ORDER = [
     "agg_median_abs_deviation",
     "customer_revenue_gini",
     "label_entropy_by_source",
+    "dedup_semantic_keep",  # added r3 (SemDeDup-style), oracled
 ]
 
 

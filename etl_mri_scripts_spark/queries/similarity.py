@@ -214,12 +214,13 @@ KMEANS_ITERS = 2  # enough to move centroids off init; each iter is 2 jobs
 EMB_DIM = 64
 
 
-def _ivf_kmeans_duck() -> str:
-    """Oracle for the fixed-iteration deterministic k-means + IVF probe:
+def _kmeans_clustered_duck() -> str:
+    """WITH-clause interior for the fixed-iteration deterministic k-means:
     the Lloyd steps are UNROLLED as chained CTEs (c0 -> a1 -> c1 -> a2 ->
-    c2 -> a3). Deterministic because init is the K lowest vec_ids and every
-    centroid coordinate is rounded to 6 dp per step, exactly like the Spark
-    implementation below."""
+    c2 -> a3), ending in `clustered(vec_id, e, cid)`. Deterministic because
+    init is the K lowest vec_ids and every centroid coordinate is rounded
+    to 6 dp per step, exactly like kmeans_clustered below. Shared by the
+    IVF probe and the semantic-dedup oracles."""
 
     def d2(e: str, ce: str) -> str:
         return (
@@ -256,7 +257,7 @@ def _ivf_kmeans_duck() -> str:
     chain = ",".join(steps)
     final = KMEANS_ITERS + 1
     return f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
              list_transform(e, x -> round(x, 6)) AS ce
@@ -265,7 +266,12 @@ def _ivf_kmeans_duck() -> str:
     {chain},
     clustered AS (
       SELECT v.vec_id, v.e, a.cid FROM v JOIN a{final} a ON a.vec_id = v.vec_id
-    ),
+    )"""
+
+
+def _ivf_kmeans_duck() -> str:
+    return f"""
+    WITH {_kmeans_clustered_duck()},
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              {_COS_DUCK} AS cosine
@@ -285,13 +291,10 @@ def _ivf_kmeans_duck() -> str:
     """
 
 
-@query("ann_ivf_kmeans_topk", oracle=_ivf_kmeans_duck())
-def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real IVF: coarse centroids learned by k-means, then each query probes
-    only its nearest centroid's inverted list. The training loop is
-    iterative but fixed-K and fully deterministic (lowest-K init, 6 dp
-    rounding each step), so the oracle unrolls the Lloyd iterations as
-    chained SQL CTEs instead of settling for a rows-only check.
+def kmeans_clustered(spark: SparkSession, v: DataFrame) -> DataFrame:
+    """Deterministic fixed-iteration k-means over (vec_id, e, nrm) rows ->
+    persisted (vec_id, cid, e, nrm) assignment table. Shared by the IVF
+    probe and semantic dedup.
 
     Spark-idiomatic iterative pattern (what MLlib does): the centroid state
     is tiny (K x dim doubles) and lives on the driver between iterations;
@@ -299,11 +302,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed — the corpus never moves to the driver and never shuffles
     (assignment is a map; only the K x dim partial means aggregate).
     Determinism: init = lowest-K vec_ids, centroid coordinates rounded to
-    6 dp each iteration so retries reproduce bit-identical clusters.
-    """
-    emb = table(spark, sf_dir, "embeddings")
-    v = _vectors(emb)
-
+    6 dp each iteration so retries reproduce bit-identical clusters."""
     # deterministic init: the K lowest vec_ids
     init = v.orderBy("vec_id").limit(N_CENTROIDS).select("e").collect()
     centroids = [[round(float(x), 6) for x in r["e"]] for r in init]
@@ -341,8 +340,20 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark import StorageLevel
 
-    # final clustering feeds both probe sides — compute it once
-    clustered = assign(v, centroids).persist(StorageLevel.MEMORY_AND_DISK)
+    # the final clustering feeds multiple consumers — compute it once
+    return assign(v, centroids).persist(StorageLevel.MEMORY_AND_DISK)
+
+
+@query("ann_ivf_kmeans_topk", oracle=_ivf_kmeans_duck())
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real IVF: coarse centroids learned by k-means, then each query probes
+    only its nearest centroid's inverted list. The training loop is
+    iterative but fixed-K and fully deterministic, so the oracle unrolls
+    the Lloyd iterations as chained SQL CTEs (_kmeans_clustered_duck)
+    instead of settling for a rows-only check."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = _vectors(emb)
+    clustered = kmeans_clustered(spark, v)
     q = clustered.filter(F.col("vec_id") < N_QUERIES).alias("q")
     c = clustered.alias("c")
     scored = c.join(
@@ -956,4 +967,76 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
+    )
+
+
+SEM_TAU = 0.4  # the synthetic corpus has NO true near-dups (max pairwise
+# cosine ~0.51), so the threshold sits where the drop path actually
+# exercises; the plan and policy are identical at any tau — production
+# SemDeDup tunes epsilon per corpus
+
+
+@query(
+    "dedup_semantic_keep",
+    oracle=f"""
+    -- SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    -- the embedding space, compare pairs ONLY within a cluster, and drop
+    -- every vector that has a smaller-id neighbor above the cosine
+    -- threshold (greedy keep-lowest-id policy, deterministic). Reuses the
+    -- unrolled Lloyd-iteration chain from the IVF oracle.
+    WITH {{KMEANS}},
+    dups AS (
+      SELECT b.vec_id, min(a.vec_id) AS dup_of
+      FROM clustered a JOIN clustered b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE round({{COS}}, 6) >= {SEM_TAU}
+      GROUP BY b.vec_id
+    )
+    SELECT c.vec_id, CAST(c.cid AS INT) AS cid,
+           d.vec_id IS NULL AS kept, d.dup_of
+    FROM clustered c LEFT JOIN dups d ON d.vec_id = c.vec_id
+    ORDER BY c.vec_id
+    """.replace(
+        "{KMEANS}", _kmeans_clustered_duck()
+    ).replace(
+        "{COS}",
+        _COS_DUCK.replace("q.e", "a.e").replace("c.e", "b.e"),
+    ),
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-duplicate pruning over the embedding column, the
+    SemDeDup recipe: cluster first, then pay the pairwise cosine cost only
+    inside each cluster. A vector is dropped when a smaller-id vector in
+    its cluster is more similar than SEM_TAU; dup_of records the smallest
+    such neighbor (the canonical copy), NULL for kept vectors.
+
+    Scale shape: the intra-cluster self-join is an equi-join on cid, so
+    candidate fan-out is bounded by cluster occupancy — never corpus^2.
+    With K centroids the expected pair count drops by ~K vs the all-pairs
+    form; at 100 TB, K grows with the corpus (sqrt(N) is the usual rule)
+    and the same plan holds because clustering state stays K x dim on the
+    driver."""
+    emb = table(spark, sf_dir, "embeddings")
+    clustered = kmeans_clustered(spark, _vectors(emb))
+    a = clustered.alias("q")  # reuse _cosine()'s q/c alias convention
+    b = clustered.alias("c")
+    dups = (
+        a.join(
+            b,
+            (F.col("q.cid") == F.col("c.cid"))
+            & (F.col("q.vec_id") < F.col("c.vec_id")),
+        )
+        .filter(F.round(_cosine(), 6) >= SEM_TAU)
+        .groupBy(F.col("c.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("q.vec_id")).alias("dup_of"))
+    )
+    return (
+        clustered.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cid").cast("int").alias("cid"),
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+        .orderBy("vec_id")
     )

@@ -110,6 +110,7 @@ def test_no_query_plans_a_cartesian_or_nested_loop(spark, sf_dir):
     allowed_nested = {
         "ann_bruteforce_topk",
         "ann_ivf_kmeans_topk",
+    "dedup_semantic_keep",  # same crossJoin with broadcast(K centroids)
         "imaging_key_parity_gate",
         "corpus_mix_plan",  # crossJoin with broadcast 1-row binding-constraint agg
         "supplier_value_share_threshold",  # broadcast 1-row global-total agg (Q11 HAVING scalar)
