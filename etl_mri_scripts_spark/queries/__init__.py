@@ -138,6 +138,7 @@ _DRIVER_ORDER = [
     "customer_revenue_gini",
     "label_entropy_by_source",
     "dedup_semantic_keep",  # added r3 (SemDeDup-style), oracled
+    "source_cap_downsample",  # added r3 (per-domain cap), oracled
 ]
 
 

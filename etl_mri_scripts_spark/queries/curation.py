@@ -694,3 +694,61 @@ def pack_sequences_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(pack, schema=out_schema)
         .orderBy("lang", "bin_id", "doc_id")
     )
+
+
+SOURCE_CAP = 15  # max docs kept per source (below the synthetic corpus's
+# uniform 25 docs/source at sf0.01 so the drop path actually exercises)
+
+
+@query(
+    "source_cap_downsample",
+    oracle=f"""
+    -- Per-source (per-domain) cap: every web-scale corpus over-represents
+    -- a few giant domains; cap each source at {SOURCE_CAP} docs, keeping
+    -- the longest documents first (deterministic doc_id tie-break). The
+    -- report carries both kept and dropped rows so downstream accounting
+    -- can audit what the cap cost each source.
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS source_total
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rank_in_source,
+           rk <= {SOURCE_CAP} AS kept, source_total
+    FROM ranked
+    ORDER BY doc_id
+    """,
+)
+def source_cap_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap, the standard web-corpus de-biasing step: rank docs
+    within each source by quality proxy (length, id tie-break) and keep
+    the top SOURCE_CAP.
+
+    Scale shape: ONE window shuffle on source; the payload is (doc_id,
+    source, n_chars) — never text. A skewed mega-domain concentrates its
+    rows on one reducer, but only its metadata rows: at 100 TB that is
+    still ~GBs per hot domain, and the rank-then-filter form lets AQE
+    split the sort spill; if a single domain's metadata outgrew a reducer,
+    the same policy re-expresses as a two-stage salted top-K (see
+    agg_skew_salted_two_stage) without changing the output contract."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wc = Window.partitionBy("source")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).alias("rank_in_source"),
+            F.count(F.lit(1)).over(wc).alias("source_total"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("rank_in_source").cast("long").alias("rank_in_source"),
+            (F.col("rank_in_source") <= SOURCE_CAP).alias("kept"),
+            F.col("source_total").cast("long").alias("source_total"),
+        )
+        .orderBy("doc_id")
+    )
