@@ -67,6 +67,9 @@ HEADLINE = [
     "nation_pair_shipping_volume",
     "profit_by_supp_nation_year",
     "disjunctive_bracket_revenue",
+    # round-3 additions
+    "corpus_importance_weights",
+    "ann_recall_eval",
 ]
 
 RUNS_PER_QUERY = 5  # report median (robust to run-to-run noise on sub-second

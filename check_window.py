@@ -1,0 +1,93 @@
+"""Local replica of the round driver's correctness gate.
+
+Runs the first N registered queries (the driver window) at a given
+scale-factor directory, comparing each Spark result against its DuckDB
+oracle with the same strict canonicalization the driver uses
+(tests/parity.py). Prints one status line per query and a JSON summary.
+
+Usage:
+    python check_window.py [--sf /root/testdata/sf0.01] [--n 50] [--all]
+    python check_window.py --names q1,q2     # just these queries
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+import traceback
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--n", type=int, default=50)
+    ap.add_argument("--all", action="store_true", help="check every registered query")
+    ap.add_argument("--names", default="", help="comma-separated subset")
+    args = ap.parse_args()
+
+    from etl_mri_scripts_spark.queries import ORACLES, QUERIES
+    from etl_mri_scripts_spark.session import get_spark
+    from tests.parity import assert_frames_match
+
+    if args.names:
+        names = [n.strip() for n in args.names.split(",") if n.strip()]
+    else:
+        names = list(QUERIES) if args.all else list(QUERIES)[: args.n]
+
+    spark = get_spark("check-window")
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    results: dict[str, dict] = {}
+    n_pass = n_rows_only = n_fail = 0
+    for name in names:
+        t0 = time.monotonic()
+        try:
+            sdf = QUERIES[name](spark, args.sf).toPandas()
+            if name in ORACLES:
+                odf = duck.execute(ORACLES[name]).df()
+                assert_frames_match(sdf, odf, name)
+                status = "pass"
+                n_pass += 1
+            else:
+                assert len(sdf.columns) > 0
+                status = f"rows_only({len(sdf)})"
+                n_rows_only += 1
+            err = None
+        except Exception as e:  # noqa: BLE001 - report and continue
+            status, err = "FAIL", f"{type(e).__name__}: {e}"
+            traceback.print_exc(limit=3)
+            n_fail += 1
+        dt = time.monotonic() - t0
+        results[name] = {"status": status, "sec": round(dt, 2), "err": err}
+        print(f"{status:>14}  {dt:6.2f}s  {name}", flush=True)
+
+    print(
+        json.dumps(
+            {
+                "sf": args.sf,
+                "checked": len(names),
+                "pass": n_pass,
+                "rows_only": n_rows_only,
+                "fail": n_fail,
+                "failures": {k: v["err"] for k, v in results.items() if v["err"]},
+            }
+        )
+    )
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -29,6 +29,7 @@ from .registry import ORACLES, QUERIES, query  # noqa: F401
 
 # Import for registration side effects; order here no longer matters
 # (_DRIVER_ORDER overrides it), keep alphabetical-ish for readability.
+from . import bucketing  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import text  # noqa: E402,F401

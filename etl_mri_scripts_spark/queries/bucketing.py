@@ -1,0 +1,97 @@
+"""Bucketed (co-located) join: the physical-layout answer to the biggest
+shuffle in the schema.
+
+At 100 TB the dominant cost of ``orders ⋈ lineitem`` is shuffling both
+sides on the join key. Bucketing is the Spark-native fix: write both
+tables ``bucketBy(N, key)`` once, and every subsequent join/aggregation on
+that key is EXCHANGE-FREE — each task reads matching bucket files from
+both sides (reference analog: the per-store LMDB layout keyed so HR/LR
+reads never cross stores, v2/nii_to_lmdb_paralel.py:298-305).
+
+The query itself writes session-scoped bucketed copies (tiny at test SF),
+then runs the join through the catalog tables. tests/test_scale_paths.py
+asserts the join stage of the physical plan has no shuffle exchange.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+from .registry import query
+
+N_BUCKETS = 8
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write (once per session x sf_dir) bucketed+sorted copies of orders
+    and lineitem, co-bucketed on the order key. Table names carry the
+    applicationId so concurrent sessions on the same warehouse dir never
+    clobber each other (same lesson as queries/formats.py exports)."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    t_orders = f"orders_b_{tag}_{app}"
+    t_lineitem = f"lineitem_b_{tag}_{app}"
+    if not spark.catalog.tableExists(t_orders):
+        (
+            table(spark, sf_dir, "orders")
+            .write.bucketBy(N_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable(t_orders)
+        )
+    if not spark.catalog.tableExists(t_lineitem):
+        (
+            table(spark, sf_dir, "lineitem")
+            .write.bucketBy(N_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable(t_lineitem)
+        )
+    return t_orders, t_lineitem
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    -- Logical result of the bucketed join (layout changes the plan, not
+    -- the answer): revenue by order priority over orders x lineitem.
+    SELECT o.o_orderpriority,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free orders ⋈ lineitem via co-bucketed catalog tables.
+
+    Both sides are bucketed (and sorted) on the join key with the same
+    bucket count, so the sort-merge join needs neither shuffle nor sort;
+    the first aggregation keys on the bucketed column too. Only the final
+    5-row priority rollup moves data."""
+    t_orders, t_lineitem = _bucketed_tables(spark, sf_dir)
+    o = spark.table(t_orders).select("o_orderkey", "o_orderpriority")
+    li = spark.table(t_lineitem).select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    per_order = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.sum("rev").alias("rev"))
+    )
+    return (
+        per_order.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_lines").alias("n_lines"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -752,3 +752,96 @@ def source_cap_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- importance resampling weights (DSIR-style) -----------------------------
+
+N_FEAT_BUCKETS = 256  # hashed-unigram feature space (md5-prefix buckets)
+TARGET_LANG = "en"  # the "target domain" sample the weights steer toward
+
+
+@query(
+    "corpus_importance_weights",
+    oracle=f"""
+    -- Data-selection importance weights via hashed n-gram language models
+    -- (the DSIR recipe): two unigram bucket distributions — target domain
+    -- (lang = '{TARGET_LANG}') vs the whole corpus — and per document the
+    -- sum of per-word log-likelihood ratios under Laplace smoothing.
+    WITH wb AS (
+      SELECT doc_id, lang, substr(md5(w), 1, 2) AS b
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+    ),
+    src AS (SELECT b, CAST(count(*) AS BIGINT) AS n_s FROM wb GROUP BY b),
+    tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS n_t
+            FROM wb WHERE lang = '{TARGET_LANG}' GROUP BY b),
+    llr AS (
+      SELECT s.b,
+             ln((COALESCE(t.n_t, 0) + 1.0)
+                / (sum(COALESCE(t.n_t, 0)) OVER () + {N_FEAT_BUCKETS}.0))
+           - ln((s.n_s + 1.0)
+                / (sum(s.n_s) OVER () + {N_FEAT_BUCKETS}.0)) AS llr
+      FROM src s LEFT JOIN tgt t ON t.b = s.b
+    )
+    SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           round(sum(l.llr), 6) AS log_weight
+    FROM wb w JOIN llr l ON l.b = w.b
+    GROUP BY w.doc_id ORDER BY w.doc_id
+    """,
+)
+def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights: log p_target(doc)/p_source(doc) under
+    hashed-unigram LMs. Selection then samples proportionally to the weight
+    (the sampling half is sample_weighted_exact).
+
+    Scale shape: two linear passes over the corpus words build two
+    {N}-bucket histograms (map-side partial aggs; the bucket tables are a
+    few hundred rows no matter the corpus size), the log-ratio table
+    broadcasts, and the per-doc weight is one more map-side-combinable
+    groupBy(doc_id). No shuffle carries more than (doc_id, float) rows —
+    the full-text column never moves."""
+    from pyspark import StorageLevel
+
+    d = table(spark, sf_dir, "documents")
+    wb = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("w"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.substring(F.md5(F.col("w").cast("binary")), 1, 2).alias("b"),
+    )
+    # Persisted: feeds the two histograms AND the final per-doc sum — one
+    # explode pass instead of three (same pitfall as the shingle relation
+    # in dedup_jaccard_dfcap).
+    wb = wb.persist(StorageLevel.MEMORY_AND_DISK)
+    src = wb.groupBy("b").agg(F.count(F.lit(1)).alias("n_s"))
+    tgt = (
+        wb.filter(F.col("lang") == TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    k = float(N_FEAT_BUCKETS)
+    llr = (
+        src.join(tgt, "b", "left")
+        .withColumn("n_t", F.coalesce("n_t", F.lit(0)))
+        .withColumn("tot_s", F.sum("n_s").over(Window.partitionBy()))
+        .withColumn("tot_t", F.sum("n_t").over(Window.partitionBy()))
+        .select(
+            "b",
+            (
+                F.log((F.col("n_t") + 1.0) / (F.col("tot_t") + k))
+                - F.log((F.col("n_s") + 1.0) / (F.col("tot_s") + k))
+            ).alias("llr"),
+        )
+    )
+    return (
+        wb.join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.sum("llr"), 6).alias("log_weight"),
+        )
+        .orderBy("doc_id")
+    )

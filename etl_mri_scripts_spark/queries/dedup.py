@@ -1194,3 +1194,58 @@ def dedup_pagerank_representatives(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("component_id")
     )
+
+
+# --- graph analytics on the near-dup graph ----------------------------------
+
+
+@query(
+    "dedup_triangle_count",
+    oracle=f"""
+    -- Triangle count over the verified near-dup graph (node-iterator
+    -- form): triangles indicate clique-like dup clusters that pairwise
+    -- keep-rules under-merge; their count is a standard graph-health
+    -- metric for dedup quality audits.
+    WITH {_VERIFIED_PAIRS_DUCK},
+    e AS (SELECT doc_a AS u, doc_b AS v FROM vpairs),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT a AS doc_a, b AS doc_b, c AS doc_c
+    FROM tri ORDER BY a, b, c
+    """,
+)
+def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the near-dup graph, enumerated via the ordered
+    two-path + closing-edge equi-join. Edges already satisfy u < v (the
+    verified-pairs contract), so each triangle is produced exactly once as
+    a < b < c — the degree-ordering trick that bounds the path fan-out by
+    the forward-degree, not the total degree.
+
+    Scale shape: two equi-joins on vertex ids over an edge list the LSH
+    pipeline already bounded (never corpus^2); the classic MapReduce
+    triangle enumeration. At skewed degrees, AQE skew-join splits the hot
+    vertices; the edge list is persisted so the three join legs share one
+    materialization."""
+    from pyspark import StorageLevel
+
+    e = (
+        dedup_lsh_verified_pairs(spark, sf_dir)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .select(
+            F.col("e1.u").alias("doc_a"),
+            F.col("e1.v").alias("doc_b"),
+            F.col("e2.v").alias("doc_c"),
+        )
+        .orderBy("doc_a", "doc_b", "doc_c")
+    )

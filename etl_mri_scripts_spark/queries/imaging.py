@@ -275,3 +275,95 @@ def imaging_triptych_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("base")
     )
+
+
+@query("image_dhash_near_dup")
+def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection via perceptual dHash (rows-only:
+    pixels are engine-internal). Corpus = synthetic images plus their
+    2x area-downscaled twins; a twin must land within a few Hamming bits
+    of its source while unrelated images stay far.
+
+    Scale shape: pixels -> 64-bit hash once (mapInPandas), then banding:
+    each hash is keyed by its four 16-bit sub-bands, candidates come from
+    an equi-join on (band_i, band_value) — the pigeonhole guarantee that
+    any pair within Hamming distance 3 shares at least one of 4 exact
+    bands — and the Hamming verify is bit_count(xor) on longs. No pixel
+    ever crosses a shuffle; no all-pairs join exists."""
+    import numpy as np
+    import pandas as pd
+    from pyspark import StorageLevel
+
+    from ..sources.multimodal import MEDIA_SCHEMA, perceptual_dhash, resize_images
+    from ..sources.volumes import np_to_npy_bytes
+
+    # Structured (non-separable wave) images: content a resize preserves.
+    # dHash is a STRUCTURE hash — on pure white noise, downscaling changes
+    # every gradient and no perceptual hash can (or should) match.
+    meta = spark.range(8).select(F.col("id").alias("media_id")).repartition(4)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                i = int(r.media_id)
+                y, x = np.mgrid[0:32, 0:32].astype(np.float64)
+                kx, ky = 1 + i % 3, 1 + (i * 2) % 3
+                arr = (
+                    np.sin(2 * np.pi * (kx * x + ky * y) / 32 + i * 0.7)
+                    * np.cos(2 * np.pi * (x - 0.6 * ky * y) / 32 + 0.3 * i)
+                ) / 4 + 0.5
+                arr = arr.astype(np.float32)[..., None].repeat(3, axis=2)
+                rows.append(dict(media_id=i, kind="image", mime="image/x-npy",
+                                 payload=np_to_npy_bytes(arr), width=32, height=32,
+                                 channels=3, sample_rate=0, n_frames=1))
+            yield pd.DataFrame(
+                rows, columns=[f.split(" ")[0] for f in MEDIA_SCHEMA.split(", ")]
+            )
+
+    media = meta.mapInPandas(gen, schema=MEDIA_SCHEMA)
+    twins = resize_images(media, 16, 16).withColumn(
+        "media_id", F.col("media_id") + F.lit(1000)
+    )
+    hashes = perceptual_dhash(media.unionByName(twins)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bands = hashes.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_i"),
+                        F.shiftright("dhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_v"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("media_id", "dhash", "band.band_i", "band.band_v")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_i") == F.col("b.band_i"))
+            & (F.col("a.band_v") == F.col("b.band_v"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+        .filter(F.col("hamming") <= 4)
+        .select("media_a", "media_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("media_a", "media_b")
+    )

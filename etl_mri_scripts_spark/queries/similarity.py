@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..tables import table
-from .registry import query
+from .registry import ORACLES, QUERIES, query
 
 N_QUERIES = 5  # vec_id < 5 used as the query set
 TOP_K = 10
@@ -1039,4 +1039,56 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_of",
         )
         .orderBy("vec_id")
+    )
+
+
+# --- ANN quality evaluation -------------------------------------------------
+# A recall harness is part of the engine surface: the bucketed/IVF probes
+# trade recall for a bounded candidate set, and at 100 TB that trade must be
+# MEASURED on a sample, not assumed. Ground truth is the exact top-k (which
+# at scale runs on a small query sample only); the approximate side is the
+# production probe. Both are deterministic (rounded-cosine ranking, id tie
+# break), so recall is exact and oracle-checkable.
+
+
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH truth AS ({{truth}}),
+    approx AS ({{approx}})
+    SELECT t.query_id,
+           CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(count(a.neighbor_id) * 1.0 / count(*), 6) AS recall_at_k
+    FROM truth t LEFT JOIN approx a
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id ORDER BY t.query_id
+    """.format(
+        truth=ORACLES["ann_bruteforce_topk"],
+        approx=ORACLES["ann_bucketed_signbit_topk"],
+    ),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the sign-bit LSH probe against exact brute-force truth.
+
+    Composes the two registered queries (one lineage each, shared scans via
+    Spark's plan cache where possible); the comparison is a left join of the
+    truth set against the approximate set per (query, neighbor) — at scale
+    both sides are only n_queries x k rows, so this is driver-cheap no
+    matter the corpus size."""
+    truth = QUERIES["ann_bruteforce_topk"](spark, sf_dir).select("query_id", "neighbor_id")
+    approx = (
+        QUERIES["ann_bucketed_signbit_topk"](spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.count("hit").alias("n_hit"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 6).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
     )

@@ -152,17 +152,40 @@ def write_png_tree(df: DataFrame, out_dir: str, compression: int = 6) -> None:
 
 
 def _area_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """NumPy-only resize: exact block mean for integer downscale factors,
-    nearest-neighbor otherwise (P7 analog without cv2)."""
+    """NumPy-only INTER_AREA resize (P7 analog of cv2.resize(...,
+    INTER_AREA) without cv2): exact block mean for integer downscale
+    factors, fractional box-mean otherwise. Each output pixel averages its
+    exact source box, so resizing commutes with integer block-mean
+    downscales — the scale-consistency perceptual_dhash relies on."""
     h, w = img.shape[:2]
     if h % out_h == 0 and w % out_w == 0:
         fy, fx = h // out_h, w // out_w
         trimmed = img[: out_h * fy, : out_w * fx]
         shape = (out_h, fy, out_w, fx) + img.shape[2:]
         return trimmed.reshape(shape).mean(axis=(1, 3)).astype(img.dtype)
-    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
-    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
-    return img[np.ix_(yi, xi)]
+
+    def axis_box(x: np.ndarray, n_out: int, axis: int) -> np.ndarray:
+        n_in = x.shape[axis]
+        if n_in == n_out:
+            return x
+        cs = np.cumsum(x, axis=axis)
+        cs = np.concatenate(
+            [np.zeros_like(np.take(cs, [0], axis=axis)), cs], axis=axis
+        )
+        edges = np.linspace(0, n_in, n_out + 1)
+        parts = []
+        for lo, hi in zip(edges[:-1], edges[1:]):
+            li, ri = int(np.floor(lo)), int(np.ceil(hi))
+            s = np.take(cs, [ri], axis=axis) - np.take(cs, [li], axis=axis)
+            if li < lo:
+                s = s - (lo - li) * np.take(x, [li], axis=axis)
+            if ri > hi:
+                s = s - (ri - hi) * np.take(x, [ri - 1], axis=axis)
+            parts.append(s / (hi - lo))
+        return np.concatenate(parts, axis=axis)
+
+    out = axis_box(axis_box(img.astype(np.float64), out_h, 0), out_w, 1)
+    return out.astype(img.dtype)
 
 
 def extract_features(media: DataFrame, embed_dim: int = 16) -> DataFrame:
@@ -271,3 +294,37 @@ def chunk_audio(media: DataFrame, chunk_sec: float = 0.25, hop_sec: float | None
         schema="media_id long, chunk_i int, start_sample long, n_samples int, "
                "sample_rate int, payload binary",
     )
+
+
+def perceptual_dhash(media: DataFrame) -> DataFrame:
+    """Image rows -> 64-bit difference hash (dHash): grayscale, area-resize
+    to 8x9, emit one bit per horizontal gradient sign. Near-duplicate
+    images (re-encodes, mild noise, uniform rescales, resizes) agree on
+    most bits, so Hamming distance on the hash replaces pixel comparison.
+
+    The hash is returned as a LONG, so downstream banding/verification is
+    pure JVM column algebra (shiftright/bit_and for band keys,
+    bit_count(a ^ b) for Hamming) — pixels are touched exactly once here
+    and never cross a shuffle."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "image":
+                    continue
+                arr = codec_decode(bytes(r.payload), r.mime).astype(np.float64)
+                if arr.ndim == 3:
+                    arr = arr.mean(axis=2)
+                g = _area_resize(arr, 8, 9)
+                bits = (g[:, 1:] > g[:, :-1]).ravel()
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                if val >= 1 << 63:  # two's-complement into a Spark long
+                    val -= 1 << 64
+                out.append(dict(media_id=r.media_id, dhash=val))
+            yield pd.DataFrame(out, columns=["media_id", "dhash"])
+
+    return media.mapInPandas(gen, schema="media_id long, dhash long")
