@@ -109,6 +109,7 @@ def test_no_query_plans_a_cartesian_or_nested_loop(spark, sf_dir):
     #   imaging_key_parity_gate four 1-row count aggregates cross-joined
     allowed_nested = {
         "ann_bruteforce_topk",
+        "ann_recall_eval",  # composes ann_bruteforce_topk (same broadcast query set)
         "ann_ivf_kmeans_topk",
     "dedup_semantic_keep",  # same crossJoin with broadcast(K centroids)
         "imaging_key_parity_gate",
