@@ -165,3 +165,51 @@ def source_jsonl_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.when(~F.col("is_corrupt"), F.lit(1))).alias("good_rows"),
         F.count(F.when(F.col("is_corrupt"), F.lit(1))).alias("corrupt_rows"),
     )
+
+
+@query("source_orc_roundtrip", oracle=_CORPUS_AGG_SQL)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet -> ORC -> native ORC scan -> aggregate. ORC is the other
+    production columnar format (predicate pushdown, column pruning, zstd);
+    a hash match against the parquet truth proves the engine's second
+    columnar path is lossless for text-heavy data."""
+    docs = table(spark, sf_dir, "documents")
+    out = _export_dir(spark, sf_dir, "orc")
+    docs.write.mode("overwrite").option("compression", "zstd").orc(out)
+    return _corpus_agg(spark.read.orc(out))
+
+
+@query(
+    "partitioned_write_pruned_read",
+    oracle="""
+    -- truth for the partition-pruned read: the oracle filters the full
+    -- table; the engine must produce the same result while SCANNING only
+    -- the lang=en/de directories (partition pruning, asserted in tests).
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang IN ('en', 'de')
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def partitioned_write_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write + partition-pruned read: the corpus lands
+    partitioned BY lang (the 100 TB layout move: partition columns cost
+    zero bytes in the files and turn language filters into directory
+    listings), then the query reads back ONLY lang in (en, de) — the scan
+    never opens other languages' files. tests/test_round3_additions.py
+    asserts the pruned scan's partitionFilters."""
+    docs = table(spark, sf_dir, "documents")
+    out = _export_dir(spark, sf_dir, "part_lang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("lang").isin("en", "de"))
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang", "source")
+    )

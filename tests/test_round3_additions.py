@@ -95,3 +95,23 @@ def test_dhash_invariant_to_uniform_rescale(spark):
     hashes = {r.media_id: r.dhash for r in h}
     for mid in [k for k in hashes if k < 500]:
         assert hashes[mid] == hashes[mid + 500]
+
+
+def test_partitioned_read_actually_prunes(spark, sf_dir):
+    """The lang filter must become partitionFilters on the scan (directory
+    pruning), not a post-scan data filter."""
+    df = QUERIES["partitioned_write_pruned_read"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        (l for l in plan.splitlines() if "FileScan parquet" in l and "part_lang" in l),
+        "",
+    )
+    assert scan, f"no partitioned scan found:\n{plan[:1500]}"
+    assert "PartitionFilters: [" in scan and "lang" in scan.split("PartitionFilters:")[1][:120], scan
+
+
+def test_orc_roundtrip_parity_local(spark, duck, sf_dir):
+    from .parity import run_parity
+
+    run_parity(spark, duck, sf_dir, "source_orc_roundtrip")
+    run_parity(spark, duck, sf_dir, "partitioned_write_pruned_read")
