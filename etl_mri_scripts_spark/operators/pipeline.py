@@ -384,3 +384,40 @@ def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     """Catalog read that preserves the bucket spec (a path read would
     forget it and re-shuffle on join)."""
     return spark.table(table_name)
+
+
+def observed_pipeline(
+    spark: SparkSession,
+    volumes: DataFrame,
+    config: PipelineConfig = PipelineConfig(),
+):
+    """run_pipeline + single-pass accounting via ``DataFrame.observe``.
+
+    The reference keeps running counters as slice jobs complete (A9,
+    v2/nii_to_lmdb.py:193-199, 326-331: slices seen, HR written,
+    dark-discarded, LR written, failures). The Spark-native form is an
+    Observation: metrics accumulate on the executors DURING the one
+    action that writes the output — no second counting job over the
+    patch table, which at 100 TB is a full extra scan saved.
+
+    Returns ``(df, observation)``; read ``observation.get`` after the
+    caller runs its action (write/collect). Metrics: total patch rows,
+    HR rows, LR rows, distinct-key proxy (exact distinct is not an
+    observable aggregate — it needs a shuffle by definition), per-split
+    row counts.
+    """
+    from pyspark.sql import Observation
+
+    df = run_pipeline(spark, volumes, config)
+    obs = Observation("pipeline_counters")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("resolution") == "HR", 1)).alias("n_hr"),
+        F.count(F.when(F.col("resolution") != "HR", 1)).alias("n_lr"),
+        F.approx_count_distinct("key").alias("n_keys_approx"),
+        F.count(F.when(F.col("split") == "train", 1)).alias("n_train"),
+        F.count(F.when(F.col("split") == "val", 1)).alias("n_val"),
+        F.count(F.when(F.col("split") == "test", 1)).alias("n_test"),
+    )
+    return observed, obs

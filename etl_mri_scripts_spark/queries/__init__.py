@@ -62,6 +62,7 @@ _DRIVER_ORDER = [
     "imaging_patch_grid",
     "imaging_slice_plan",
     "imaging_key_parity_gate",
+    "imaging_pipeline_manifest",  # added mid-r3: full-lineage manifest, oracled
     "imaging_pipeline_patches",
     "imaging_snr_metrics",
     "multimodal_feature_extract",
@@ -140,6 +141,16 @@ _DRIVER_ORDER = [
     "label_entropy_by_source",
     "dedup_semantic_keep",  # added r3 (SemDeDup-style), oracled
     "source_cap_downsample",  # added r3 (per-domain cap), oracled
+    # --- added mid-round-3, oracled unless noted ----------------------
+    "ann_recall_eval",
+    "corpus_importance_weights",
+    "dedup_triangle_count",
+    "join_bucketed_colocated",
+    "image_dhash_near_dup",  # rows-only (pixels), golden-pinned
+    "source_orc_roundtrip",
+    "partitioned_write_pruned_read",
+    "ann_ivf_pq_topk",
+    "ann_signbit_multiprobe_topk",
 ]
 
 

@@ -367,3 +367,82 @@ def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_a", "media_b", F.col("hamming").cast("int").alias("hamming"))
         .orderBy("media_a", "media_b")
     )
+
+
+@query(
+    "imaging_pipeline_manifest",
+    oracle="""
+    -- The ENTIRE imaging manifest — slice enumeration (incl. the coronal
+    -- sz quirk), crop grids with the trailing-edge rule, 1-based y-then-x
+    -- patch indexing, key normalization, LR origin derivation (x//scale),
+    -- and the md5 volume-consistent split — recomputed from pure
+    -- arithmetic. The Spark side runs the REAL distributed pipeline
+    -- (ungated) and exposes everything except pixel bytes; a hash match
+    -- proves the lineage's bookkeeping end-to-end.
+    WITH vols AS (
+      SELECT printf('sub-%03d_T1w', i) AS base FROM range(0, 2) t(i)
+    ),
+    orients AS (
+      SELECT * FROM (VALUES ('axial', 32, 32, 6),
+                            ('coronal', 32, 32, 6),
+                            ('sagittal', 6, 32, 32)) AS o(orient, h, w, n_slices)
+    ),
+    slices AS (
+      SELECT base, orient, h, w, CAST(i AS INT) AS slice_i
+      FROM vols, orients, LATERAL (SELECT unnest(range(0, n_slices)) AS i)
+    ),
+    grids AS (
+      SELECT base, orient, slice_i,
+             CASE WHEN h - (list_last(hs0) + 16) > 0
+                  THEN list_append(hs0, h - 16) ELSE hs0 END AS h_space,
+             CASE WHEN w - (list_last(ws0) + 16) > 0
+                  THEN list_append(ws0, w - 16) ELSE ws0 END AS w_space
+      FROM (SELECT *, range(0, greatest(h - 16, 0) + 1, 8) AS hs0,
+                      range(0, greatest(w - 16, 0) + 1, 8) AS ws0
+            FROM slices)
+    ),
+    hr AS (
+      SELECT base, orient, slice_i,
+             (yi - 1) * len(w_space) + xi AS idx,
+             CAST(w_space[xi] AS INT) AS x, CAST(h_space[yi] AS INT) AS y
+      FROM grids,
+           LATERAL (SELECT unnest(range(1, len(h_space) + 1)) AS yi),
+           LATERAL (SELECT unnest(range(1, len(w_space) + 1)) AS xi)
+    ),
+    res AS (SELECT * FROM (VALUES ('HR', 1), ('LRx2', 2)) r(resolution, s)),
+    pat AS (
+      SELECT printf('%s__%s__slice_%03d__s%03d', base, orient, slice_i, idx) AS key,
+             resolution, base, orient, slice_i,
+             CAST(x // s AS INT) AS x, CAST(y // s AS INT) AS y,
+             CAST(16 // s AS INT) AS h, CAST(16 // s AS INT) AS w,
+             'float32' AS dtype
+      FROM hr, res
+    )
+    SELECT key, resolution, base, orient, slice_i, x, y, h, w, dtype,
+           CASE WHEN substr(md5(base), 1, 4) < 'f333' THEN 'train'
+                WHEN substr(md5(base), 1, 4) < 'fae1' THEN 'val'
+                ELSE 'test' END AS split
+    FROM pat
+    ORDER BY key, resolution
+    """,
+)
+def imaging_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable manifest of the real pipeline: run the full
+    distributed lineage (explode -> degrade -> patch -> split) UNGATED so
+    every manifest column is deterministic arithmetic, and project away
+    the pixel payloads. The dark gate (the only pixel-dependent manifest
+    effect) is verified separately by imaging_key_parity_gate and the
+    golden-pinned imaging_pipeline_patches."""
+    from ..operators.pipeline import PipelineConfig, assign_split, degrade_and_patch, explode_slices
+    from ..sources.volumes import synthetic_volumes
+
+    cfg = PipelineConfig(crop_hr=16, step_hr=8, scales=(2,))
+    vols = synthetic_volumes(spark, 2, (32, 32, 6), seed=11)
+    patches = assign_split(degrade_and_patch(explode_slices(vols, cfg), cfg, gated=False), cfg)
+    return (
+        patches.select(
+            "key", "resolution", "base", "orient", "slice_i",
+            "x", "y", "h", "w", "dtype", "split",
+        )
+        .orderBy("key", "resolution")
+    )

@@ -776,12 +776,14 @@ def _pq_train(spark: SparkSession, v: DataFrame) -> list[list[list[float]]]:
     return books
 
 
-def _pq_adc_duck() -> str:
+def _pq_adc_duck(coarse: bool = False) -> str:
     """Oracle for PQ train + encode + ADC + exact rerank: the per-subspace
     k-means is fixed-iteration and deterministic (init = the Ks lowest
     vec_ids per subspace, means rounded to 6 dp), so the Lloyd steps
     unroll as chained CTEs exactly like _ivf_kmeans_duck — one extra
-    dimension (sub_id) threaded through every relation."""
+    dimension (sub_id) threaded through every relation. With ``coarse``
+    the ADC scan is additionally restricted to the query's coarse
+    inverted list (label) — the IVF-PQ composition."""
 
     def d2(e: str, ce: str) -> str:
         return (
@@ -838,9 +840,11 @@ def _pq_adc_duck() -> str:
       FROM subs q JOIN cb{PQ_ITERS} c ON c.sub_id = q.sub_id
       WHERE q.vec_id < {N_QUERIES}
     ),
+    lab AS (SELECT vec_id, label FROM embeddings),
     approx AS (
       SELECT l.query_id, k.vec_id, sum(l.qd2) AS adc_d2
       FROM codes k JOIN lut l ON l.sub_id = k.sub_id AND l.code = k.code
+      {"JOIN lab vq ON vq.vec_id = l.query_id JOIN lab vk ON vk.vec_id = k.vec_id AND vk.label = vq.label" if coarse else ""}
       WHERE k.vec_id <> l.query_id
       GROUP BY l.query_id, k.vec_id
     ),
@@ -875,18 +879,14 @@ def _pq_adc_duck() -> str:
     """
 
 
-@query("ann_pq_adc_topk", oracle=_pq_adc_duck())
-def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-compressed ANN with ADC scoring and exact rerank (training is
-    iterative but fixed-K deterministic, so the oracle unrolls the Lloyd
-    steps per subspace). Plan shape at scale: codes are M tiny ints per
-    vector (the 100 TB corpus fits hot in memory at 32x compression);
-    scoring joins the exploded code table against a broadcast per-query
-    LUT (M*Ks rows/query) — an equi-join on (sub_id, code), map-side
-    combinable sum, no vector arithmetic in the hot loop; the exact
-    cosine runs only on the PQ_RERANK*TOP_K shortlist."""
+def _pq_search(spark: SparkSession, sf_dir: str, coarse: bool) -> DataFrame:
+    """Shared PQ search body: train codebooks, encode the corpus, ADC-score
+    against broadcast per-query LUTs, exact-rerank the shortlist. With
+    ``coarse`` the ADC scan only touches the query's coarse inverted list
+    (label) — IVF-PQ, the billion-vector recipe: the coarse index bounds
+    the candidate set, PQ bounds the bytes per candidate."""
     emb = table(spark, sf_dir, "embeddings")
-    v = _vectors(emb)
+    v = _vectors(emb, "label")
     books = _pq_train(spark, v)
 
     # --- encode corpus: nearest sub-centroid per subspace -> code column
@@ -896,6 +896,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     subs = v.select(
         "vec_id",
+        "label",
         F.explode(
             F.array(*[
                 F.struct(
@@ -905,20 +906,30 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for m in range(PQ_M)
             ])
         ).alias("s"),
-    ).select("vec_id", F.col("s.sub_id").alias("sub_id"), F.col("s.sub_e").alias("sub_e"))
+    ).select(
+        "vec_id", "label", F.col("s.sub_id").alias("sub_id"), F.col("s.sub_e").alias("sub_e")
+    )
     d2 = F.expr(
         "aggregate(zip_with(sub_e, ce, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, z) -> acc + z)"
     )
+    # label rides the existing per-vector agg (functionally dependent on
+    # vec_id) so the coarse filter later needs NO extra join against the
+    # corpus — the code table already knows its inverted list.
     codes = (
         subs.join(F.broadcast(cdf), "sub_id")
-        .select("vec_id", "sub_id", "code", d2.alias("d2"))
+        .select("vec_id", "label", "sub_id", "code", d2.alias("d2"))
         .groupBy("vec_id", "sub_id")
-        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
+        .agg(
+            F.min_by("code", F.struct("d2", "code")).alias("code"),
+            F.first("label").alias("label"),
+        )
     )
 
     # --- per-query ADC lookup tables (driver builds M*Ks*N_QUERIES rows —
     # tiny, broadcast): LUT[q][m][k] = ||q_sub_m - centroid_mk||^2
-    qrows = v.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "e", "nrm").collect()
+    qrows = (
+        v.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "label", "e", "nrm").collect()
+    )
     lut = []
     for qr in qrows:
         qe = [float(x) for x in qr["e"]]
@@ -929,19 +940,22 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lut.append(
                     (
                         int(qr["vec_id"]),
+                        int(qr["label"]),
                         m,
                         k,
                         round(sum((a - b) * (a - b) for a, b in zip(qs, c)), 6),
                     )
                 )
-    lut_df = spark.createDataFrame(lut, "query_id long, sub_id int, code int, qd2 double")
-
-    approx = (
-        codes.join(F.broadcast(lut_df), ["sub_id", "code"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("qd2").alias("adc_d2"))
+    lut_df = spark.createDataFrame(
+        lut, "query_id long, qlabel int, sub_id int, code int, qd2 double"
     )
+
+    approx = codes.join(F.broadcast(lut_df), ["sub_id", "code"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    if coarse:
+        approx = approx.filter(F.col("label") == F.col("qlabel"))
+    approx = approx.groupBy("query_id", "vec_id").agg(F.sum("qd2").alias("adc_d2"))
     w_short = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
     shortlist = (
         approx.withColumn("srank", F.row_number().over(w_short))
@@ -968,6 +982,31 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+@query("ann_pq_adc_topk", oracle=_pq_adc_duck())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN with ADC scoring and exact rerank (training is
+    iterative but fixed-K deterministic, so the oracle unrolls the Lloyd
+    steps per subspace). Plan shape at scale: codes are M tiny ints per
+    vector (the 100 TB corpus fits hot in memory at 32x compression);
+    scoring joins the exploded code table against a broadcast per-query
+    LUT (M*Ks rows/query) — an equi-join on (sub_id, code), map-side
+    combinable sum, no vector arithmetic in the hot loop; the exact
+    cosine runs only on the PQ_RERANK*TOP_K shortlist."""
+    return _pq_search(spark, sf_dir, coarse=False)
+
+
+@query("ann_ivf_pq_topk", oracle=_pq_adc_duck(coarse=True))
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the coarse inverted list (label) bounds WHICH candidates are
+    scored, PQ bounds the BYTES per candidate — composed, that's the
+    standard billion-vector serving layout (coarse quantizer -> inverted
+    lists of PQ codes). Here the coarse id is the label column (as in
+    ann_ivf_by_label_topk); at scale the corpus is written partitioned/
+    bucketed by the coarse id so each query's ADC scan is one partition's
+    code list, never the corpus."""
+    return _pq_search(spark, sf_dir, coarse=True)
 
 
 SEM_TAU = 0.4  # the synthetic corpus has NO true near-dups (max pairwise
@@ -1091,4 +1130,110 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("hit") / F.count(F.lit(1)), 6).alias("recall_at_k"),
         )
         .orderBy("query_id")
+    )
+
+
+# --- multi-probe LSH ---------------------------------------------------------
+
+N_SIGN_BITS = 6
+
+
+def _probe_duck(i: int) -> str:
+    """Bucket string with bit i (1-based) flipped."""
+    return (
+        f"substr(bucket, 1, {i - 1}) || "
+        f"(CASE substr(bucket, {i}, 1) WHEN '1' THEN '0' ELSE '1' END) || "
+        f"substr(bucket, {i + 1})"
+    )
+
+
+@query(
+    "ann_signbit_multiprobe_topk",
+    oracle=f"""
+    -- Multi-probe LSH: each query searches its own sign bucket AND the 6
+    -- Hamming-1 neighbor buckets (flip one bit), recovering most of the
+    -- recall a single-bucket probe loses without widening the index.
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, e AS qe, unnest([bucket,
+             {', '.join(_probe_duck(i) for i in range(1, N_SIGN_BITS + 1))}]) AS probe
+      FROM v WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> p.qe[i] * c.e[i])) /
+             (sqrt(list_sum(list_transform(range(1, 65), i -> p.qe[i] * p.qe[i]))) *
+              sqrt(list_sum(list_transform(range(1, 65), i -> c.e[i] * c.e[i])))) AS cosine
+      FROM probes p JOIN v c ON c.bucket = p.probe AND c.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(cosine, 6) DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def ann_signbit_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-bit LSH top-k: the query fans out to its own
+    bucket plus the 6 Hamming-1 buckets. Probe fan-out
+    multiplies only the (tiny, broadcast) query side — the corpus index is
+    untouched and still probed by equi-join, so the cost knob (probes per
+    query) is independent of corpus size. Each corpus vector lives in
+    exactly one bucket and probes are distinct, so no dedup is needed."""
+    emb = table(spark, sf_dir, "embeddings")
+    bucket = F.concat(
+        *[F.when(F.col("embedding")[i] >= 0, "1").otherwise("0") for i in range(N_SIGN_BITS)]
+    )
+    v = _vectors(emb.withColumn("bucket", bucket), "bucket")
+    probe_cols = [F.col("bucket")] + [
+        F.concat(
+            F.substring("bucket", 1, i - 1),
+            F.when(F.substring("bucket", i, 1) == "1", "0").otherwise("1"),
+            F.substring("bucket", i + 1, N_SIGN_BITS - i),
+        )
+        for i in range(1, N_SIGN_BITS + 1)
+    ]
+    q = (
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+            F.explode(F.array(*probe_cols)).alias("probe"),
+        )
+    )
+    c = v.alias("c")
+    cos = F.expr(
+        "aggregate(zip_with(qe, c.e, (x, y) -> x * y), 0.0D, (acc, z) -> acc + z)"
+    ) / (F.col("qnrm") * F.col("c.nrm"))
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("c.bucket") == F.col("probe"))
+            & (F.col("c.vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
     )

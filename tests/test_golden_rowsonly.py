@@ -28,6 +28,7 @@ GOLDEN = {
     "multimodal_frame_sample": ("6f1277fef5b97cf9", 16),
     "imaging_triptych_render": ("76746811f5b3549b", 2),
     "hll_sketch_rollup_nation_region": ("7363c16bd2ecdd8c", 5),
+    "image_dhash_near_dup": ("0c9535d33503cd4e", 8),
 }
 
 

@@ -115,3 +115,67 @@ def test_orc_roundtrip_parity_local(spark, duck, sf_dir):
 
     run_parity(spark, duck, sf_dir, "source_orc_roundtrip")
     run_parity(spark, duck, sf_dir, "partitioned_write_pruned_read")
+
+
+def test_multiprobe_recall_dominates_single_bucket(spark, sf_dir):
+    """Multi-probe candidates are a superset of the single-bucket probe's,
+    so its hit count against exact truth can only be >= per query."""
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["ann_bruteforce_topk"](spark, sf_dir).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["ann_bucketed_signbit_topk"](spark, sf_dir).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["ann_signbit_multiprobe_topk"](spark, sf_dir).collect()
+    }
+    assert len(multi & truth) >= len(single & truth)
+
+
+def test_observed_pipeline_counters_match_groupby(spark):
+    """Observation metrics (single-pass, executor-side) must agree with an
+    explicit recount — the A9 counter-reconciliation contract."""
+    from etl_mri_scripts_spark.operators.pipeline import PipelineConfig, observed_pipeline
+    from etl_mri_scripts_spark.sources.volumes import synthetic_volumes
+
+    vols = synthetic_volumes(spark, 2, (24, 24, 6), seed=11)
+    df, obs = observed_pipeline(spark, vols, PipelineConfig(crop_hr=16, step_hr=8, scales=(2,)))
+    df.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    recount = df.groupBy().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("resolution") == "HR", 1)).alias("n_hr"),
+        F.count(F.when(F.col("resolution") != "HR", 1)).alias("n_lr"),
+    ).collect()[0]
+    assert got["n_rows"] == recount["n_rows"] > 0
+    assert got["n_hr"] == recount["n_hr"]
+    assert got["n_lr"] == recount["n_lr"]
+    assert got["n_train"] + got["n_val"] + got["n_test"] == got["n_rows"]
+
+
+def test_pipeline_checksums_invariant_to_partitioning(spark):
+    """Key-derived seeds mean the SAME patch bytes regardless of task
+    placement: re-partitioning the volume input (different task boundaries,
+    like a retry or speculative re-execution would produce) must not change
+    a single checksum."""
+    from etl_mri_scripts_spark.operators.pipeline import PipelineConfig, run_pipeline
+    from etl_mri_scripts_spark.sources.volumes import synthetic_volumes
+
+    cfg = PipelineConfig(crop_hr=16, step_hr=8, scales=(2,))
+    vols = synthetic_volumes(spark, 2, (24, 24, 6), seed=11)
+
+    def checks(v):
+        return {
+            (r.key, r.resolution): r.c
+            for r in run_pipeline(spark, v, cfg)
+            .select("key", "resolution", F.md5("value").alias("c"))
+            .collect()
+        }
+
+    a = checks(vols)
+    b = checks(vols.repartition(7))
+    c = checks(vols.coalesce(1))
+    assert a == b == c and len(a) > 0
