@@ -151,6 +151,10 @@ _DRIVER_ORDER = [
     "partitioned_write_pruned_read",
     "ann_ivf_pq_topk",
     "ann_signbit_multiprobe_topk",
+    "dedup_url_canonical",
+    "text_adaptive_quality_threshold",
+    "dedup_containment_pairs",
+    "ann_truncated_recall_eval",
 ]
 
 

@@ -1249,3 +1249,188 @@ def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b", "doc_c")
     )
+
+
+# --- URL canonicalization dedup ---------------------------------------------
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+    -- Web-corpus URL dedup: the same landing page arrives under many URL
+    -- spellings (tracking params, fragments, default ports, trailing
+    -- slashes, host case). Canonicalize, then group. URLs are synthesized
+    -- deterministically from (source, doc_id) with doc_id%4 spelling
+    -- variants so every engine sees the same corpus.
+    WITH urls AS (
+      SELECT doc_id, source,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'https://' || source || '.example.com/item/' || CAST(doc_id // 4 AS VARCHAR)
+               WHEN 1 THEN 'https://' || upper(source) || '.Example.COM/item/' || CAST(doc_id // 4 AS VARCHAR) || '/'
+               WHEN 2 THEN 'https://' || source || '.example.com:443/item/' || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
+               ELSE 'https://' || source || '.example.com/item/' || CAST(doc_id // 4 AS VARCHAR) || '?ref=tw#frag'
+             END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(lower(url), '#.*$', ''),
+                     '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
+                   '[?&]$', ''),
+                 ':443/', '/'),
+               '/$', '') AS curl
+      FROM urls
+    )
+    SELECT curl AS canonical_url,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+    FROM canon
+    GROUP BY curl
+    ORDER BY curl
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup: lowercase, strip fragments, tracking
+    params (utm_*/ref), default :443 port, and trailing slash, then group
+    by the canonical form keeping the lowest doc_id.
+
+    Scale shape: canonicalization is a pure per-row expression chain
+    (whole-stage codegen, no UDF), so the only shuffle is the final
+    groupBy(canonical_url) with map-side partial aggregation — the same
+    plan at 100 TB, and the canonical column is what the corpus would be
+    bucketed/sorted by at ingest so recrawls dedup shuffle-free."""
+    d = table(spark, sf_dir, "documents")
+    variant = (F.col("doc_id") % 4).cast("int")
+    base_path = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/item/"),
+        (F.col("doc_id") / 4).cast("long").cast("string"),
+    )
+    url = (
+        F.when(variant == 0, base_path)
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("https://"), F.upper("source"), F.lit(".Example.COM/item/"),
+                (F.col("doc_id") / 4).cast("long").cast("string"), F.lit("/"),
+            ),
+        )
+        .when(
+            variant == 2,
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example.com:443/item/"),
+                (F.col("doc_id") / 4).cast("long").cast("string"),
+                F.lit("?utm_source=feed&utm_campaign=x"),
+            ),
+        )
+        .otherwise(F.concat(base_path, F.lit("?ref=tw#frag")))
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(url), "#.*$", ""),
+                    "(utm_[a-z]+|ref)=[^&]*&?", ""),
+                "[?&]$", ""),
+            ":443/", "/"),
+        "/$", "")
+    return (
+        d.select(curl.alias("canonical_url"), "doc_id")
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    -- ASYMMETRIC near-dup: containment(a in b) = |A n B| / |A| catches a
+    -- short doc quoted inside a longer one — a case symmetric Jaccard
+    -- misses (the union denominator dilutes it). Same DF-capped inverted
+    -- index as dedup_jaccard_dfcap; both directions of every candidate
+    -- pair are tested and the contained (smaller) side is reported.
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
+    ),
+    df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+    rare AS (
+      SELECT s.doc_id, s.shingle FROM sh s JOIN df ON s.shingle = df.shingle
+      WHERE df.df <= {DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM rare GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+      FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    directed AS (
+      SELECT CASE WHEN sa.n_sh <= sb.n_sh THEN p.doc_a ELSE p.doc_b END AS contained_doc,
+             CASE WHEN sa.n_sh <= sb.n_sh THEN p.doc_b ELSE p.doc_a END AS container_doc,
+             round(p.common * 1.0 / least(sa.n_sh, sb.n_sh), 6) AS containment
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+    )
+    SELECT contained_doc, container_doc, containment
+    FROM directed WHERE containment >= 0.8
+    ORDER BY contained_doc, container_doc
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-based doc-in-doc detection over the DF-capped inverted
+    index: score = |A n B| / min(|A|, |B|) — the smaller document's
+    coverage — reported as (contained, container) when >= 0.8.
+
+    Scale shape identical to dedup_jaccard_dfcap (the hot-shingle cap
+    bounds the self-join fan-out); the asymmetric denominator costs
+    nothing extra — same pair aggregation, different final expression."""
+    from pyspark import StorageLevel
+
+    sh = _exploded_shingles(spark, sf_dir, cache=True)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("shingle")
+    )
+    rare = sh.join(hot, "shingle", "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = rare.alias("a")
+    b = rare.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            F.when(F.col("sa.n_sh") <= F.col("sb.n_sh"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+            F.when(F.col("sa.n_sh") <= F.col("sb.n_sh"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("container_doc"),
+            F.round(
+                F.col("common") / F.least(F.col("sa.n_sh"), F.col("sb.n_sh")), 6
+            ).alias("containment"),
+        )
+    )
+    return (
+        j.filter(F.col("containment") >= 0.8)
+        .orderBy("contained_doc", "container_doc")
+    )

@@ -1237,3 +1237,100 @@ def ann_signbit_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+TRUNC_DIM = 16  # head-dims used by the cheap first-pass scorer
+
+
+@query(
+    "ann_truncated_recall_eval",
+    oracle=f"""
+    -- Dimension-truncation recall: score with only the first {TRUNC_DIM} of 64
+    -- dims (the matryoshka/head-dims trick — 4x fewer FLOPs and bytes per
+    -- candidate) and measure how much of the full-dim exact top-k
+    -- survives. The decision to truncate at scale should be made from
+    -- this number, not vibes.
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 round({_COS_DUCK}, 6) DESC, c.vec_id) AS rank
+        FROM v q JOIN v c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rank <= {TOP_K}
+    ),
+    tcos AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, {TRUNC_DIM + 1}), i -> q.e[i] * c.e[i])) /
+             (sqrt(list_sum(list_transform(range(1, {TRUNC_DIM + 1}), i -> q.e[i] * q.e[i]))) *
+              sqrt(list_sum(list_transform(range(1, {TRUNC_DIM + 1}), i -> c.e[i] * c.e[i])))) AS cosine
+      FROM v q JOIN v c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(cosine, 6) DESC, neighbor_id) AS rank
+        FROM tcos
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT t.query_id,
+           CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(count(a.neighbor_id) * 1.0 / count(*), 6) AS recall_at_k
+    FROM truth t LEFT JOIN approx a
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id ORDER BY t.query_id
+    """,
+)
+def ann_truncated_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of head-16-dims scoring vs full-dim exact truth.
+
+    At scale the truncated pass is the shortlist generator (4x cheaper
+    dot products, 4x smaller working set); this harness measures what
+    that costs in recall on a query sample — same join shape as
+    ann_recall_eval, only the scorer changes."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = _vectors(emb)
+    truth = QUERIES["ann_bruteforce_topk"](spark, sf_dir).select("query_id", "neighbor_id")
+
+    tv = v.select(
+        "vec_id",
+        F.slice("e", 1, TRUNC_DIM).alias("te"),
+    ).withColumn(
+        "tnrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("te", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            )
+        ),
+    )
+    q = tv.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    c = tv.alias("c")
+    tcos = F.expr(
+        "aggregate(zip_with(q.te, c.te, (x, y) -> x * y), 0.0D, (acc, z) -> acc + z)"
+    ) / (F.col("q.tnrm") * F.col("c.tnrm"))
+    scored = c.join(F.broadcast(q), F.col("c.vec_id") != F.col("q.vec_id")).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        F.round(tcos, 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.count("hit").alias("n_hit"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 6).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

@@ -742,3 +742,61 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).cast("long").alias("clean_len"),
         F.md5(clean).alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_adaptive_quality_threshold",
+    oracle="""
+    -- Per-language ADAPTIVE quality cutoffs (the FineWeb-style move):
+    -- a global threshold over-prunes low-resource languages, so the
+    -- cutoff is the per-language quantile of the quality signal — here
+    -- lexical diversity at the 25th percentile, exact for parity — and
+    -- the report shows each language's cutoff and keep rate.
+    WITH f AS (
+      SELECT doc_id, lang,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS ld
+      FROM documents
+    ),
+    cuts AS (
+      SELECT lang, quantile_cont(ld, 0.25) AS cutoff FROM f GROUP BY lang
+    )
+    SELECT f.lang,
+           round(any_value(c.cutoff), 6) AS cutoff,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN f.ld >= c.cutoff THEN 1 END) AS BIGINT) AS n_kept,
+           round(count(CASE WHEN f.ld >= c.cutoff THEN 1 END) * 1.0 / count(*), 6) AS keep_rate
+    FROM f JOIN cuts c ON c.lang = f.lang
+    GROUP BY f.lang
+    ORDER BY f.lang
+    """,
+)
+def text_adaptive_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality cutoffs at a fixed quantile, plus keep rates.
+
+    Scale shape: the per-lang exact quantile is a groupBy over (lang,
+    score) — one shuffle keyed by lang; the cutoff table (|langs| rows)
+    broadcasts back onto the doc stream, so the gating pass is map-side
+    only. At 100 TB swap percentile for percentile_approx (same plan,
+    partial-aggregable) — exact is kept here for oracle parity."""
+    d = table(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        "lang",
+        (F.size(F.array_distinct(F.split("text", " ")))
+         / F.size(F.split("text", " "))).alias("ld"),
+    )
+    cuts = f.groupBy("lang").agg(F.percentile("ld", F.lit(0.25)).alias("cutoff"))
+    return (
+        f.join(F.broadcast(cuts), "lang")
+        .groupBy("lang")
+        .agg(
+            F.round(F.any_value("cutoff"), 6).alias("cutoff"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("ld") >= F.col("cutoff"), 1)).alias("n_kept"),
+            F.round(
+                F.count(F.when(F.col("ld") >= F.col("cutoff"), 1)) / F.count(F.lit(1)), 6
+            ).alias("keep_rate"),
+        )
+        .orderBy("lang")
+    )

@@ -110,6 +110,7 @@ def test_no_query_plans_a_cartesian_or_nested_loop(spark, sf_dir):
     allowed_nested = {
         "ann_bruteforce_topk",
         "ann_recall_eval",  # composes ann_bruteforce_topk (same broadcast query set)
+        "ann_truncated_recall_eval",  # same: broadcast query set, != predicate
         "ann_ivf_kmeans_topk",
     "dedup_semantic_keep",  # same crossJoin with broadcast(K centroids)
         "imaging_key_parity_gate",
