@@ -124,3 +124,63 @@ def test_npy_roundtrip(h, w, dtype, seed):
     back = npy_bytes_to_np(np_to_npy_bytes(arr, dtype))
     assert back.dtype == np.dtype(dtype) and back.shape == (h, w)
     np.testing.assert_array_equal(back, arr)
+
+
+# --- round-3 additions -------------------------------------------------------
+
+
+def _canon_url(url: str) -> str:
+    """Python replica of the dedup_url_canonical normalization chain."""
+    import re
+
+    u = url.lower()
+    u = re.sub(r"#.*$", "", u)
+    u = re.sub(r"(utm_[a-z]+|ref)=[^&]*&?", "", u)
+    u = re.sub(r"[?&]$", "", u)
+    u = u.replace(":443/", "/")
+    u = re.sub(r"/$", "", u)
+    return u
+
+
+@given(
+    host=st.from_regex(r"[a-z][a-z0-9]{0,8}", fullmatch=True),
+    path=st.from_regex(r"[a-z0-9/]{0,12}", fullmatch=True),
+    frag=st.from_regex(r"[a-z0-9]{0,6}", fullmatch=True),
+    utm=st.booleans(),
+    port=st.booleans(),
+    slash=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_url_canonicalization_idempotent_and_variant_stable(
+    host, path, frag, utm, port, slash
+):
+    base = f"https://{host}.example.com{':443' if port else ''}/{path}"
+    url = base + ("?utm_source=x&utm_campaign=y" if utm else "")
+    if frag:
+        url += f"#{frag}"
+    if slash and not url.endswith("/"):
+        url += "/"
+    c = _canon_url(url)
+    # idempotent: canonicalizing a canonical form changes nothing
+    assert _canon_url(c) == c
+    # variant-stable: the undecorated lowercase base maps to the same form
+    assert _canon_url(base.replace(":443/", "/")) == _canon_url(base)
+
+
+@given(
+    na=st.integers(min_value=1, max_value=50),
+    nb=st.integers(min_value=1, max_value=50),
+    common=st.integers(min_value=0, max_value=50),
+)
+@settings(max_examples=200, deadline=None)
+def test_containment_dominates_jaccard(na, nb, common):
+    """containment = common/min(|A|,|B|) >= jaccard = common/|A u B|,
+    with equality iff one set contains the other or common == 0 — the
+    reason the asymmetric score catches doc-in-doc cases Jaccard dilutes."""
+    common = min(common, na, nb)
+    union = na + nb - common
+    jac = common / union
+    cont = common / min(na, nb)
+    assert cont >= jac - 1e-12
+    if common == min(na, nb) and common > 0:
+        assert cont == 1.0
