@@ -9,6 +9,8 @@ command swap, not a rewrite:
     python -m etl_mri_scripts_spark viz-degradation ~ v2/viz_degradation.py:30-45
     python -m etl_mri_scripts_spark create-sample  ~ create_sample.py:28-78
     python -m etl_mri_scripts_spark estimate-snr   ~ v2/estimate_snr.py:340-411
+    python -m etl_mri_scripts_spark show-images    ~ show_images.py:32-40 (contact sheet)
+    python -m etl_mri_scripts_spark test-filter    ~ test_filter.py:35-44 (verdict sheet)
 
 Flag names and defaults follow the reference scripts verbatim where the
 concept survives (geometry, thresholds, presets, ratios, seeds). Sink
@@ -172,6 +174,108 @@ def cmd_estimate_snr(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_show_images(args: argparse.Namespace) -> int:
+    """Non-interactive equivalent of the reference's slice viewer
+    (ref show_images.py:32-40): instead of a matplotlib window stepping
+    through slices, render ONE contact-sheet PNG per (volume, orientation)
+    — every k-th slice tiled into a grid — as a distributed grouped map.
+    Pixels stay on executors; only finished PNGs land on disk."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .operators.pipeline import PipelineConfig, explode_slices
+    from .sources.multimodal import write_png_tree
+    from .sources.volumes import np_to_npy_bytes, npy_bytes_to_np
+
+    spark = _spark(args.cpus)
+    vols = _load_volumes(spark, args.input_dir, args.pattern)
+    slices = explode_slices(vols, PipelineConfig())
+    picked = slices.filter(F.col("slice_i") % args.every_k == 0)
+
+    def mosaic(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("slice_i")
+        imgs = [npy_bytes_to_np(bytes(b)) for b in pdf["pixels"]]
+        if not imgs:
+            return pd.DataFrame(columns=["key", "payload"])
+        h = max(a.shape[0] for a in imgs)
+        w = max(a.shape[1] for a in imgs)
+        cols = max(int(math.ceil(math.sqrt(len(imgs)))), 1)
+        rows_n = int(math.ceil(len(imgs) / cols))
+        sheet = np.zeros((rows_n * h, cols * w), dtype=np.float32)
+        for j, a in enumerate(imgs):
+            r, c = divmod(j, cols)
+            sheet[r * h : r * h + a.shape[0], c * w : c * w + a.shape[1]] = a
+        img8 = np.clip(sheet * 255.0, 0, 255).astype(np.uint8)
+        key = f"{pdf['base'].iloc[0]}__{pdf['orient'].iloc[0]}__sheet"
+        return pd.DataFrame([{"key": key, "payload": np_to_npy_bytes(img8, "uint8")}])
+
+    sheets = picked.select("base", "orient", "slice_i", "pixels").groupBy(
+        "base", "orient"
+    ).applyInPandas(mosaic, schema="key string, payload binary")
+    write_png_tree(sheets, args.output_dir, compression=3)
+    print(json.dumps({"command": "show-images", "output": args.output_dir}))
+    return 0
+
+
+def cmd_test_filter(args: argparse.Namespace) -> int:
+    """Non-interactive equivalent of the reference's dark-filter inspector
+    (ref test_filter.py:35-44): instead of cv2.imshow + keyboard stepping,
+    every patch is written as a PNG whose filename carries the verdict
+    (KEEP/DISCARD), plus a JSON summary of the keep rate — reviewable at
+    corpus scale instead of one keypress at a time."""
+    from pyspark.sql import functions as F
+
+    from .operators.pipeline import PipelineConfig, degrade_and_patch, explode_slices
+    from .sources.multimodal import write_png_tree
+    from .sources.volumes import np_to_npy_bytes, npy_bytes_to_np
+
+    spark = _spark(args.cpus)
+    vols = _load_volumes(spark, args.input_dir, args.pattern)
+    cfg = PipelineConfig(crop_hr=args.crop, step_hr=args.step, scales=())
+    patches = degrade_and_patch(explode_slices(vols, cfg), cfg, gated=False).filter(
+        F.col("resolution") == "HR"
+    )
+
+    import pandas as pd
+
+    def to_png(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = npy_bytes_to_np(bytes(r.value))
+                img8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+                verdict = "DISCARD" if r.is_dark else "KEEP"
+                rows.append(
+                    dict(key=f"{verdict}__{r.full_key}", payload=np_to_npy_bytes(img8, "uint8"))
+                )
+            yield pd.DataFrame(rows, columns=["key", "payload"])
+
+    annotated = patches.select("full_key", "is_dark", "value").mapInPandas(
+        to_png, schema="key string, payload binary"
+    )
+    write_png_tree(annotated, args.output_dir, compression=3)
+    stats = patches.agg(
+        F.count(F.lit(1)).alias("n_patches"),
+        F.count(F.when(F.col("is_dark"), 1)).alias("n_dark"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "command": "test-filter",
+                "output": args.output_dir,
+                "n_patches": stats["n_patches"],
+                "n_dark": stats["n_dark"],
+            }
+        )
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="etl_mri_scripts_spark",
@@ -231,6 +335,21 @@ def build_parser() -> argparse.ArgumentParser:
     es.add_argument("--pattern", default=r".*\.nii(\.gz)?$")
     es.add_argument("--output_dir", default=None)
     es.set_defaults(func=cmd_estimate_snr)
+
+    si = sub.add_parser("show-images", help="contact-sheet slice viewer (non-interactive)")
+    si.add_argument("--input_dir", required=True)
+    si.add_argument("--output_dir", required=True)
+    si.add_argument("--pattern", default=r".*\.nii(\.gz)?$")
+    si.add_argument("--every_k", type=int, default=4)
+    si.set_defaults(func=cmd_show_images)
+
+    tf = sub.add_parser("test-filter", help="dark-filter verdict sheet (non-interactive)")
+    tf.add_argument("--input_dir", required=True)
+    tf.add_argument("--output_dir", required=True)
+    tf.add_argument("--pattern", default=r".*\.nii(\.gz)?$")
+    tf.add_argument("--crop", type=int, default=64)
+    tf.add_argument("--step", type=int, default=64)
+    tf.set_defaults(func=cmd_test_filter)
 
     return p
 

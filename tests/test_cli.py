@@ -76,3 +76,32 @@ def test_cli_estimate_snr_prints_report(bids_tree, tmp_path, capsys):
 
     row = json.loads(lines[0])
     assert "base" in row and any("snr" in k.lower() for k in row)
+
+
+def test_cli_show_images_writes_contact_sheets(bids_tree, tmp_path, capsys):
+    out = str(tmp_path / "sheets")
+    rc = main(["show-images", "--input_dir", bids_tree, "--output_dir", out,
+               "--every_k", "2"])
+    assert rc == 0
+    pngs = glob.glob(f"{out}/**/*.png", recursive=True)
+    # 2 volumes x 3 orientations = 6 contact sheets
+    assert len(pngs) == 6, pngs
+    img = decode_png(open(pngs[0], "rb").read())
+    assert img.ndim == 2 and img.shape[0] >= 40  # grid of >= one slice
+
+
+def test_cli_test_filter_writes_verdict_sheet(bids_tree, tmp_path, capsys):
+    out = str(tmp_path / "verdicts")
+    rc = main(["test-filter", "--input_dir", bids_tree, "--output_dir", out,
+               "--crop", "20", "--step", "20"])
+    assert rc == 0
+    report = capsys.readouterr().out.strip().splitlines()[-1]
+    import json as _json
+
+    rep = _json.loads(report)
+    pngs = glob.glob(f"{out}/**/*.png", recursive=True)
+    assert rep["n_patches"] == len(pngs) > 0
+    keeps = [p for p in pngs if "KEEP__" in p]
+    discards = [p for p in pngs if "DISCARD__" in p]
+    assert len(discards) == rep["n_dark"]
+    assert len(keeps) == rep["n_patches"] - rep["n_dark"]
