@@ -155,6 +155,7 @@ _DRIVER_ORDER = [
     "text_adaptive_quality_threshold",
     "dedup_containment_pairs",
     "ann_truncated_recall_eval",
+    "scan_aggregate_pushdown",
 ]
 
 

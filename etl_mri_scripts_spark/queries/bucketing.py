@@ -95,3 +95,57 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "scan_aggregate_pushdown",
+    oracle="""
+    -- Logical truth for the footer-served aggregate: global MIN/MAX/COUNT
+    -- over lineitem columns. The Spark side serves this from parquet
+    -- row-group statistics (PushedAggregation) — zero data pages read.
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(max(l_orderkey) AS BIGINT) AS max_orderkey,
+           CAST(min(l_partkey) AS BIGINT) AS min_partkey,
+           CAST(max(l_partkey) AS BIGINT) AS max_partkey
+    FROM lineitem
+    """,
+)
+def scan_aggregate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unfiltered MIN/MAX/COUNT answered from parquet footers
+    (spark.sql.parquet.aggregatePushdown): the scan reads row-group
+    statistics instead of data pages — at 100 TB that's the difference
+    between a metadata operation and a full-table scan. The conf is
+    set/restored around plan construction (it binds at scan planning);
+    tests assert PushedAggregation appears in the scan node.
+
+    The reference analog is its metadata-only planning pass
+    (v2/nii_to_lmdb.py:47-120: shapes from headers, no pixel reads)."""
+    # Two confs, both scoped to plan construction: aggregate pushdown is
+    # a DataSource V2 feature, and parquet defaults to the V1 path.
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        df = li.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.max("l_orderkey").alias("max_orderkey"),
+            F.min("l_partkey").alias("min_partkey"),
+            F.max("l_partkey").alias("max_partkey"),
+        )
+        # Force physical planning while the confs are set — the V2 scan
+        # captures the pushed aggregate at plan time.
+        df._jdf.queryExecution().executedPlan()
+        return df
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -179,3 +179,11 @@ def test_pipeline_checksums_invariant_to_partitioning(spark):
     b = checks(vols.repartition(7))
     c = checks(vols.coalesce(1))
     assert a == b == c and len(a) > 0
+
+
+def test_aggregate_pushdown_reaches_scan(spark, sf_dir):
+    """The unfiltered MIN/MAX/COUNT must be served by the parquet scan
+    (PushedAggregation), not by reading data pages."""
+    df = QUERIES["scan_aggregate_pushdown"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation: [" in plan and "COUNT(*)" in plan, plan[:2000]
