@@ -156,6 +156,7 @@ _DRIVER_ORDER = [
     "dedup_containment_pairs",
     "ann_truncated_recall_eval",
     "scan_aggregate_pushdown",
+    "partitioned_dynamic_pruning",
 ]
 
 

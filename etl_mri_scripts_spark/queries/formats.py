@@ -213,3 +213,50 @@ def partitioned_write_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "partitioned_dynamic_pruning",
+    oracle="""
+    -- Truth for the runtime-pruned join: only languages present in the
+    -- (filtered) dimension side contribute. The Spark side discovers the
+    -- surviving languages AT RUNTIME via dynamic partition pruning: the
+    -- dim side's build result prunes the fact table's lang= directories
+    -- before they are scanned.
+    WITH lang_dim AS (
+      SELECT DISTINCT lang FROM documents WHERE lang IN ('en', 'de', 'fr')
+    )
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d JOIN lang_dim ld ON ld.lang = d.lang
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def partitioned_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is the lang-partitioned
+    parquet corpus; the dim side is a small filtered language list with NO
+    static filter on the fact. At plan time Spark inserts a
+    dynamicpruning#N subquery on the fact's partition column, so the
+    directories scanned are decided by the dim side's runtime result —
+    on a 100 TB corpus partitioned by source/language/date this is what
+    turns a full scan into a handful of directories without the query
+    author hand-propagating the filter."""
+    docs = table(spark, sf_dir, "documents")
+    out = _export_dir(spark, sf_dir, "part_lang_dpp")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        docs.select("lang")
+        .where(F.col("lang").isin("en", "de", "fr"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -187,3 +187,15 @@ def test_aggregate_pushdown_reaches_scan(spark, sf_dir):
     df = QUERIES["scan_aggregate_pushdown"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedAggregation: [" in plan and "COUNT(*)" in plan, plan[:2000]
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """The fact scan's partition filter must be a runtime dynamicpruning
+    subquery, not a static IN-list the author propagated by hand."""
+    df = QUERIES["partitioned_dynamic_pruning"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "part_lang_dpp" in l
+    )
+    assert "dynamicpruning" in scan, scan
