@@ -344,3 +344,60 @@ def time_weighted_avg_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_counters_tws_stream(events: DataFrame) -> DataFrame:
+    """Spark-4-native form of running_counters_stream: the
+    ``transformWithStateInPandas`` StatefulProcessor API replaces the
+    single implicit state tuple of applyInPandasWithState with NAMED,
+    typed state variables (value/list/map) plus per-key timers and
+    optional per-state TTL — the API a production 100 TB stream job
+    wants, because each state variable evolves and expires
+    independently. Semantics here are identical to the
+    applyInPandasWithState twin, which the parity test exploits.
+
+    Runtime dependency: the transformWithState protocol speaks protobuf
+    between the JVM and the Python state server; environments without
+    ``google.protobuf`` (like this container) can build the plan but the
+    query fails at start — the parity test importorskips accordingly
+    (same gating pattern as the real-lmdb sink test)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = "event_type string, n_total long, value_total double, n_batches long"
+
+    class CounterProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, v double, b long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, v = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                v += float(pdf["value"].sum())
+            prev = self._totals.get() if self._totals.exists() else (0, 0.0, 0)
+            tot = (prev[0] + n, prev[1] + v, prev[2] + 1)
+            self._totals.update(tot)
+            yield pd.DataFrame(
+                [
+                    {
+                        "event_type": key[0],
+                        "n_total": tot[0],
+                        "value_total": tot[1],
+                        "n_batches": tot[2],
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("event_type").transformWithStateInPandas(
+        CounterProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -369,3 +369,46 @@ def test_streaming_twa_matches_batch_exactly(spark, tmp_path, sf_dir):
         for r in QUERIES["events_time_weighted_avg"](spark, sf_dir).collect()
     }
     assert got == expected and len(expected) > 0
+
+
+def test_transform_with_state_matches_applyinpandas_twin(spark, tmp_path, sf_dir):
+    """transformWithStateInPandas (Spark 4 typed-state API) must produce
+    the same running totals as the applyInPandasWithState form and the
+    batch aggregate. Needs google.protobuf (the TWS state-server wire
+    format), absent in this container -> skip, like the real-lmdb test."""
+    pytest.importorskip("google.protobuf")
+    from etl_mri_scripts_spark.streaming.pipeline import running_counters_tws_stream
+    from etl_mri_scripts_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    in_dir = str(tmp_path / "twsin")
+    os.makedirs(in_dir)
+    a, b = ev.randomSplit([0.5, 0.5], seed=2)
+    a.write.mode("overwrite").json(in_dir + "/chunk=a")
+
+    stream = stream_events(spark, in_dir + "/*", fmt="json")
+    counters = running_counters_tws_stream(stream)
+    q = (
+        counters.writeStream.format("memory")
+        .queryName("tws_counters")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "twsckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b.write.mode("overwrite").json(in_dir + "/chunk=b")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select * from tws_counters").collect()
+    latest = {}
+    for r in sorted(rows, key=lambda r: r["n_batches"]):
+        latest[r["event_type"]] = (r["n_total"], round(r["value_total"], 4))
+    expected = {
+        r["event_type"]: (r["n"], round(r["v"], 4))
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert latest == expected
