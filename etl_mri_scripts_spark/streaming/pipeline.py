@@ -401,3 +401,77 @@ def running_counters_tws_stream(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def session_finalizer_stream(
+    events: DataFrame, gap_sec: int = 600, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Append-mode sessionization with EVENT-TIME TIMEOUT state eviction:
+    a user's session accumulates in per-key state and is emitted exactly
+    once — when the watermark passes last_event + gap and the timeout
+    fires. This is the form session_window cannot express when the
+    session payload is custom (here: event count, span, first/last event
+    ids); state per user is four longs, evicted at timeout, so the store
+    is O(active users), never O(stream).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, first_event_id long, last_event_id long"
+    )
+    state_schema = "start_us long, last_us long, n long, first_id long, last_id long"
+    gap_ms = gap_sec * 1000
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start_us, last_us, n, first_id, last_id = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": int(key[0]),
+                        "session_start": pd.Timestamp(start_us, unit="us"),
+                        "session_end": pd.Timestamp(last_us, unit="us"),
+                        "n_events": int(n),
+                        "first_event_id": int(first_id),
+                        "last_event_id": int(last_id),
+                    }
+                ]
+            )
+            return
+        start_us = last_us = None
+        n, first_id, last_id = 0, None, None
+        if state.exists:
+            start_us, last_us, n, first_id, last_id = state.get
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ev_id, ts in zip(pdf["event_id"], pdf["ts"]):
+                ts_us = int(pd.Timestamp(ts).value) // 1000
+                if start_us is None:
+                    start_us, first_id = ts_us, int(ev_id)
+                last_us, last_id = ts_us, int(ev_id)
+                n += 1
+        state.update((start_us, last_us, n, first_id, last_id))
+        # fire once the event-time watermark passes last event + gap
+        state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+        yield pd.DataFrame(
+            [],
+            columns=[
+                "user_id", "session_start", "session_end",
+                "n_events", "first_event_id", "last_event_id",
+            ],
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

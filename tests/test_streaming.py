@@ -412,3 +412,54 @@ def test_transform_with_state_matches_applyinpandas_twin(spark, tmp_path, sf_dir
         .collect()
     }
     assert latest == expected
+
+
+def test_session_finalizer_emits_on_event_time_timeout(spark, tmp_path):
+    """A user's session must be emitted exactly once — AFTER the watermark
+    (driven by a later batch) passes last_event + gap — with the custom
+    payload (count, span, first/last ids) intact."""
+    from etl_mri_scripts_spark.streaming.pipeline import session_finalizer_stream
+
+    in_dir = str(tmp_path / "fin")
+    os.makedirs(in_dir)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    from datetime import datetime
+
+    def t_at(h, m):
+        return datetime(2024, 1, 1, h, m, 0)
+
+    rows_a = [
+        (1, t_at(10, 0), 7, "view", 1.0, ""),
+        (2, t_at(10, 3), 7, "click", 1.0, ""),
+        (3, t_at(10, 5), 7, "purchase", 1.0, ""),
+    ]
+    spark.createDataFrame(rows_a, schema).write.mode("overwrite").json(in_dir + "/chunk=a")
+
+    stream = stream_events(spark, in_dir + "/*", fmt="json")
+    q = (
+        session_finalizer_stream(stream, gap_sec=600, watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("finalized")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "finck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # no session may close while the watermark sits at batch A
+        assert spark.sql("select * from finalized").count() == 0
+        # a much later event from ANOTHER user advances the watermark past
+        # user 7's last_event + gap -> the timeout fires in batch B
+        rows_b = [(9, t_at(12, 0), 8, "view", 1.0, "")]
+        spark.createDataFrame(rows_b, schema).write.mode("overwrite").json(in_dir + "/chunk=b")
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select * from finalized").collect()
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert r["user_id"] == 7 and r["n_events"] == 3
+    assert r["first_event_id"] == 1 and r["last_event_id"] == 3
+    assert str(r["session_start"]).startswith("2024-01-01 10:00")
+    assert str(r["session_end"]).startswith("2024-01-01 10:05")
