@@ -157,6 +157,7 @@ _DRIVER_ORDER = [
     "ann_truncated_recall_eval",
     "scan_aggregate_pushdown",
     "partitioned_dynamic_pruning",
+    "events_sessionize_custom",
 ]
 
 

@@ -754,3 +754,88 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+@query(
+    "events_sessionize_custom",
+    oracle="""
+    -- Custom-payload sessionization: the batch twin of the streaming
+    -- session finalizer (streaming/pipeline.session_finalizer_stream) —
+    -- per closed session, the payload session_window cannot carry:
+    -- first/last event ids alongside span and count. Gaps-and-islands
+    -- with event_id tie-break so equal timestamps order identically in
+    -- both engines.
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 600000000
+                       OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    ),
+    bounds AS (
+      SELECT *,
+             first_value(event_id) OVER w AS first_event_id,
+             last_value(event_id) OVER w AS last_event_id
+      FROM numbered
+      WINDOW w AS (PARTITION BY user_id, session_no ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(any_value(first_event_id) AS BIGINT) AS first_event_id,
+           CAST(any_value(last_event_id) AS BIGINT) AS last_event_id
+    FROM bounds GROUP BY user_id, session_no
+    ORDER BY user_id, session_start, first_event_id
+    """,
+)
+def events_sessionize_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions carrying first/last event ids (the audit columns
+    the streaming finalizer emits). One shuffle on user_id serves the lag,
+    the island numbering, and the final per-session aggregate — the window
+    and groupBy share the partitioning, so sessionizing a 100 TB event log
+    costs one exchange."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) >= 600_000_000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w2 = (
+        Window.partitionBy("user_id", "session_no")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    bounds = numbered.withColumn(
+        "first_event_id", F.first("event_id").over(w2)
+    ).withColumn("last_event_id", F.last("event_id").over(w2))
+    return (
+        bounds.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.any_value("first_event_id").cast("long").alias("first_event_id"),
+            F.any_value("last_event_id").cast("long").alias("last_event_id"),
+        )
+        .drop("session_no")
+        .orderBy("user_id", "session_start", "first_event_id")
+    )
