@@ -158,6 +158,7 @@ _DRIVER_ORDER = [
     "scan_aggregate_pushdown",
     "partitioned_dynamic_pruning",
     "events_sessionize_custom",
+    "dedup_lsh_quality_eval",
 ]
 
 

@@ -1434,3 +1434,80 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.filter(F.col("containment") >= 0.8)
         .orderBy("contained_doc", "container_doc")
     )
+
+
+@query(
+    "dedup_lsh_quality_eval",
+    oracle=f"""
+    -- Measured quality of the production near-dup path: the LSH-verified
+    -- pair set vs exhaustive exact-Jaccard ground truth at the same
+    -- threshold. Verification makes precision 1.0 BY CONSTRUCTION (every
+    -- candidate is exact-checked); recall is where banding loses pairs —
+    -- this harness is how that loss is measured rather than assumed
+    -- (the dedup twin of ann_recall_eval).
+    WITH {_VERIFIED_PAIRS_DUCK},
+    sh_all AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
+    ),
+    sizes_all AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh_all GROUP BY doc_id),
+    truth AS (
+      SELECT p.doc_a, p.doc_b
+      FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+        FROM sh_all a JOIN sh_all b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN sizes_all sa ON sa.doc_id = p.doc_a
+      JOIN sizes_all sb ON sb.doc_id = p.doc_b
+      WHERE p.common * 1.0 / (sa.n_sh + sb.n_sh - p.common) >= 0.5
+    ),
+    found AS (SELECT doc_a, doc_b FROM vpairs)
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+      (SELECT CAST(count(*) AS BIGINT) FROM found) AS n_found,
+      (SELECT CAST(count(*) AS BIGINT) FROM found f
+        WHERE EXISTS (SELECT 1 FROM truth t
+                      WHERE t.doc_a = f.doc_a AND t.doc_b = f.doc_b)) AS n_correct,
+      round((SELECT count(*) FROM found f
+             WHERE EXISTS (SELECT 1 FROM truth t
+                           WHERE t.doc_a = f.doc_a AND t.doc_b = f.doc_b)) * 1.0
+            / greatest((SELECT count(*) FROM found), 1), 6) AS precision,
+      round((SELECT count(*) FROM found f
+             WHERE EXISTS (SELECT 1 FROM truth t
+                           WHERE t.doc_a = f.doc_a AND t.doc_b = f.doc_b)) * 1.0
+            / greatest((SELECT count(*) FROM truth), 1), 6) AS recall
+    """,
+)
+def dedup_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the LSH-verified near-dup pairs against the
+    exhaustive exact-Jaccard truth at the same threshold.
+
+    At 100 TB the truth side runs on a SAMPLE (it is the all-pairs
+    diagnostic); the found side is the production path. Here both run on
+    the full small-sf corpus so the numbers are exact. One plan, one
+    action: the five scalars are single-row aggregates joined together,
+    sharing the exploded-shingle cache underneath."""
+    truth = (
+        dedup_ngram_jaccard_pairs_diagnostic(spark, sf_dir)
+        .select("doc_a", "doc_b")
+    )
+    found = dedup_lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    correct = found.join(truth, ["doc_a", "doc_b"], "left_semi")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
+    n_correct = correct.agg(F.count(F.lit(1)).alias("n_correct"))
+    return (
+        n_truth.crossJoin(n_found)
+        .crossJoin(n_correct)
+        .select(
+            "n_truth",
+            "n_found",
+            "n_correct",
+            F.round(F.col("n_correct") / F.greatest(F.col("n_found"), F.lit(1)), 6).alias(
+                "precision"
+            ),
+            F.round(F.col("n_correct") / F.greatest(F.col("n_truth"), F.lit(1)), 6).alias(
+                "recall"
+            ),
+        )
+    )
