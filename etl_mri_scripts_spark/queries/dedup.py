@@ -1282,7 +1282,7 @@ def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                      '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
                    '[?&]$', ''),
                  ':443/', '/'),
-               '/$', '') AS curl
+               '/+$', '') AS curl
       FROM urls
     )
     SELECT curl AS canonical_url,
@@ -1336,7 +1336,7 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "(utm_[a-z]+|ref)=[^&]*&?", ""),
                 "[?&]$", ""),
             ":443/", "/"),
-        "/$", "")
+        "/+$", "")
     return (
         d.select(curl.alias("canonical_url"), "doc_id")
         .groupBy("canonical_url")

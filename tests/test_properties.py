@@ -138,7 +138,7 @@ def _canon_url(url: str) -> str:
     u = re.sub(r"(utm_[a-z]+|ref)=[^&]*&?", "", u)
     u = re.sub(r"[?&]$", "", u)
     u = u.replace(":443/", "/")
-    u = re.sub(r"/$", "", u)
+    u = re.sub(r"/+$", "", u)
     return u
 
 
