@@ -159,6 +159,7 @@ _DRIVER_ORDER = [
     "partitioned_dynamic_pruning",
     "events_sessionize_custom",
     "dedup_lsh_quality_eval",
+    "dedup_keep_best_quality",
 ]
 
 

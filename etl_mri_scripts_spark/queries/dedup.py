@@ -1511,3 +1511,73 @@ def dedup_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    -- Canonical selection POLICY on near-dup clusters: instead of
+    -- keep-lowest-id (dedup_keep_canonical / cluster_representatives),
+    -- keep the highest-QUALITY member of each connected component —
+    -- the policy production corpora actually want (drop the mirrored
+    -- boilerplate copy, keep the clean original). Quality = lexical
+    -- diversity, rounded to 6dp so the ranking is engine-stable.
+    WITH RECURSIVE {_VERIFIED_PAIRS_DUCK},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM vpairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM vpairs
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lab) AS component_id FROM reach GROUP BY 1),
+    q AS (
+      SELECT doc_id,
+             round(len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')), 6) AS quality
+      FROM documents
+    ),
+    ranked AS (
+      SELECT c.doc_id, c.component_id, q.quality,
+             row_number() OVER (PARTITION BY c.component_id
+                                ORDER BY q.quality DESC, c.doc_id) AS rn
+      FROM comp c JOIN q USING (doc_id)
+    )
+    SELECT doc_id, component_id, quality, rn = 1 AS kept
+    FROM ranked ORDER BY doc_id
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked canonical selection per near-dup cluster: the
+    component labels come from the SAME iterative min-label propagation as
+    dedup_connected_components (one extra broadcast join + per-component
+    window on cluster-sized groups — clusters are small by construction,
+    so the window never sees a skewed partition). Swapping the keep
+    policy is a one-line ORDER BY change; the expensive parts (LSH,
+    verification, clustering) are untouched."""
+    labels = dedup_connected_components(spark, sf_dir).select("doc_id", "component_id")
+    d = table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct(F.split("text", " ")))
+            / F.size(F.split("text", " ")),
+            6,
+        ).alias("quality"),
+    )
+    from pyspark.sql.window import Window as W
+
+    ranked = labels.join(q, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("component_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+        ),
+    )
+    return (
+        ranked.select("doc_id", "component_id", "quality", (F.col("rn") == 1).alias("kept"))
+        .orderBy("doc_id")
+    )
