@@ -44,8 +44,17 @@ from . import tpch_shapes  # noqa: E402,F401
 from . import pipeline_analytics  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 
-# Round-3 window layout. Names not listed keep their registration order
-# after the listed block.
+# Round-4 window layout. Names not listed keep their registration order
+# after the listed block. The 45 rotation slots hold the first 45 of the
+# 50 names that have never received a driver CORRECTNESS row (r1-r3
+# union); the remaining 5 queue immediately after position 50 so round 5
+# is a simple cut/paste. Queries whose implementation changed this round
+# (split_exact_count_rank, middle_n_selection, histogram_equi_depth,
+# training_shard_assignment, agg_trimmed_winsorized_stats,
+# dedup_connected_components, events_sessionize_custom,
+# image_dhash_near_dup) are locally re-verified via check_window.py; the
+# already-driver-verified ones among them are round-5 re-check
+# candidates.
 _DRIVER_ORDER = [
     # --- sentinels: driver-green in r1/r2, one per module family -------
     "window_tumbling_hourly",  # r2 green
@@ -53,63 +62,8 @@ _DRIVER_ORDER = [
     "text_token_counts",  # r2 green
     "ann_bruteforce_topk",  # r2 green
     "pricing_summary",  # r1 green
-    # --- re-checks: fixed since their last driver row ------------------
-    "dedup_minhash_signatures",  # r2 err: array output; now string-encoded
-    "dedup_pagerank_representatives",  # r2 no_oracle; oracle added
-    "ann_ivf_kmeans_topk",  # r2 no_oracle; oracle added
-    "join_range_time_bucketed",  # r1 err (NTZ); fixed r2, never re-checked
-    # --- never driver-checked: imaging block (the reference's product) -
-    "imaging_patch_grid",
-    "imaging_slice_plan",
-    "imaging_key_parity_gate",
-    "imaging_pipeline_manifest",  # added mid-r3: full-lineage manifest, oracled
-    "imaging_pipeline_patches",
-    "imaging_snr_metrics",
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    "imaging_triptych_render",
-    # --- never checked: BPE -------------------------------------------
-    "bpe_train_merges",
-    "bpe_tokenize_counts",
-    # --- never checked: embeddings / ANN ------------------------------
-    "embedding_quantize_int8",
-    "embedding_label_centroids",
-    "embedding_centroid_similarity",
-    "embedding_outlier_distance",
-    "embedding_l2_normalize_hof",
-    "ann_pq_adc_topk",
-    # --- never checked: interchange formats ---------------------------
-    "source_jsonl_roundtrip",
-    "source_csv_roundtrip",
-    "source_jsonl_corrupt_quarantine",
-    # --- never checked: data quality ----------------------------------
-    "dq_lineitem_constraints",
-    "dq_referential_integrity",
-    "dq_uniqueness_report",
-    "hll_sketch_rollup_nation_region",
-    # --- never checked: sampling --------------------------------------
-    "sample_stratified_exact",
-    "sample_hash_bernoulli",
-    "sample_weighted_exact",
-    # --- never checked: relational stragglers -------------------------
-    "ingest_union_schema_drift",
-    "fk_integrity_audit",
-    "cdc_apply_with_deletes",
-    # --- never checked: TPC-H shapes (first 10) -----------------------
-    "join_min_cost_supplier_per_part",
-    "orders_priority_late_exists",
-    "supplier_value_share_threshold",
-    "customer_order_count_distribution",
-    "promo_revenue_percent",
-    "top_supplier_revenue_tiesafe",
-    "small_quantity_revenue_below_avg",
-    "large_order_customers",
-    "late_sole_supplier_orders",
-    "idle_rich_customers_by_nation",
-    # --- never checked: curation (first 2) ----------------------------
-    "corpus_mix_plan",
+    # --- never driver-checked: rotation block (45) ---------------------
     "corpus_temperature_mix",
-    # ============ position 50: round-4 rotation queue ================
     "forecast_revenue_discount_band",
     "nation_pair_shipping_volume",
     "nation_market_share_in_region",
@@ -122,13 +76,13 @@ _DRIVER_ORDER = [
     "crossmodal_quality_topk",
     "text_decontaminate_overlap",
     "pack_sequences_concat",
-    "training_shard_assignment",
+    "training_shard_assignment",  # r4: two-phase offset rank plan
     "corpus_drift_psi",
     "docs_compaction_plan",
     "pack_sequences_bestfit",
     "curation_funnel",
     "events_time_weighted_avg",
-    "agg_trimmed_winsorized_stats",
+    "agg_trimmed_winsorized_stats",  # r4: agg+broadcast-join plan
     "events_last_touch_attribution",
     "embedding_dimension_variance",
     "text_blocklist_scrub",
@@ -139,9 +93,8 @@ _DRIVER_ORDER = [
     "agg_median_abs_deviation",
     "customer_revenue_gini",
     "label_entropy_by_source",
-    "dedup_semantic_keep",  # added r3 (SemDeDup-style), oracled
-    "source_cap_downsample",  # added r3 (per-domain cap), oracled
-    # --- added mid-round-3, oracled unless noted ----------------------
+    "dedup_semantic_keep",
+    "source_cap_downsample",
     "ann_recall_eval",
     "corpus_importance_weights",
     "dedup_triangle_count",
@@ -155,11 +108,18 @@ _DRIVER_ORDER = [
     "text_adaptive_quality_threshold",
     "dedup_containment_pairs",
     "ann_truncated_recall_eval",
+    # ============ position 50: round-5 rotation queue ================
+    # last 5 never-driver-checked names, then round-5 re-check
+    # candidates (implementations changed in r4 after their driver row).
     "scan_aggregate_pushdown",
     "partitioned_dynamic_pruning",
     "events_sessionize_custom",
     "dedup_lsh_quality_eval",
     "dedup_keep_best_quality",
+    "split_exact_count_rank",  # r4 re-check: two-phase offset rank
+    "middle_n_selection",  # r4 re-check: TakeOrderedAndProject form
+    "histogram_equi_depth",  # r4 re-check: two-phase offset rank
+    "dedup_connected_components",  # r4 re-check: pointer-jumping CC
 ]
 
 
