@@ -25,7 +25,19 @@ def summarize(plan: str) -> dict:
         if ("DataFilters: [" in l and "DataFilters: []" not in l)
         or ("PushedFilters: [" in l and "PushedFilters: []" not in l)
     )
+    # Single-partition WindowExec: a Window operator fed (within its
+    # child subtree, printed in the next few lines) by an Exchange
+    # SinglePartition — the unpartitioned-window scale-killer. Windows
+    # over bounded post-aggregation frames are whitelisted explicitly.
+    sp_windows = 0
+    for i, l in enumerate(lines):
+        if "Window" in l and "WindowGroupLimit" not in l:
+            for j in range(i + 1, min(i + 4, len(lines))):
+                if "SinglePartition" in lines[j]:
+                    sp_windows += 1
+                    break
     return {
+        "sp_windows": sp_windows,
         "exchanges": sum("Exchange hashpartitioning" in l for l in lines),
         "range_exchanges": sum("Exchange rangepartitioning" in l for l in lines),
         "bhj": plan.count("BroadcastHashJoin"),
@@ -54,6 +66,23 @@ ALLOWED_NLJ = {
     "supplier_value_share_threshold",
     "idle_rich_customers_by_nation",
     "text_tfidf_top_terms",
+    "middle_n_selection",  # broadcast 1-row count agg (top-k center)
+    "join_key_skew_diagnostic",  # broadcast 1-row max/avg agg
+    "top_supplier_revenue_tiesafe",  # broadcast 1-row max agg (Q15 scalar)
+}
+
+# Single-partition windows over BOUNDED post-aggregation frames: the
+# window input cardinality is fixed by the schema/grain (nations, months,
+# crosstab cells, source mix, hash buckets), not by the data volume. The
+# unbounded cases (per-customer rank, vocab rank, exact-count splits,
+# NTILE histograms) use the two-phase offset rank in operators/rank.py
+# and must stay OUT of this list.
+ALLOWED_SP_WINDOW = {
+    "nation_revenue_share",  # 25-row per-nation aggregate
+    "orders_monthly_growth",  # month-grain series (~80 rows)
+    "orders_crosstab_chi2",  # R x C crosstab cells (<= ~15 rows)
+    "corpus_temperature_mix",  # per-source aggregate (~20 rows)
+    "corpus_importance_weights",  # 256-bucket hashed-unigram histogram
 }
 
 
@@ -94,27 +123,39 @@ def main() -> None:
             "broadcast-hash joins, sort-merge joins, nested-loop/cartesian "
             "joins (0 everywhere by policy — see test_scale_paths), parquet "
             "scans and how many carry pushed filters, whole-stage-codegen "
-            "span count, Arrow (pandas) stages.\n\n"
-            "| query | exch | rexch | BHJ | SMJ | NLJ | scans | pushed | codegen | arrow |\n"
-            "|---|---|---|---|---|---|---|---|---|---|\n"
+            "span count, Arrow (pandas) stages, single-partition windows "
+            "(0 by policy except bounded post-aggregation frames).\n\n"
+            "| query | exch | rexch | BHJ | SMJ | NLJ | scans | pushed | codegen | arrow | spwin |\n"
+            "|---|---|---|---|---|---|---|---|---|---|---|\n"
         )
         for name, s in rows:
             nlj_cell = str(s["nlj"])
             if s["nlj"] and name in ALLOWED_NLJ:
                 nlj_cell += " (allowed: constant broadcast side)"
+            spw_cell = str(s["sp_windows"])
+            if s["sp_windows"] and name in ALLOWED_SP_WINDOW:
+                spw_cell += " (allowed: bounded aggregate frame)"
             f.write(
                 f"| {name} | {s['exchanges']} | {s['range_exchanges']} | "
                 f"{s['bhj']} | {s['smj']} | {nlj_cell} | {s['scans']} | "
-                f"{s['scans_with_pushdown']} | {s['codegen_spans']} | {s['arrow_stages']} |\n"
+                f"{s['scans_with_pushdown']} | {s['codegen_spans']} | "
+                f"{s['arrow_stages']} | {spw_cell} |\n"
             )
         unexpected = [
             name for name, s in rows if s["nlj"] and name not in ALLOWED_NLJ
+        ]
+        unexpected_spw = [
+            name
+            for name, s in rows
+            if s["sp_windows"] and name not in ALLOWED_SP_WINDOW
         ]
         f.write(
             f"\nTotals: {len(rows)} queries audited, "
             f"{sum(s['exchanges'] for _, s in rows)} hash exchanges. "
             f"Unexpected nested-loop joins: "
-            f"{unexpected if unexpected else 'NONE — policy holds'}.\n"
+            f"{unexpected if unexpected else 'NONE — policy holds'}. "
+            f"Unexpected single-partition windows: "
+            f"{unexpected_spw if unexpected_spw else 'NONE — policy holds'}.\n"
         )
         if errors:
             f.write("\nAudit errors (query could not run):\n")

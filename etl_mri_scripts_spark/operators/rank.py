@@ -1,0 +1,166 @@
+"""Distributed exact global ranking.
+
+``row_number().over(Window.orderBy(...))`` is correct but Spark plans it
+as a SINGLE-partition WindowExec — every row moves to one task, which is
+the canonical 100-TB scale-killer. This module provides the two-phase
+offset form of the same computation (the scheme behind
+``RDD.zipWithIndex``): every stage is parallel and the only global
+structure is one long per partition on the driver.
+
+Phases:
+
+1. ``repartitionByRange(order_cols)`` + ``sortWithinPartitions`` — a
+   parallel range-partitioned sort (what a global ``orderBy`` would plan
+   anyway, minus the final single-partition window).
+2. ``monotonically_increasing_id()`` over the sorted stream — yields
+   ``pid << 33 | local_seq`` where ``local_seq`` counts rows in sorted
+   order within each range bucket. The expression is non-deterministic,
+   so Catalyst will not reorder it below the sort.
+3. One bounded job collects per-partition row counts (driver state:
+   ``num_partitions`` longs), prefix-sums them into offsets, and maps
+   them back — a literal-map projection for small partition counts, a
+   broadcast hash join beyond that.
+
+``rank = offset[pid] + local_seq + 1`` then equals the global
+``row_number`` over the same total order, with no single-partition stage
+anywhere in the plan.
+
+The ranked relation is persisted (MEMORY_AND_DISK) for the duration of
+the returned DataFrame's lifetime: the counts job and the consumer job
+must observe identical range boundaries, and Spark's RangePartitioner
+re-samples boundaries per action, so recomputing the exchange between
+the two jobs would be a correctness bug, not just a cost.
+
+``order_cols`` MUST be a total order (include a unique tie-break key);
+with ties, rank assignment at range-bucket edges would depend on
+partition placement.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window as WindowSpec
+from pyspark.storagelevel import StorageLevel
+
+# monotonically_increasing_id packs the partition index into the upper
+# 31 bits and a per-partition counter into the lower 33.
+_MID_PARTITION_BITS = 33
+
+# Above this partition count a literal create_map projection gets
+# unwieldy in the plan; switch to a broadcast hash join on pid.
+_MAP_EXPR_MAX_PARTITIONS = 4096
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    rank_col: str = "rn",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Exact global ``row_number`` over ``order_cols`` without a
+    single-partition WindowExec.
+
+    Returns ``(ranked_df, total_rows)`` — the total falls out of the
+    per-partition counts for free, so callers that need ``count(*) OVER
+    ()`` (exact-count splits, NTILE) avoid a second pass/window.
+    """
+    ranked, total_rows, _ = global_order_prefix(
+        df, order_cols, sum_col=None, rank_col=rank_col, num_partitions=num_partitions
+    )
+    return ranked, total_rows
+
+
+def global_order_prefix(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    sum_col: str | None = None,
+    rank_col: str = "rn",
+    cum_col: str = "cum",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Exact global ``row_number`` — and optionally the running sum of
+    ``sum_col`` over the same total order — via the two-phase offset
+    scheme. Returns ``(df, total_rows, total_sum)``; ``total_sum`` is 0
+    when ``sum_col`` is None.
+
+    The running sum generalizes the rank machinery: the per-partition
+    counts job also collects per-partition sums, the driver prefix-sums
+    both, and the partition-local cumulative sum comes from a window
+    PARTITIONED on the range-bucket id — each window partition is one
+    balanced range bucket, so no single-partition stage appears even for
+    the cumulative case (``sum(...) OVER (ORDER BY ...)``, the Pareto /
+    cumulative-share shape). ``sum_col`` must be integral (exact prefix
+    sums; float prefix sums are order-dependent and not cross-engine
+    stable anyway).
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ordered = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pid = F.shiftrightunsigned(F.col("_mid"), _MID_PARTITION_BITS)
+    local = F.col("_mid") - F.shiftleft(pid, _MID_PARTITION_BITS)
+    # Bounded driver state: one (pid, count[, sum]) row per partition.
+    aggs = [F.count(F.lit(1)).alias("_cnt")]
+    if sum_col is not None:
+        aggs.append(F.sum(sum_col).alias("_sum"))
+    counts = ordered.groupBy(pid.alias("_pid")).agg(*aggs).orderBy("_pid").collect()
+    row_offsets: list[tuple[int, int]] = []
+    sum_offsets: list[tuple[int, int]] = []
+    running_rows, running_sum = 0, 0
+    for row in counts:
+        row_offsets.append((row["_pid"], running_rows))
+        running_rows += row["_cnt"]
+        if sum_col is not None:
+            sum_offsets.append((row["_pid"], running_sum))
+            running_sum += row["_sum"]
+
+    out = ordered
+    if sum_col is not None:
+        # Partition-local running sum: window keyed by the range-bucket
+        # id, ordered by the sort-stream sequence — every partition is
+        # one balanced bucket, never the whole relation.
+        w_local = (
+            WindowSpec.partitionBy(pid)
+            .orderBy("_mid")
+            .rowsBetween(WindowSpec.unboundedPreceding, WindowSpec.currentRow)
+        )
+        out = out.withColumn("_localcum", F.sum(sum_col).over(w_local))
+
+    def _attach(frame: DataFrame, offsets: list[tuple[int, int]], col: str, base: F.Column) -> DataFrame:
+        if len(offsets) <= _MAP_EXPR_MAX_PARTITIONS:
+            offmap = F.create_map(*[F.lit(v) for kv in offsets for v in kv])
+            return frame.withColumn(col, (offmap[pid] + base).cast("long"))
+        off_df = frame.sparkSession.createDataFrame(offsets, "_pid long, _offset long")
+        return (
+            frame.withColumn("_pid", pid)
+            .join(F.broadcast(off_df), "_pid")
+            .withColumn(col, (F.col("_offset") + base).cast("long"))
+            .drop("_pid", "_offset")
+        )
+
+    out = _attach(out, row_offsets, rank_col, local + 1)
+    if sum_col is not None:
+        out = _attach(out, sum_offsets, cum_col, F.col("_localcum")).drop("_localcum")
+    return out.drop("_mid"), running_rows, running_sum
+
+
+def ntile_from_rank(rank: F.Column, total: int, n_buckets: int) -> F.Column:
+    """SQL ``NTILE(n)`` bucket computed from a precomputed global rank.
+
+    Standard semantics: with ``q, r = divmod(total, n_buckets)``, the
+    first ``r`` buckets hold ``q + 1`` rows, the rest ``q``. Pure
+    projection — composes with :func:`global_row_number` to replace the
+    single-partition ``ntile().over(Window.orderBy(...))``.
+    """
+    q, r = divmod(total, n_buckets)
+    pivot = r * (q + 1)  # rank boundary between the big and small buckets
+    big = F.ceil(rank / (q + 1)) if q + 1 > 0 else F.lit(1)
+    small = F.lit(r) + F.ceil((rank - pivot) / q) if q > 0 else F.lit(n_buckets)
+    return F.when(rank <= pivot, big).otherwise(small).cast("int")

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.rank import global_row_number
 from ..tables import table
 from .dedup import _VERIFIED_PAIRS_DUCK, dedup_lsh_verified_pairs
 from .registry import query
@@ -401,18 +402,18 @@ N_SHARDS = 8
     """,
 )
 def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The logical plan is a single global sort on the hash key — locally a
-    # row_number window; at 100 TB the identical plan runs as a RANGE-
-    # partitioned sort (Spark samples hash-key quantiles, each executor
-    # emits one shard-contiguous run), which is exactly how you want
-    # training shards laid out: sequential readers, no hot shard, and the
-    # whole ordering reproducible from (id, seed) under retries. Round-
-    # robin dealing off the rank balances shard sizes to within one doc.
-    d = table(spark, sf_dir, "documents")
-    w = Window.orderBy("hkey", "doc_id")
-    r = d.select(
+    # Two-phase offset rank (operators/rank.py): range-partition on the
+    # shuffle hash key, sort within partitions, add broadcast per-partition
+    # prefix offsets — the exact global rank with NO single-partition
+    # WindowExec anywhere in the plan. Each executor emits one
+    # shard-contiguous run (sequential readers, no hot shard) and the
+    # ordering is reproducible from (id, seed) under retries. Round-robin
+    # dealing off the rank balances shard sizes to within one doc.
+    d = table(spark, sf_dir, "documents").select(
         "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hkey")
-    ).select("doc_id", (F.row_number().over(w) - 1).cast("long").alias("shuffle_rank"))
+    )
+    ranked, _total = global_row_number(d, ["hkey", "doc_id"], rank_col="rn")
+    r = ranked.select("doc_id", (F.col("rn") - 1).cast("long").alias("shuffle_rank"))
     return r.select(
         "doc_id",
         "shuffle_rank",

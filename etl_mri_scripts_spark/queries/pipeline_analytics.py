@@ -85,11 +85,13 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Trimmed + winsorized robust means per group. The exact p05/p95 boundaries
-# come from ONE percentile aggregate; the robust means are then composed
-# exactly: interior mass as integer cents, boundary mass as count x boundary
-# (one float multiply per group, identical in both engines). The window
-# partitionBy matches the final groupBy key, so Catalyst plans a single
-# exchange on l_returnflag for the whole query.
+# come from a small groupBy percentile aggregate (3 rows) broadcast-joined
+# back onto the scan; the robust means are then composed exactly: interior
+# mass as integer cents, boundary mass as count x boundary (one float
+# multiply per group, identical in both engines). Two column-pruned scans
+# and one tiny broadcast instead of the window-percentile form, which
+# would drag every row through 3 giant window partitions (one per
+# l_returnflag value) — the low-cardinality-key window is a scale-killer.
 # ---------------------------------------------------------------------------
 
 
@@ -124,13 +126,16 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_trimmed_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    w = Window.partitionBy("l_returnflag")
-    b = li.select(
+    pct = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+    b = li.join(F.broadcast(pct), "l_returnflag").select(
         "l_returnflag",
         F.col("l_extendedprice").alias("price"),
         cents(F.col("l_extendedprice")).alias("price_cents"),
-        F.percentile("l_extendedprice", F.lit(0.05)).over(w).alias("p05"),
-        F.percentile("l_extendedprice", F.lit(0.95)).over(w).alias("p95"),
+        "p05",
+        "p95",
     )
     interior = (F.col("price") >= F.col("p05")) & (F.col("price") <= F.col("p95"))
     sum_in = F.sum(F.when(interior, F.col("price_cents")).otherwise(F.lit(0)))
@@ -327,12 +332,17 @@ def text_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_key_skew_diagnostic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The global max/avg are a 1-row aggregate cross-joined back
+    # (broadcast, bounded NLJ side — the Q11 scalar pattern), not an
+    # unpartitioned window: key cardinality grows with the data, so a
+    # single-partition window over the per-key frame would not.
     li = table(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("join_key"))
     per_key = li.groupBy("join_key").agg(F.count(F.lit(1)).alias("key_rows"))
-    w = Window.partitionBy()
+    g = per_key.agg(
+        F.max("key_rows").alias("max_rows"), F.avg("key_rows").alias("avg_rows")
+    )
     return (
-        per_key.withColumn("max_rows", F.max("key_rows").over(w))
-        .withColumn("avg_rows", F.avg("key_rows").over(w))
+        per_key.crossJoin(F.broadcast(g))
         .select(
             "join_key",
             "key_rows",
@@ -346,9 +356,10 @@ def join_key_skew_diagnostic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Per-group z-score standardization (feature scaling before model training).
-# mean/stddev attach via a window partitioned by the group key — one
-# exchange, rows stay put for the per-row transform. Sums under the window
-# are float (stddev is inherently float); outputs round to 6 dp per the
+# mean/stddev come from a groupBy aggregate (|langs| rows) broadcast-joined
+# back — the group key is low-cardinality, so a window partitioned on it
+# would drag every row through a handful of giant partitions. Sums are
+# float (stddev is inherently float); outputs round to 6 dp per the
 # cross-engine convention, and the z-score denominator guards stddev=0.
 # ---------------------------------------------------------------------------
 
@@ -371,13 +382,11 @@ def join_key_skew_diagnostic(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def feature_zscore_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    w = Window.partitionBy("lang")
-    s = docs.select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        F.avg("n_chars").over(w).alias("mu"),
-        F.stddev_samp("n_chars").over(w).alias("sigma"),
+    stats = docs.groupBy("lang").agg(
+        F.avg("n_chars").alias("mu"), F.stddev_samp("n_chars").alias("sigma")
+    )
+    s = docs.join(F.broadcast(stats), "lang").select(
+        "doc_id", "lang", "n_chars", "mu", "sigma"
     )
     return s.select(
         "doc_id",
@@ -509,19 +518,32 @@ def lineitem_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same discipline as agg_trimmed_winsorized_stats: the 3-row median
+    # table broadcast-joins back onto the scan instead of a percentile
+    # window over 3 giant low-cardinality partitions; the second median
+    # (of the deviations) folds into the join's groupBy.
     li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    w = Window.partitionBy("l_returnflag")
-    m = li.withColumn("med", F.percentile("l_extendedprice", F.lit(0.5)).over(w))
-    d = m.withColumn(
-        "mad",
-        F.percentile(F.abs(F.col("l_extendedprice") - F.col("med")), F.lit(0.5)).over(w),
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med")
     )
     return (
-        d.groupBy(F.col("l_returnflag").alias("return_flag"))
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy(F.col("l_returnflag").alias("return_flag"))
         .agg(
             F.round(F.any_value("med"), 6).alias("median_price"),
-            F.round(F.any_value("mad"), 6).alias("mad"),
-            F.round(F.any_value("mad") * 1.4826, 6).alias("sigma_robust"),
+            F.round(
+                F.percentile(
+                    F.abs(F.col("l_extendedprice") - F.col("med")), F.lit(0.5)
+                ),
+                6,
+            ).alias("mad"),
+            F.round(
+                F.percentile(
+                    F.abs(F.col("l_extendedprice") - F.col("med")), F.lit(0.5)
+                )
+                * 1.4826,
+                6,
+            ).alias("sigma_robust"),
         )
         .orderBy("return_flag")
     )
@@ -531,8 +553,10 @@ def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Gini coefficient of customer revenue per nation (inequality diagnostic,
 # the scalar companion to q:revenue_pareto_share's curve). Revenue sums are
 # exact cents; the rank-weighted form G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n
-# needs one ordered window and one aggregate on the same key — the rank
-# weights are exact longs, so the only float math is the final expression.
+# needs a per-nation rank — derived from one two-phase GLOBAL rank plus a
+# 25-row min-offset broadcast, so no low-cardinality window — and one
+# aggregate; the rank weights are exact longs, so the only float math is
+# the final expression.
 # ---------------------------------------------------------------------------
 
 
@@ -571,8 +595,19 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("nation_key"), "c_custkey")
         .agg(F.sum(revenue_fixed(F.col("l_extendedprice"), F.col("l_discount"))).alias("r"))
     )
-    wr = Window.partitionBy("nation_key").orderBy("r", "c_custkey")
-    ranked = rev.withColumn("i", F.row_number().over(wr))
+    # Per-nation rank without a 25-partition giant window: one two-phase
+    # GLOBAL rank over (nation_key, r, c_custkey) — nation runs are
+    # contiguous in that order — then per-nation rank = rn - min(rn) + 1,
+    # where the min table is a 25-row aggregate broadcast back.
+    from ..operators.rank import global_row_number
+
+    g, _n = global_row_number(rev, ["nation_key", "r", "c_custkey"], rank_col="_grn")
+    base = g.groupBy(F.col("nation_key").alias("_nk")).agg(F.min("_grn").alias("_base"))
+    ranked = (
+        g.join(F.broadcast(base), g.nation_key == base._nk)
+        .withColumn("i", F.col("_grn") - F.col("_base") + 1)
+        .drop("_nk", "_base", "_grn")
+    )
     return (
         ranked.groupBy("nation_key")
         .agg(

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.rank import global_order_prefix, global_row_number, ntile_from_rank
 from ..tables import table
 from .exact import (
     CHARGE_FIXED_SQL,
@@ -571,15 +572,21 @@ def topk_per_group_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def middle_n_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O2: middle-N slice selection (create_sample.py:56-61) — contiguous
-    # window centered on the median position.
-    ev = table(spark, sf_dir, "events")
-    total = ev.count()  # cheap metadata-scale action (count pushed to scan)
-    mid = total // 2
-    w = Window.orderBy("event_id")
+    # window centered on the median position. event_id is the dense
+    # 0-based positional index of the log (TESTDATA contract), so
+    # row_number == event_id + 1 and the middle 100 are exactly the
+    # top-100 by distance from the center point (n//2 - 0.5). The center
+    # comes from a broadcast single-row count aggregate (bounded NLJ
+    # side, whitelisted), and the top-k plans as TakeOrderedAndProject —
+    # per-partition 100-row heaps, no single-partition window, no
+    # driver-side count() action.
+    ev = table(spark, sf_dir, "events").select("event_id", "ts")
+    total = ev.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    center = F.floor(F.col("_n") / 2) - 0.5
     return (
-        ev.select("event_id", "ts")
-        .withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > mid - 50) & (F.col("rn") <= mid + 50))
+        ev.join(F.broadcast(total))
+        .orderBy(F.abs(F.col("event_id") - center), "event_id")
+        .limit(100)
         .select("event_id", "ts")
         .orderBy("event_id")
     )
@@ -873,15 +880,20 @@ def math_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def split_exact_count_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # M1: exact-count split (utils_scripts.py:46-51 semantics) via md5-rank —
     # train gets exactly floor(n*0.8) rows, matching sklearn's exact-count
-    # slicing rather than Bernoulli randomSplit.
-    o = table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.md5(F.col("o_orderkey").cast("string").cast("binary")), "o_orderkey")
-    ranked = o.select("o_orderkey").withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    # slicing rather than Bernoulli randomSplit. The rank comes from the
+    # two-phase offset scheme (operators/rank.py) and the total row count
+    # falls out of its per-partition counts, so the plan has neither a
+    # single-partition row_number window nor a count(*) OVER () window.
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.md5(F.col("o_orderkey").cast("string").cast("binary")).alias("hkey"),
     )
+    ranked, n = global_row_number(o, ["hkey", "o_orderkey"], rank_col="rn")
+    n_train = int(n * 0.8)
+    n_val = int(n * 0.1)
     split = (
-        F.when(F.col("rn") <= F.floor(F.col("n") * 0.8), "train")
-        .when(F.col("rn") <= F.floor(F.col("n") * 0.8) + F.floor(F.col("n") * 0.1), "val")
+        F.when(F.col("rn") <= n_train, "train")
+        .when(F.col("rn") <= n_train + n_val, "val")
         .otherwise("test")
     )
     return (
@@ -1565,15 +1577,23 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NTILE needs a total order — the one construct that genuinely wants a
-    # global sort. At this output grain that is the point (optimizer
-    # stats); the scale path for the same artifact is percentile_approx
-    # over bucket boundaries (test_scale_paths pins the approx-vs-exact
-    # tolerance). Ties break on the composite row id so both engines
-    # assign identical bucket membership at bucket edges.
-    li = table(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    b = li.select("l_extendedprice", F.ntile(10).over(w).alias("bucket"))
+    # NTILE needs a total order, but NOT a single-partition window: the
+    # two-phase offset rank (operators/rank.py) delivers the exact global
+    # row_number from a range-partitioned parallel sort, and the NTILE
+    # bucket is then a pure projection of (rank, total) — identical
+    # assignment to ntile(10) OVER (ORDER BY ...), ties broken on the
+    # composite row id so both engines agree at bucket edges. The approx
+    # twin for the same artifact is percentile_approx over bucket
+    # boundaries (test_scale_paths pins the approx-vs-exact tolerance).
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked, n = global_row_number(
+        li, ["l_extendedprice", "l_orderkey", "l_linenumber"], rank_col="rn"
+    )
+    b = ranked.select(
+        "l_extendedprice", ntile_from_rank(F.col("rn"), n, 10).alias("bucket")
+    )
     return (
         b.groupBy("bucket")
         .agg(
@@ -1669,10 +1689,10 @@ RFM_CUTOFF = "2001-09-01"  # "today" for recency; just past max o_orderdate
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One shuffle builds the per-customer RFM frame (map-side combined);
-    # the three NTILE windows run over that already-reduced frame — global
-    # sorts, but of customer-grain rows, not orders. The final segment
-    # rollup is a 64-cell aggregate. Scoring-after-reduction is the order
-    # that keeps unpartitioned windows viable at any scale.
+    # each NTILE score is a projection of (two-phase global rank, total) —
+    # three range-partitioned parallel sorts of the customer-grain frame
+    # (operators/rank.py), never a single-partition window. The final
+    # segment rollup is a 64-cell aggregate.
     o = table(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.datediff(F.lit(RFM_CUTOFF).cast("timestamp"), F.max("o_orderdate")).alias(
@@ -1681,16 +1701,19 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(cents(F.col("o_totalprice"))).alias("monetary_cents"),
     )
-    scored = rfm.select(
+    r1, n = global_row_number(rfm, ["recency_days", "o_custkey"], rank_col="_r_rn")
+    r2, _ = global_row_number(
+        r1, [F.desc("frequency"), F.asc("o_custkey")], rank_col="_f_rn"
+    )
+    r3, _ = global_row_number(
+        r2, [F.desc("monetary_cents"), F.asc("o_custkey")], rank_col="_m_rn"
+    )
+    scored = r3.select(
         "o_custkey",
         "monetary_cents",
-        F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")).alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("frequency"), "o_custkey"))
-        .alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary_cents"), "o_custkey"))
-        .alias("m_score"),
+        ntile_from_rank(F.col("_r_rn"), n, 4).alias("r_score"),
+        ntile_from_rank(F.col("_f_rn"), n, 4).alias("f_score"),
+        ntile_from_rank(F.col("_m_rn"), n, 4).alias("m_score"),
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
@@ -1777,36 +1800,32 @@ def agg_argmax_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def revenue_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Aggregate-then-window: the running share is computed over the
+    # Aggregate-then-rank: the running share is computed over the
     # CUSTOMER-grain aggregate (|customers| rows), never over raw orders —
     # at 100 TB the scan+agg is the only heavy stage and it partial-aggs
-    # map-side. The global-order window is a single-partition sort of the
-    # reduced frame; if customers themselves outgrew one partition the
-    # same plan re-expresses as a two-pass rank (range-partitioned sort +
-    # broadcast per-partition offsets), which training_shard_assignment
-    # already demonstrates.
+    # map-side. Rank, running sum, AND the global total all come from the
+    # two-phase offset scheme (operators/rank.py global_order_prefix):
+    # range-partitioned sort, per-partition (count, sum) collected once
+    # (bounded driver state), partition-local cumulative window keyed by
+    # the range bucket. No single-partition stage; the exact-cents prefix
+    # sums are associative, so the result is partitioning-independent.
     o = table(spark, sf_dir, "orders")
     r = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.sum(cents(F.col("o_totalprice"))).alias("rev_cents")
     )
-    w_ord = Window.orderBy(F.desc("rev_cents"), "custkey")
-    t = r.select(
-        "custkey",
-        "rev_cents",
-        F.sum("rev_cents")
-        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum_cents"),
-        F.sum("rev_cents")
-        .over(Window.partitionBy())
-        .alias("tot_cents"),
-        F.row_number().over(w_ord).alias("rev_rank"),
+    t, _n, tot_cents = global_order_prefix(
+        r,
+        [F.desc("rev_cents"), F.asc("custkey")],
+        sum_col="rev_cents",
+        rank_col="rev_rank",
+        cum_col="cum_cents",
     )
     return t.select(
         "custkey",
         F.col("rev_rank").cast("long").alias("rev_rank"),
         F.round(F.col("rev_cents") / 100.0, 6).alias("revenue"),
-        F.round(F.col("cum_cents") / F.col("tot_cents"), 6).alias("cum_share"),
-        (5 * F.col("cum_cents") <= 4 * F.col("tot_cents")).alias("in_top80"),
+        F.round(F.col("cum_cents") / F.lit(tot_cents), 6).alias("cum_share"),
+        (5 * F.col("cum_cents") <= 4 * F.lit(tot_cents)).alias("in_top80"),
     ).orderBy("rev_rank")
 
 

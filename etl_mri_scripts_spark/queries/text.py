@@ -324,11 +324,12 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_vocabulary_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Corpus-scale shape: the heavy part (explode + count) is a map-side
-    # combined groupBy on the word. The global row_number window runs on
-    # the AGGREGATED vocab (|V| ~ 10^5-10^6 regardless of corpus bytes), so
-    # the single-partition sort it implies is over the small table — never
-    # the corpus. min-count pruning happens before the window.
-    from pyspark.sql.window import Window
+    # combined groupBy on the word; min-count pruning happens before
+    # ranking. Web-scale vocabularies (typos, URLs, code tokens) grow
+    # with the corpus, so the dense token_id comes from the two-phase
+    # offset rank (operators/rank.py) — a range-partitioned parallel
+    # sort, not a single-partition row_number window.
+    from ..operators.rank import global_row_number
 
     d = table(spark, sf_dir, "documents")
     counts = (
@@ -337,10 +338,10 @@ def text_vocabulary_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
     )
-    w = Window.orderBy(F.desc("n"), F.asc("word"))
-    return counts.withColumn("token_id", F.row_number().over(w).cast("long")).orderBy(
-        "token_id"
+    ranked, _n = global_row_number(
+        counts, [F.desc("n"), F.asc("word")], rank_col="token_id"
     )
+    return ranked.select("word", "n", "token_id").orderBy("token_id")
 
 
 BIGRAM_MIN_COUNT = 3

@@ -240,9 +240,10 @@ def promo_revenue_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q15 shape: top supplier(s) by revenue, tie-safe. MAX-equality via window
-# over the 100-row per-supplier aggregate — zero extra shuffle (single
-# partition window on a dim-sized frame is fine; the fact scan dominated).
+# Q15 shape: top supplier(s) by revenue, tie-safe. MAX-equality via a
+# broadcast 1-row max aggregate over the per-supplier rollup — the fact
+# scan dominates, and no stage depends on supplier cardinality fitting
+# one partition.
 # ---------------------------------------------------------------------------
 
 
@@ -269,9 +270,10 @@ def top_supplier_revenue_tiesafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy(F.col("l_suppkey").alias("supp_key")).agg(
         F.sum(revenue_fixed(F.col("l_extendedprice"), F.col("l_discount"))).alias("total_rev")
     )
-    best = rev.withColumn("mx", F.max("total_rev").over(Window.partitionBy())).filter(
-        F.col("total_rev") == F.col("mx")
-    )
+    # Scalar max via a broadcast 1-row aggregate (bounded NLJ side), not
+    # an unpartitioned window — supplier cardinality grows with the data.
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    best = rev.crossJoin(F.broadcast(mx)).filter(F.col("total_rev") == F.col("mx"))
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", F.col("s_name").alias("supplier_name"))
     return (
         best.join(F.broadcast(supp), best.supp_key == supp.s_suppkey)

@@ -1,0 +1,102 @@
+"""operators/rank.py: the two-phase offset rank must be bit-identical to
+the single-partition window forms it replaces, for every partition-count
+regime (1 partition, more partitions than rows, ties-free total orders,
+descending keys, and the running-sum / NTILE compositions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_mri_scripts_spark.operators.rank import (
+    global_order_prefix,
+    global_row_number,
+    ntile_from_rank,
+)
+
+
+def _rows(n, seed=7):
+    # deterministic pseudo-random values with duplicates in v (the order
+    # includes k as tie-break, so the total order is unique)
+    vals = []
+    x = seed
+    for k in range(n):
+        x = (x * 1103515245 + 12345) % (2**31)
+        vals.append((k, x % 97))
+    return vals
+
+
+@pytest.mark.parametrize("n,parts", [(1, 4), (7, 32), (500, 3), (500, 1), (500, 700)])
+def test_global_row_number_matches_window(spark, n, parts):
+    df = spark.createDataFrame(_rows(n), "k long, v long")
+    ranked, total = global_row_number(df, ["v", "k"], num_partitions=parts)
+    assert total == n
+    expect = {
+        (r["k"]): r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "k"))
+        ).collect()
+    }
+    got = {r["k"]: r["rn"] for r in ranked.collect()}
+    assert got == expect
+
+
+def test_global_row_number_desc_order(spark):
+    df = spark.createDataFrame(_rows(300), "k long, v long")
+    ranked, _ = global_row_number(df, [F.desc("v"), F.asc("k")], num_partitions=8)
+    expect = {
+        r["k"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("v"), F.asc("k")))
+        ).collect()
+    }
+    assert {r["k"]: r["rn"] for r in ranked.collect()} == expect
+
+
+@pytest.mark.parametrize("parts", [1, 5, 64])
+def test_global_order_prefix_running_sum(spark, parts):
+    df = spark.createDataFrame(_rows(400), "k long, v long")
+    out, n, tot = global_order_prefix(
+        df, ["v", "k"], sum_col="v", rank_col="rn", cum_col="cum", num_partitions=parts
+    )
+    w = Window.orderBy("v", "k")
+    expect = {
+        r["k"]: (r["rn"], r["cum"])
+        for r in df.select(
+            "k",
+            F.row_number().over(w).alias("rn"),
+            F.sum("v")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("cum"),
+        ).collect()
+    }
+    got = {r["k"]: (r["rn"], r["cum"]) for r in out.collect()}
+    assert got == expect
+    assert n == 400
+    assert tot == sum(v for _, v in _rows(400))
+
+
+@pytest.mark.parametrize("total,k", [(1, 4), (9, 4), (10, 10), (103, 10), (400, 7)])
+def test_ntile_from_rank_matches_window_ntile(spark, total, k):
+    df = spark.createDataFrame([(i,) for i in range(total)], "k long")
+    expect = {
+        r["k"]: r["b"]
+        for r in df.withColumn(
+            "b", F.ntile(k).over(Window.orderBy("k"))
+        ).collect()
+    }
+    got = {
+        r["k"]: r["b"]
+        for r in df.select(
+            "k", ntile_from_rank(F.col("k") + 1, total, k).alias("b")
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_rank_plan_has_no_single_partition_window(spark):
+    df = spark.createDataFrame(_rows(100), "k long, v long")
+    ranked, _ = global_row_number(df, ["v", "k"], num_partitions=8)
+    tree = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in tree

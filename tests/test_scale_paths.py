@@ -119,6 +119,9 @@ def test_no_query_plans_a_cartesian_or_nested_loop(spark, sf_dir):
         "supplier_value_share_threshold",  # broadcast 1-row global-total agg (Q11 HAVING scalar)
         "idle_rich_customers_by_nation",  # broadcast 1-row avg-balance agg (Q22 scalar subquery)
         "text_tfidf_top_terms",  # crossJoin with broadcast 1-row n_docs agg
+        "middle_n_selection",  # broadcast 1-row count agg (top-k center)
+        "join_key_skew_diagnostic",  # broadcast 1-row max/avg agg
+        "top_supplier_revenue_tiesafe",  # broadcast 1-row max agg (Q15 scalar)
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
@@ -131,6 +134,46 @@ def test_no_query_plans_a_cartesian_or_nested_loop(spark, sf_dir):
         if bad and name not in allowed_nested:
             offenders[name] = bad
     assert not offenders, f"scale-hostile join shapes: {offenders}"
+
+
+def _count_single_partition_windows(plan_tree: str) -> int:
+    # A Window operator whose child subtree (printed within the next few
+    # lines) contains an Exchange SinglePartition — the unpartitioned
+    # window that moves every row to one task.
+    lines = plan_tree.splitlines()
+    hits = 0
+    for i, line in enumerate(lines):
+        if "Window" in line and "WindowGroupLimit" not in line:
+            for j in range(i + 1, min(i + 4, len(lines))):
+                if "SinglePartition" in lines[j]:
+                    hits += 1
+                    break
+    return hits
+
+
+def test_no_query_plans_a_single_partition_window(spark, sf_dir):
+    # Fleet-wide plan hygiene, the window counterpart of the nested-loop
+    # policy: no registered query may plan an unpartitioned WindowExec
+    # over a data-volume-dependent relation. Global ranks/cumsums go
+    # through the two-phase offset scheme (operators/rank.py); the
+    # whitelist below is windows over BOUNDED post-aggregation frames
+    # whose cardinality is fixed by the schema grain, not the data.
+    from etl_mri_scripts_spark.queries import QUERIES
+
+    allowed_bounded = {
+        "nation_revenue_share",  # 25-row per-nation aggregate
+        "orders_monthly_growth",  # month-grain series (~80 rows)
+        "orders_crosstab_chi2",  # R x C crosstab cells (<= ~15 rows)
+        "corpus_temperature_mix",  # per-source aggregate (~20 rows)
+        "corpus_importance_weights",  # 256-bucket hashed-unigram histogram
+    }
+    offenders = {}
+    for name, fn in sorted(QUERIES.items()):
+        tree = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        n = _count_single_partition_windows(tree)
+        if n and name not in allowed_bounded:
+            offenders[name] = n
+    assert not offenders, f"single-partition windows: {offenders}"
 
 
 def test_profile_summary_avoids_multi_distinct_expand(spark, sf_dir):
