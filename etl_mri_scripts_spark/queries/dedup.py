@@ -592,8 +592,70 @@ def connected_component_labels(edges: DataFrame) -> DataFrame:
         prev_sum = cur_sum
     raise RuntimeError(
         f"connected components did not converge within {CC_MAX_PASSES} passes "
-        "(graph diameter exceeds the cap) — labels would be wrong; use a "
-        "pointer-jumping variant for path-like graphs this deep"
+        "(graph diameter exceeds the cap) — labels would be wrong; use "
+        "connected_component_labels_jump for path-like graphs this deep"
+    )
+
+
+CC_JUMP_MAX_PASSES = 64  # log2(diameter) passes; 64 covers any real graph
+
+
+def connected_component_labels_jump(edges: DataFrame) -> DataFrame:
+    """Pointer-jumping min-label connected components: O(log diameter)
+    passes instead of O(diameter).
+
+    Each pass combines the propagation step with a path-doubling shortcut
+    (same family as large-star/small-star, Kiveris et al. 2014):
+
+        lab'(v) = min( lab(v),  min_{u in N(v)} lab(u),  lab(lab(v)) )
+
+    The ``lab(lab(v))`` term is a self-join of the label table on the
+    label column — every label IS a node id, so the parent pointer always
+    resolves — and it doubles the effective propagation distance per
+    pass, turning a depth-d chain into ~2*log2(d) rounds. Cost per pass:
+    two equi-join shuffles (edges x labels, labels x labels) + one
+    map-side-combined groupBy-min, vs one shuffle for the plain
+    propagation — the right trade whenever diameter > a few.
+
+    Fixpoint identical to min-label propagation (labels decrease
+    monotonically; stable iff constant-on-component = component min), so
+    the decimal label-sum convergence certificate carries over. Raises
+    after CC_JUMP_MAX_PASSES (= 64 ~ log2 of any physical diameter) —
+    reaching it indicates a bug, not a deep graph."""
+    labels = (
+        edges.select(F.col("s").alias("node")).distinct().withColumn("lab", F.col("node"))
+    ).localCheckpoint(eager=True)
+
+    def _label_sum(df: DataFrame) -> int:
+        return df.agg(F.sum(F.col("lab").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
+    if prev_sum is None:  # empty graph
+        return labels
+    for _ in range(CC_JUMP_MAX_PASSES):
+        prop = (
+            edges.join(labels, edges["s"] == labels["node"])
+            .select(F.col("d").alias("node"), "lab")
+            .unionAll(labels)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+        )
+        x, y = prop.alias("x"), prop.alias("y")
+        labels = (
+            x.join(y, F.col("x.lab") == F.col("y.node"))
+            .select(
+                F.col("x.node").alias("node"),
+                F.least(F.col("x.lab"), F.col("y.lab")).alias("lab"),
+            )
+        ).localCheckpoint(eager=True)
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"pointer-jumping CC did not converge within {CC_JUMP_MAX_PASSES} "
+        "passes — log-diameter convergence should make this unreachable; "
+        "investigate the edge list for corruption"
     )
 
 
@@ -634,15 +696,15 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extract_subimages.py:22-27 generalized to transitive groups).
     #
     # Scale design:
-    # - labels shrink monotonically and the loop stops at the first
-    #   iteration with no change, so iterations = graph diameter. Dup
-    #   clusters are near-cliques (LSH links most members directly), so
-    #   diameter is small and ~3 passes converge; for adversarial chain
-    #   graphs the same loop admits pointer-jumping / large-star small-star
-    #   refinements without changing the dataflow.
-    # - each pass is one shuffle: edges x labels equi-join on the src node,
-    #   then groupBy-min with map-side partial agg. The payload is two
-    #   longs per edge.
+    # - pointer-jumping labels (connected_component_labels_jump): labels
+    #   shrink monotonically, the loop stops at the first unchanged
+    #   label-sum, and the per-pass lab(lab(v)) shortcut makes passes
+    #   O(log diameter) — near-clique dup clusters converge in ~2 passes
+    #   and adversarial chain graphs (cross-shard URL chains) in ~2*log2(d)
+    #   instead of d. The plain one-shuffle-per-pass propagation variant
+    #   (connected_component_labels) remains available for shallow graphs.
+    # - each pass is two equi-join shuffles + a groupBy-min with map-side
+    #   partial agg. The payload is two longs per edge.
     # - localCheckpoint truncates lineage each pass — without it the plan
     #   doubles per iteration and Catalyst re-optimizes an exponentially
     #   growing tree (the classic iterative-algorithm failure on Spark).
@@ -668,7 +730,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("e.s").alias("s"), F.col("e.d").alias("d"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = connected_component_labels(edges)
+    labels = connected_component_labels_jump(edges)
     edges.unpersist()
 
     comp = labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("component_id"))

@@ -99,3 +99,48 @@ def test_connected_components_raises_beyond_diameter_cap(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_component_labels(edges)
+
+
+def test_pointer_jumping_converges_on_chain_beyond_propagation_cap(spark):
+    # The graph that makes plain propagation raise (diameter > CC_MAX_PASSES)
+    # must converge under pointer jumping in ~2*log2(d) passes — this is
+    # the 100-TB deep-graph path (cross-shard URL chains).
+    from etl_mri_scripts_spark.queries.dedup import (
+        CC_MAX_PASSES,
+        connected_component_labels_jump,
+    )
+
+    n = 3 * CC_MAX_PASSES  # diameter 120 > the 40-pass propagation cap
+    chain = [(i, i + 1) for i in range(n)] + [(i + 1, i) for i in range(n)]
+    chain += [(500, 501), (501, 500)]  # separate component
+    edges = spark.createDataFrame(chain, "s long, d long")
+    labs = {r["node"]: r["lab"] for r in connected_component_labels_jump(edges).collect()}
+    assert all(labs[i] == 0 for i in range(n + 1))
+    assert labs[500] == labs[501] == 500
+
+
+def test_pointer_jumping_equivalent_to_propagation_on_random_graphs(spark):
+    # Property: both engines produce identical component labels on random
+    # sparse graphs (the regime the LSH near-dup graph lives in).
+    from etl_mri_scripts_spark.queries.dedup import (
+        connected_component_labels,
+        connected_component_labels_jump,
+    )
+
+    x = 12345
+    for trial in range(3):
+        pairs = set()
+        for _ in range(60):
+            x = (x * 1103515245 + 12345) % (2**31)
+            a = x % 40
+            x = (x * 1103515245 + 12345) % (2**31)
+            b = x % 40
+            if a != b:
+                pairs.add((a, b))
+        sym = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+        edges = spark.createDataFrame(sym, "s long, d long")
+        prop = {r["node"]: r["lab"] for r in connected_component_labels(edges).collect()}
+        jump = {
+            r["node"]: r["lab"] for r in connected_component_labels_jump(edges).collect()
+        }
+        assert prop == jump, f"trial {trial}: label divergence"
