@@ -406,13 +406,22 @@ def running_counters_tws_stream(events: DataFrame) -> DataFrame:
 def session_finalizer_stream(
     events: DataFrame, gap_sec: int = 600, watermark: str = "10 minutes"
 ) -> DataFrame:
-    """Append-mode sessionization with EVENT-TIME TIMEOUT state eviction:
-    a user's session accumulates in per-key state and is emitted exactly
-    once — when the watermark passes last_event + gap and the timeout
-    fires. This is the form session_window cannot express when the
-    session payload is custom (here: event count, span, first/last event
-    ids); state per user is four longs, evicted at timeout, so the store
-    is O(active users), never O(stream).
+    """Append-mode sessionization with EVENT-TIME TIMEOUT state eviction,
+    matching the batch twin (queries/windows.events_sessionize_custom)
+    gaps-and-islands semantics exactly: sessions split where the
+    event-time gap >= gap_sec, regardless of microbatch boundaries or
+    arrival order.
+
+    State per user is the list of sessions not yet sealed by the
+    watermark (parallel arrays of 5 longs per session — compressed
+    intervals, never raw events). Each update merges incoming events
+    into that interval set in EVENT-TIME order (a late-but-in-watermark
+    event can extend a session backwards, sit inside it, or bridge two
+    buffered sessions); a session is emitted exactly once, when the
+    watermark passes its last event + gap — the point after which no
+    admissible event can change it. Two same-batch events gap_sec apart
+    therefore yield two sessions, and an out-of-order event never
+    regresses session_end / first-last ids.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -421,48 +430,98 @@ def session_finalizer_stream(
         "user_id long, session_start timestamp, session_end timestamp, "
         "n_events long, first_event_id long, last_event_id long"
     )
-    state_schema = "start_us long, last_us long, n long, first_id long, last_id long"
+    state_schema = (
+        "start_us array<long>, last_us array<long>, n array<long>, "
+        "first_id array<long>, last_id array<long>"
+    )
+    gap_us = gap_sec * 1_000_000
     gap_ms = gap_sec * 1000
 
-    def update(key, pdfs, state: GroupState):
-        if state.hasTimedOut:
-            start_us, last_us, n, first_id, last_id = state.get
-            state.remove()
-            yield pd.DataFrame(
-                [
-                    {
-                        "user_id": int(key[0]),
-                        "session_start": pd.Timestamp(start_us, unit="us"),
-                        "session_end": pd.Timestamp(last_us, unit="us"),
-                        "n_events": int(n),
-                        "first_event_id": int(first_id),
-                        "last_event_id": int(last_id),
-                    }
-                ]
+    def _merge(sessions, items):
+        # Gaps-and-islands sweep over compressed intervals + new events.
+        # Items: (start_us, end_us, n, first_id, last_id); a single event
+        # is (ts, ts, 1, id, id). Sorted by (start, first_id) — the batch
+        # twin's (ts, event_id) tie-break — adjacent items merge when the
+        # boundary gap is < gap_us. Correct for compressed sessions
+        # because every internal gap is < gap_us by construction.
+        merged = []
+        for it in sorted(sessions + items):
+            if merged and it[0] - merged[-1][1] < gap_us:
+                cur = merged[-1]
+                merged[-1] = (
+                    cur[0],
+                    max(cur[1], it[1]),
+                    cur[2] + it[2],
+                    # first = event at min (ts, id); cur starts first
+                    # (sorted), ties broken by smaller id
+                    cur[3] if (cur[0], cur[3]) <= (it[0], it[3]) else it[3],
+                    # last = event at max (ts, id)
+                    cur[4] if (cur[1], cur[4]) >= (it[1], it[4]) else it[4],
+                )
+            else:
+                merged.append(it)
+        return merged
+
+    def _emit_and_keep(key, sessions, state, watermark_ms):
+        sealed = [s for s in sessions if s[1] // 1000 + gap_ms <= watermark_ms]
+        open_ = [s for s in sessions if s[1] // 1000 + gap_ms > watermark_ms]
+        if open_:
+            state.update(
+                (
+                    [s[0] for s in open_],
+                    [s[1] for s in open_],
+                    [s[2] for s in open_],
+                    [s[3] for s in open_],
+                    [s[4] for s in open_],
+                )
             )
+            # fire when the watermark passes the EARLIEST open session's
+            # last event + gap (must be > current watermark, guaranteed
+            # by the open_ predicate)
+            state.setTimeoutTimestamp(min(s[1] for s in open_) // 1000 + gap_ms)
+        elif state.exists:
+            state.remove()
+        cols = [
+            "user_id", "session_start", "session_end",
+            "n_events", "first_event_id", "last_event_id",
+        ]
+        if not sealed:
+            yield pd.DataFrame([], columns=cols)
             return
-        start_us = last_us = None
-        n, first_id, last_id = 0, None, None
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": int(key[0]),
+                    "session_start": pd.Timestamp(s[0], unit="us"),
+                    "session_end": pd.Timestamp(s[1], unit="us"),
+                    "n_events": int(s[2]),
+                    "first_event_id": int(s[3]),
+                    "last_event_id": int(s[4]),
+                }
+                for s in sealed
+            ],
+            columns=cols,
+        )
+
+    def update(key, pdfs, state: GroupState):
+        watermark_ms = state.getCurrentWatermarkMs()
+        sessions = []
         if state.exists:
-            start_us, last_us, n, first_id, last_id = state.get
+            starts, lasts, ns, firsts, lastids = state.get
+            sessions = [
+                (int(a), int(b), int(c), int(d), int(e))
+                for a, b, c, d, e in zip(starts, lasts, ns, firsts, lastids)
+            ]
+        if state.hasTimedOut:
+            yield from _emit_and_keep(key, sessions, state, watermark_ms)
+            return
+        items = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
             for ev_id, ts in zip(pdf["event_id"], pdf["ts"]):
                 ts_us = int(pd.Timestamp(ts).value) // 1000
-                if start_us is None:
-                    start_us, first_id = ts_us, int(ev_id)
-                last_us, last_id = ts_us, int(ev_id)
-                n += 1
-        state.update((start_us, last_us, n, first_id, last_id))
-        # fire once the event-time watermark passes last event + gap
-        state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
-        yield pd.DataFrame(
-            [],
-            columns=[
-                "user_id", "session_start", "session_end",
-                "n_events", "first_event_id", "last_event_id",
-            ],
-        )
+                items.append((ts_us, ts_us, 1, int(ev_id), int(ev_id)))
+        sessions = _merge(sessions, items)
+        yield from _emit_and_keep(key, sessions, state, watermark_ms)
 
     return (
         events.withWatermark("ts", watermark)

@@ -463,3 +463,102 @@ def test_session_finalizer_emits_on_event_time_timeout(spark, tmp_path):
     assert r["first_event_id"] == 1 and r["last_event_id"] == 3
     assert str(r["session_start"]).startswith("2024-01-01 10:00")
     assert str(r["session_end"]).startswith("2024-01-01 10:05")
+
+
+def test_session_finalizer_splits_same_batch_gap(spark, tmp_path):
+    """Two events for one user separated by > gap INSIDE one microbatch
+    must become two sessions (the single-session-state bug emitted one
+    merged session); both seal once the watermark passes."""
+    from etl_mri_scripts_spark.streaming.pipeline import session_finalizer_stream
+    from datetime import datetime
+
+    in_dir = str(tmp_path / "split")
+    os.makedirs(in_dir)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def t_at(h, m):
+        return datetime(2024, 1, 1, h, m, 0)
+
+    # one batch: 10:00 and 11:00 for user 7 — a 60-min gap >> 10-min gap_sec
+    rows_a = [
+        (1, t_at(10, 0), 7, "view", 1.0, ""),
+        (2, t_at(11, 0), 7, "view", 1.0, ""),
+    ]
+    spark.createDataFrame(rows_a, schema).write.mode("overwrite").json(in_dir + "/chunk=a")
+    stream = stream_events(spark, in_dir + "/*", fmt="json")
+    q = (
+        session_finalizer_stream(stream, gap_sec=600, watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("split_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "splitck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows_b = [(9, t_at(13, 0), 8, "view", 1.0, "")]
+        spark.createDataFrame(rows_b, schema).write.mode("overwrite").json(in_dir + "/chunk=b")
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(
+        spark.sql("select * from split_sessions where user_id = 7").collect(),
+        key=lambda r: r["first_event_id"],
+    )
+    assert len(rows) == 2, rows
+    assert rows[0]["first_event_id"] == 1 and rows[0]["last_event_id"] == 1
+    assert rows[1]["first_event_id"] == 2 and rows[1]["last_event_id"] == 2
+    assert str(rows[0]["session_end"]).startswith("2024-01-01 10:00")
+    assert str(rows[1]["session_start"]).startswith("2024-01-01 11:00")
+
+
+def test_session_finalizer_out_of_order_extends_backwards(spark, tmp_path):
+    """A late-but-in-watermark event OLDER than the buffered session start
+    must extend session_start/first_event_id backwards and must NOT
+    regress session_end/last_event_id (the unconditional-overwrite bug)."""
+    from etl_mri_scripts_spark.streaming.pipeline import session_finalizer_stream
+    from datetime import datetime
+
+    in_dir = str(tmp_path / "ooo")
+    os.makedirs(in_dir)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def t_at(h, m, s=0):
+        return datetime(2024, 1, 1, h, m, s)
+
+    # batch A: 10:05 then batch B delivers 10:02 (older, within the
+    # generous watermark) plus 10:08 — one session 10:02..10:08
+    rows_a = [(5, t_at(10, 5), 7, "view", 1.0, "")]
+    spark.createDataFrame(rows_a, schema).write.mode("overwrite").json(in_dir + "/chunk=a")
+    stream = stream_events(spark, in_dir + "/*", fmt="json")
+    q = (
+        session_finalizer_stream(stream, gap_sec=600, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("ooo_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "oook"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows_b = [
+            (2, t_at(10, 2), 7, "view", 1.0, ""),
+            (8, t_at(10, 8), 7, "view", 1.0, ""),
+        ]
+        spark.createDataFrame(rows_b, schema).write.mode("overwrite").json(in_dir + "/chunk=b")
+        q.processAllAvailable()
+        # watermark driver: far-future event from another user
+        rows_c = [(99, t_at(12, 0), 8, "view", 1.0, "")]
+        spark.createDataFrame(rows_c, schema).write.mode("overwrite").json(in_dir + "/chunk=c")
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select * from ooo_sessions where user_id = 7").collect()
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert r["n_events"] == 3
+    assert r["first_event_id"] == 2 and r["last_event_id"] == 8
+    assert str(r["session_start"]).startswith("2024-01-01 10:02")
+    assert str(r["session_end"]).startswith("2024-01-01 10:08")
