@@ -16,6 +16,7 @@ asserts the join stage of the physical plan has no shuffle exchange.
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -25,14 +26,48 @@ from .registry import query
 
 N_BUCKETS = 8
 
+_STALE_TABLE_SECS = 24 * 3600
+
+
+def _sweep_stale_bucketed(spark: SparkSession, keep_app: str) -> None:
+    # Best-effort GC mirroring formats._sweep_stale_exports: every session
+    # writes fresh orders_b_*/lineitem_b_* copies named by applicationId,
+    # and a dead session's tables survive only as warehouse DIRECTORIES
+    # (the default in-memory catalog forgets them) — without a sweep the
+    # warehouse grows without bound across runs. Never touch the current
+    # session's tables; a >1-day mtime makes live-concurrent races moot.
+    import shutil
+    import time
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    warehouse = warehouse.removeprefix("file:")
+    try:
+        entries = os.listdir(warehouse)
+    except OSError:
+        return
+    cutoff = time.time() - _STALE_TABLE_SECS
+    for name in entries:
+        if not (name.startswith("orders_b_") or name.startswith("lineitem_b_")):
+            continue
+        if name.endswith(keep_app):
+            continue
+        path = os.path.join(warehouse, name)
+        try:
+            if os.path.isdir(path) and os.path.getmtime(path) < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue
+
 
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Write (once per session x sf_dir) bucketed+sorted copies of orders
     and lineitem, co-bucketed on the order key. Table names carry the
     applicationId so concurrent sessions on the same warehouse dir never
-    clobber each other (same lesson as queries/formats.py exports)."""
+    clobber each other (same lesson as queries/formats.py exports);
+    prior sessions' leftovers are swept on first use."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     app = spark.sparkContext.applicationId.replace("-", "_")
+    _sweep_stale_bucketed(spark, keep_app=app)
     t_orders = f"orders_b_{tag}_{app}"
     t_lineitem = f"lineitem_b_{tag}_{app}"
     if not spark.catalog.tableExists(t_orders):

@@ -285,11 +285,14 @@ def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of its source while unrelated images stay far.
 
     Scale shape: pixels -> 64-bit hash once (mapInPandas), then banding:
-    each hash is keyed by its four 16-bit sub-bands, candidates come from
+    each hash is keyed by its eight 8-bit sub-bands, candidates come from
     an equi-join on (band_i, band_value) — the pigeonhole guarantee that
-    any pair within Hamming distance 3 shares at least one of 4 exact
-    bands — and the Hamming verify is bit_count(xor) on longs. No pixel
-    ever crosses a shuffle; no all-pairs join exists."""
+    any pair within Hamming distance 7 shares at least one of 8 exact
+    bands, so the <= 4 verify threshold below is fully covered (4-band/
+    16-bit banding only guaranteed distance 3 and silently missed
+    distance-4 pairs whose bits straddled all four bands) — and the
+    Hamming verify is bit_count(xor) on longs. No pixel ever crosses a
+    shuffle; no all-pairs join exists."""
     import numpy as np
     import pandas as pd
     from pyspark import StorageLevel
@@ -336,11 +339,11 @@ def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band_i"),
-                        F.shiftright("dhash", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("dhash", 8 * i)
+                        .bitwiseAND(F.lit(0xFF))
                         .alias("band_v"),
                     )
-                    for i in range(4)
+                    for i in range(8)
                 ]
             )
         ).alias("band"),
