@@ -70,6 +70,12 @@ HEADLINE = [
     # round-3 additions
     "corpus_importance_weights",
     "ann_recall_eval",
+    # round-4 additions: the three slowest registry queries (unrolled
+    # per-subspace Lloyd chains / k-means clustering) — previously
+    # invisible to the regression gate because they were not benched
+    "ann_ivf_pq_topk",
+    "ann_ivf_kmeans_topk",
+    "dedup_semantic_keep",
 ]
 
 RUNS_PER_QUERY = 5  # report median (robust to run-to-run noise on sub-second

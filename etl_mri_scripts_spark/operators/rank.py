@@ -151,6 +151,82 @@ def global_order_prefix(
     return out.drop("_mid"), running_rows, running_sum
 
 
+def group_row_number(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    rank_col: str = "rn",
+    count_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group ``row_number`` (and optionally the group size) for
+    LOW-CARDINALITY groups with data-volume-sized partitions — the case
+    ``Window.partitionBy(group).orderBy(...)`` handles by dragging every
+    row of a group through one task (per-lang ranks, per-source caps).
+
+    Groups are contiguous under the total order ``group_cols +
+    order_cols``, so one two-phase GLOBAL rank (parallel range-
+    partitioned sort) plus a per-group min-rank base joined back yields
+    the in-group rank: ``rank = global_rn - min(global_rn) + 1``. The
+    base table has one row per group; the join is a plain equi-join so
+    AQE broadcasts it when small and shuffles it when the group count
+    itself is web-scale (millions of domains). The group size falls out
+    of the same aggregate (``max - min + 1``) — no second count window.
+    """
+    group_cols = list(group_cols)
+    ranked, _ = global_row_number(
+        df, group_cols + list(order_cols), rank_col="_grn", num_partitions=num_partitions
+    )
+    aggs = [F.min("_grn").alias("_base")]
+    if count_col is not None:
+        aggs.append((F.max("_grn") - F.min("_grn") + 1).alias(count_col))
+    base = ranked.groupBy(*group_cols).agg(*aggs)
+    return (
+        ranked.join(base, group_cols)
+        .withColumn(rank_col, (F.col("_grn") - F.col("_base") + 1).cast("long"))
+        .drop("_grn", "_base")
+    )
+
+
+def group_running_sum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    sum_col: str,
+    cum_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group running sum of ``sum_col`` (inclusive frame) for
+    low-cardinality groups — replaces ``sum(x) OVER (PARTITION BY g
+    ORDER BY ... ROWS UNBOUNDED PRECEDING)`` without giant per-group
+    window partitions.
+
+    Same contiguity trick as :func:`group_row_number`: a global
+    two-phase running sum over ``group_cols + order_cols``, then
+    ``cum_in_group = cum_global - base`` where ``base`` is the global
+    cum JUST BEFORE the group's first row (``min_by(cum - x, rank)``,
+    exact for any sign of x). ``sum_col`` must be integral — exact,
+    associative prefix sums.
+    """
+    group_cols = list(group_cols)
+    out, _, _ = global_order_prefix(
+        df,
+        group_cols + list(order_cols),
+        sum_col=sum_col,
+        rank_col="_grn",
+        cum_col="_gcum",
+        num_partitions=num_partitions,
+    )
+    base = out.groupBy(*group_cols).agg(
+        F.min_by(F.col("_gcum") - F.col(sum_col), F.col("_grn")).alias("_base")
+    )
+    return (
+        out.join(base, group_cols)
+        .withColumn(cum_col, (F.col("_gcum") - F.col("_base")).cast("long"))
+        .drop("_grn", "_gcum", "_base")
+    )
+
+
 def ntile_from_rank(rank: F.Column, total: int, n_buckets: int) -> F.Column:
     """SQL ``NTILE(n)`` bucket computed from a precomputed global rank.
 

@@ -11,7 +11,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..operators.rank import global_row_number
+from ..operators.rank import (
+    global_row_number,
+    group_row_number,
+    group_running_sum,
+)
 from ..tables import table
 from .dedup import _VERIFIED_PAIRS_DUCK, dedup_lsh_verified_pairs
 from .registry import query
@@ -100,14 +104,22 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_b").alias("doc_id"))
     n = e.join(drop_ids, "doc_id", "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
 
-    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    w_rank = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
-    quota = F.ceil(F.count(F.lit(1)).over(Window.partitionBy("lang")) * FRACTION_PCT / 100.0)
-    samp = (
-        n.select("doc_id", "lang", F.row_number().over(w_rank).alias("rn"), quota.alias("qt"))
-        .filter(F.col("rn") <= F.col("qt"))
-        .select("doc_id")
+    # Per-lang sample rank via the group-contiguous two-phase rank — same
+    # plan shape as q:sample_stratified_exact, no per-lang giant window.
+    ranked = group_row_number(
+        n.select(
+            "doc_id",
+            "lang",
+            F.md5(F.col("doc_id").cast("string").cast("binary")).alias("hkey"),
+        ),
+        ["lang"],
+        ["hkey", "doc_id"],
+        rank_col="rn",
+        count_col="n_lang",
     )
+    samp = ranked.filter(
+        F.col("rn") <= F.ceil(F.col("n_lang") * FRACTION_PCT / 100.0)
+    ).select("doc_id")
 
     def stage(df: DataFrame, name: str, order: int) -> DataFrame:
         return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
@@ -343,25 +355,21 @@ PACK_LEN = 256  # tokens per training sequence
     """,
 )
 def pack_sequences_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The token-offset layout is one running sum per language partition —
-    # the window shuffle is the only exchange, and it's keyed on lang, so
-    # each executor owns whole language streams and emits its packing plan
-    # with zero further movement. Everything downstream (pack_id, offset,
-    # boundary flag) is arithmetic on the cumsum, inside codegen. At 100 TB
-    # a single language can exceed one task; the same plan then runs with a
-    # composite partition key ((lang, doc_id_bucket)) plus a per-bucket base
-    # offset — a two-level scan identical in shape to the two-phase
-    # normalize.
+    # The token-offset layout is one running sum per language — computed
+    # by the group-contiguous two-phase prefix sum (operators/rank.py
+    # group_running_sum): a parallel range-partitioned sort over
+    # (lang, doc_id) plus broadcast per-partition and per-group offsets,
+    # so a single language larger than one task spreads across many range
+    # buckets instead of serializing on one reducer. Everything downstream
+    # (pack_id, offset, boundary flag) is arithmetic on the cumsum,
+    # inside codegen. Token counts are exact longs, so the prefix sums
+    # are associative and partitioning-independent.
     d = table(spark, sf_dir, "documents")
     t = d.select(
         "lang", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = F.sum("n_tokens").over(w)
+    t = group_running_sum(t, ["lang"], ["doc_id"], "n_tokens", cum_col="_cum")
+    cum = F.col("_cum")
     start = cum - F.col("n_tokens")
     return t.select(
         "lang",
@@ -543,17 +551,13 @@ def docs_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pathology). The prefix sum shuffles once on lang; the per-lang
     # sequential scan is the unavoidable cost of order-preserving
     # packing; everything downstream (count/sum per file) is partial-agg.
-    d = table(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    s = d.select(
+    d = table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    s = group_running_sum(d, ["lang"], ["doc_id"], "n_chars", cum_col="_cum").select(
         "lang",
         "doc_id",
         "n_chars",
-        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("cum_before"),
+        # exclusive prefix: the inclusive group cumsum minus the row itself
+        (F.col("_cum") - F.col("n_chars")).alias("cum_before"),
     )
     return (
         s.groupBy(
@@ -727,32 +731,29 @@ def source_cap_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     within each source by quality proxy (length, id tie-break) and keep
     the top SOURCE_CAP.
 
-    Scale shape: ONE window shuffle on source; the payload is (doc_id,
-    source, n_chars) — never text. A skewed mega-domain concentrates its
-    rows on one reducer, but only its metadata rows: at 100 TB that is
-    still ~GBs per hot domain, and the rank-then-filter form lets AQE
-    split the sort spill; if a single domain's metadata outgrew a reducer,
-    the same policy re-expresses as a two-stage salted top-K (see
-    agg_skew_salted_two_stage) without changing the output contract."""
-    d = table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    wc = Window.partitionBy("source")
-    return (
-        d.select(
-            "doc_id",
-            "source",
-            F.row_number().over(w).alias("rank_in_source"),
-            F.count(F.lit(1)).over(wc).alias("source_total"),
-        )
-        .select(
-            "doc_id",
-            "source",
-            F.col("rank_in_source").cast("long").alias("rank_in_source"),
-            (F.col("rank_in_source") <= SOURCE_CAP).alias("kept"),
-            F.col("source_total").cast("long").alias("source_total"),
-        )
-        .orderBy("doc_id")
+    Scale shape: group-contiguous two-phase rank (operators/rank.py
+    group_row_number) over (source, n_chars desc, doc_id) — a parallel
+    range-partitioned sort where a skewed mega-domain spreads across
+    MANY range buckets instead of concentrating on one reducer, and the
+    payload is (doc_id, source, n_chars) — never text. source_total
+    comes from the same per-group base aggregate; the base join is a
+    plain equi-join, so AQE broadcasts it while the domain count is
+    small and shuffles it at web scale (millions of domains)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    ranked = group_row_number(
+        d,
+        ["source"],
+        [F.desc("n_chars"), F.asc("doc_id")],
+        rank_col="rank_in_source",
+        count_col="source_total",
     )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "rank_in_source",
+        (F.col("rank_in_source") <= SOURCE_CAP).alias("kept"),
+        F.col("source_total").cast("long").alias("source_total"),
+    ).orderBy("doc_id")
 
 
 # --- importance resampling weights (DSIR-style) -----------------------------

@@ -659,6 +659,67 @@ def connected_component_labels_jump(edges: DataFrame) -> DataFrame:
     )
 
 
+CC_PROP_STAGE_PASSES = 4  # cheap 1-shuffle passes before escalating
+
+
+def connected_component_labels_auto(edges: DataFrame) -> DataFrame:
+    """Staged connected components: plain min-label propagation (one
+    shuffle per pass) for the first CC_PROP_STAGE_PASSES passes — the
+    regime of LSH near-dup graphs, whose near-clique clusters converge in
+    ~3 — then escalation to pointer jumping (two shuffles per pass,
+    O(log diameter)) for adversarially deep graphs. Best of both: the
+    common case never pays the label self-join, the chain case never
+    pays O(diameter) passes, and the monotone label-sum certificate
+    carries across the hand-off because both stages decrease labels
+    toward the same fixpoint."""
+    labels = (
+        edges.select(F.col("s").alias("node")).distinct().withColumn("lab", F.col("node"))
+    ).localCheckpoint(eager=True)
+
+    def _label_sum(df: DataFrame) -> int:
+        return df.agg(F.sum(F.col("lab").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
+    if prev_sum is None:  # empty graph
+        return labels
+    for _ in range(CC_PROP_STAGE_PASSES):
+        labels = (
+            edges.join(labels, edges["s"] == labels["node"])
+            .select(F.col("d").alias("node"), "lab")
+            .unionAll(labels)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+        ).localCheckpoint(eager=True)
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    for _ in range(CC_JUMP_MAX_PASSES):
+        prop = (
+            edges.join(labels, edges["s"] == labels["node"])
+            .select(F.col("d").alias("node"), "lab")
+            .unionAll(labels)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+        )
+        x, y = prop.alias("x"), prop.alias("y")
+        labels = (
+            x.join(y, F.col("x.lab") == F.col("y.node"))
+            .select(
+                F.col("x.node").alias("node"),
+                F.least(F.col("x.lab"), F.col("y.lab")).alias("lab"),
+            )
+        ).localCheckpoint(eager=True)
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"staged CC did not converge within {CC_PROP_STAGE_PASSES} + "
+        f"{CC_JUMP_MAX_PASSES} passes — investigate the edge list"
+    )
+
+
 @query(
     "dedup_connected_components",
     oracle=f"""
@@ -696,14 +757,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extract_subimages.py:22-27 generalized to transitive groups).
     #
     # Scale design:
-    # - pointer-jumping labels (connected_component_labels_jump): labels
-    #   shrink monotonically, the loop stops at the first unchanged
-    #   label-sum, and the per-pass lab(lab(v)) shortcut makes passes
-    #   O(log diameter) — near-clique dup clusters converge in ~2 passes
-    #   and adversarial chain graphs (cross-shard URL chains) in ~2*log2(d)
-    #   instead of d. The plain one-shuffle-per-pass propagation variant
-    #   (connected_component_labels) remains available for shallow graphs.
-    # - each pass is two equi-join shuffles + a groupBy-min with map-side
+    # - staged labels (connected_component_labels_auto): cheap one-shuffle
+    #   min-label propagation passes while the graph behaves like LSH
+    #   near-dup clusters do (near-cliques, ~3 passes), escalating to
+    #   pointer jumping — two shuffles per pass but O(log diameter)
+    #   passes via the lab(lab(v)) shortcut — for adversarially deep
+    #   graphs (cross-shard URL chains). Labels shrink monotonically and
+    #   the loop stops at the first unchanged label-sum certificate.
+    # - each pass is 1-2 equi-join shuffles + a groupBy-min with map-side
     #   partial agg. The payload is two longs per edge.
     # - localCheckpoint truncates lineage each pass — without it the plan
     #   doubles per iteration and Catalyst re-optimizes an exponentially
@@ -730,7 +791,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("e.s").alias("s"), F.col("e.d").alias("d"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = connected_component_labels_jump(edges)
+    labels = connected_component_labels_auto(edges)
     edges.unpersist()
 
     comp = labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("component_id"))

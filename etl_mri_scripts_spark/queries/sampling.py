@@ -49,23 +49,28 @@ KEEP_BUCKETS = 26  # ~10.2% of 256
     """,
 )
 def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Both the rank and the stratum size are windows over the SAME
-    # partitioning (lang), so Catalyst plans one exchange + one sort for
-    # both. The hash order makes membership a pure function of doc_id —
-    # re-running on a grown corpus keeps prior members with high
-    # probability (only boundary ranks churn).
-    d = table(spark, sf_dir, "documents")
-    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
-    quota = F.ceil(F.count(F.lit(1)).over(Window.partitionBy("lang")) * FRACTION_PCT / 100.0)
+    # Per-lang rank + stratum size via group_row_number (operators/
+    # rank.py): langs are few and strata are data-sized, so a window
+    # PARTITIONED on lang would funnel each stratum through one task. The
+    # group-contiguous global two-phase rank keeps every stage parallel;
+    # the quota comes from the same per-group aggregate (max-min+1), not
+    # a second count window. The hash order makes membership a pure
+    # function of doc_id — re-running on a grown corpus keeps prior
+    # members with high probability (only boundary ranks churn).
+    from ..operators.rank import group_row_number
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("hkey"),
+    )
+    ranked = group_row_number(
+        d, ["lang"], ["hkey", "doc_id"], rank_col="sample_rank", count_col="n_lang"
+    )
     return (
-        d.select(
-            "doc_id",
-            "lang",
-            F.row_number().over(w).alias("sample_rank"),
-            quota.alias("quota"),
+        ranked.filter(
+            F.col("sample_rank") <= F.ceil(F.col("n_lang") * FRACTION_PCT / 100.0)
         )
-        .filter(F.col("sample_rank") <= F.col("quota"))
         .select("doc_id", "lang", "sample_rank")
         .orderBy("doc_id")
     )

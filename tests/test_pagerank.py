@@ -144,3 +144,36 @@ def test_pointer_jumping_equivalent_to_propagation_on_random_graphs(spark):
             r["node"]: r["lab"] for r in connected_component_labels_jump(edges).collect()
         }
         assert prop == jump, f"trial {trial}: label divergence"
+
+
+def test_staged_auto_cc_matches_on_shallow_and_deep(spark):
+    # The registered query's engine: propagation-stage result on shallow
+    # graphs, pointer-jumping escalation on deep ones — identical labels
+    # either way.
+    from etl_mri_scripts_spark.queries.dedup import (
+        CC_MAX_PASSES,
+        connected_component_labels_auto,
+    )
+
+    # shallow: two triangles sharing a vertex
+    tri = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (10, 11)]
+    sym = tri + [(b, a) for a, b in tri]
+    labs = {
+        r["node"]: r["lab"]
+        for r in connected_component_labels_auto(
+            spark.createDataFrame(sym, "s long, d long")
+        ).collect()
+    }
+    assert all(labs[i] == 0 for i in range(5))
+    assert labs[10] == labs[11] == 10
+
+    # deep: chain beyond the propagation cap
+    n = 2 * CC_MAX_PASSES
+    chain = [(i, i + 1) for i in range(n)] + [(i + 1, i) for i in range(n)]
+    labs = {
+        r["node"]: r["lab"]
+        for r in connected_component_labels_auto(
+            spark.createDataFrame(chain, "s long, d long")
+        ).collect()
+    }
+    assert all(labs[i] == 0 for i in range(n + 1))

@@ -100,3 +100,62 @@ def test_rank_plan_has_no_single_partition_window(spark):
     ranked, _ = global_row_number(df, ["v", "k"], num_partitions=8)
     tree = ranked._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in tree
+
+
+@pytest.mark.parametrize("parts", [1, 6, 64])
+def test_group_row_number_matches_partitioned_window(spark, parts):
+    from etl_mri_scripts_spark.operators.rank import group_row_number
+
+    rows = [(k, k % 5, v) for k, v in _rows(300)]
+    df = spark.createDataFrame(rows, "k long, g long, v long")
+    got_df = group_row_number(
+        df, ["g"], ["v", "k"], rank_col="rn", count_col="cnt", num_partitions=parts
+    )
+    w = Window.partitionBy("g").orderBy("v", "k")
+    expect = {
+        r["k"]: (r["rn"], r["cnt"])
+        for r in df.select(
+            "k",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("g")).alias("cnt"),
+        ).collect()
+    }
+    got = {r["k"]: (r["rn"], r["cnt"]) for r in got_df.collect()}
+    assert got == expect
+
+
+def test_group_row_number_desc_order(spark):
+    from etl_mri_scripts_spark.operators.rank import group_row_number
+
+    rows = [(k, k % 3, v) for k, v in _rows(200)]
+    df = spark.createDataFrame(rows, "k long, g long, v long")
+    got_df = group_row_number(
+        df, ["g"], [F.desc("v"), F.asc("k")], rank_col="rn", num_partitions=8
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("k"))
+    expect = {
+        r["k"]: r["rn"]
+        for r in df.select("k", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert {r["k"]: r["rn"] for r in got_df.collect()} == expect
+
+
+@pytest.mark.parametrize("parts", [1, 6, 64])
+def test_group_running_sum_matches_partitioned_window(spark, parts):
+    from etl_mri_scripts_spark.operators.rank import group_running_sum
+
+    rows = [(k, k % 4, v) for k, v in _rows(300)]
+    df = spark.createDataFrame(rows, "k long, g long, v long")
+    got_df = group_running_sum(
+        df, ["g"], ["k"], "v", cum_col="cum", num_partitions=parts
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expect = {
+        r["k"]: r["cum"]
+        for r in df.select("k", F.sum("v").over(w).alias("cum")).collect()
+    }
+    assert {r["k"]: r["cum"] for r in got_df.collect()} == expect
