@@ -303,6 +303,12 @@ def kmeans_clustered(spark: SparkSession, v: DataFrame) -> DataFrame:
     (assignment is a map; only the K x dim partial means aggregate).
     Determinism: init = lowest-K vec_ids, centroid coordinates rounded to
     6 dp each iteration so retries reproduce bit-identical clusters."""
+    from pyspark import StorageLevel
+
+    # v (scan + norm/bucket projections) feeds KMEANS_ITERS assign jobs,
+    # the init collect, and the final assignment — persist for the loop.
+    v = v.persist(StorageLevel.MEMORY_AND_DISK)
+
     # deterministic init: the K lowest vec_ids
     init = v.orderBy("vec_id").limit(N_CENTROIDS).select("e").collect()
     centroids = [[round(float(x), 6) for x in r["e"]] for r in init]
@@ -338,10 +344,12 @@ def kmeans_clustered(spark: SparkSession, v: DataFrame) -> DataFrame:
         # empty clusters keep their previous centroid
         centroids = [by_cid.get(i, centroids[i]) for i in range(N_CENTROIDS)]
 
-    from pyspark import StorageLevel
-
-    # the final clustering feeds multiple consumers — compute it once
-    return assign(v, centroids).persist(StorageLevel.MEMORY_AND_DISK)
+    # the final clustering feeds multiple consumers — compute it once,
+    # materialized here so v's cache can be released immediately
+    final = assign(v, centroids).persist(StorageLevel.MEMORY_AND_DISK)
+    final.count()
+    v.unpersist()
+    return final
 
 
 @query("ann_ivf_kmeans_topk", oracle=_ivf_kmeans_duck())
@@ -727,6 +735,12 @@ def _pq_train(spark: SparkSession, v: DataFrame) -> list[list[list[float]]]:
             ])
         ).alias("s"),
     ).select("vec_id", F.col("s.sub_id").alias("sub_id"), F.col("s.sub_e").alias("sub_e"))
+    # The explode+slice table feeds PQ_ITERS assign jobs plus the init
+    # collect; persisting it trades one materialization for PQ_ITERS + 1
+    # re-derivations (scan + slice + explode each time).
+    from pyspark import StorageLevel
+
+    subs = subs.persist(StorageLevel.MEMORY_AND_DISK)
 
     init = (
         subs.filter(F.col("vec_id") < PQ_KS)
@@ -773,6 +787,7 @@ def _pq_train(spark: SparkSession, v: DataFrame) -> list[list[list[float]]]:
         books = [
             [nxt.get((m, k), books[m][k]) for k in range(PQ_KS)] for m in range(PQ_M)
         ]
+    subs.unpersist()
     return books
 
 
