@@ -205,3 +205,111 @@ def hll_sketch_rollup_nation_region(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("n_regionkey")
     )
+
+
+CMS_D = 4  # hash rows
+CMS_W = 64  # buckets per row
+CMS_TOPK = 10
+
+
+def _cms_bucket_sql(i: int, key: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{i}:', CAST({key} AS VARCHAR))), 1, 8)) "
+        f"AS BIGINT) % {CMS_W}"
+    )
+
+
+@query(
+    "sketch_countmin_heavy_hitters",
+    oracle=f"""
+    -- Count-min sketch heavy hitters, fully deterministic (md5-derived
+    -- bucket hashes, so both engines build the IDENTICAL {CMS_D}x{CMS_W}
+    -- counter table). Estimate = min over the {CMS_D} hashed counters;
+    -- CMS never underestimates, so overestimate >= 0 always.
+    WITH counts AS (
+        SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM lineitem GROUP BY 1
+    ),
+    cells AS (
+        SELECT h, bucket, CAST(sum(exact_cnt) AS BIGINT) AS cell
+        FROM (
+            {" UNION ALL ".join(
+                f"SELECT {i} AS h, {_cms_bucket_sql(i, 'key')} AS bucket, exact_cnt FROM counts"
+                for i in range(CMS_D)
+            )}
+        ) GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT c.key, c.exact_cnt, CAST(min(s.cell) AS BIGINT) AS cms_estimate
+        FROM counts c
+        JOIN cells s
+          ON (   (s.h = 0 AND s.bucket = {_cms_bucket_sql(0, 'c.key')})
+              {" ".join(
+                f"OR (s.h = {i} AND s.bucket = {_cms_bucket_sql(i, 'c.key')})"
+                for i in range(1, CMS_D)
+              )})
+        GROUP BY 1, 2
+    )
+    SELECT key, exact_cnt, cms_estimate,
+           CAST(cms_estimate - exact_cnt AS BIGINT) AS overestimate
+    FROM est
+    ORDER BY exact_cnt DESC, key
+    LIMIT {CMS_TOPK}
+    """,
+)
+def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters over the join key.
+
+    The mergeable-sketch pattern for key-frequency at 100 TB: the sketch
+    is a fixed 4 x 64 counter grid — per-partition grids merge
+    by addition (map-side combinable groupBy), so the sketch build is one
+    scan regardless of key cardinality, and the grid broadcasts anywhere.
+    Hashes are md5-derived, so the sketch is bit-identical across engines
+    and retries (no impl-defined sketch bytes — unlike HLL, this one
+    hash-matches a SQL oracle).
+
+    Plan shape: exact per-key counts aggregate once (map-side combined —
+    also the truth for the report); the 4-way explode happens on
+    the AGGREGATED key table, never the fact rows; estimates join the
+    256-row broadcast grid and take min over the hash rows. CMS
+    guarantees estimate >= exact; the overestimate column shows the
+    collision cost of 2KB of state vs the exact table."""
+    li = table(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("key"))
+    counts = li.groupBy("key").agg(F.count(F.lit(1)).alias("exact_cnt"))
+
+    def bucket(i: int, key: F.Column) -> F.Column:
+        digest = F.md5(
+            F.concat(F.lit(f"{i}:"), key.cast("string")).cast("binary")
+        )
+        return F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % CMS_W
+
+    hashed = counts.select(
+        "key",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("h"), bucket(i, F.col("key")).alias("bucket")
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("s"),
+    ).select("key", "exact_cnt", F.col("s.h").alias("h"), F.col("s.bucket").alias("bucket"))
+    cells = hashed.groupBy("h", "bucket").agg(F.sum("exact_cnt").alias("cell"))
+    est = (
+        hashed.join(F.broadcast(cells), ["h", "bucket"])
+        .groupBy("key", "exact_cnt")
+        .agg(F.min("cell").alias("cms_estimate"))
+    )
+    return (
+        est.select(
+            "key",
+            "exact_cnt",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_cnt")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_cnt"), "key")
+        .limit(CMS_TOPK)
+    )
