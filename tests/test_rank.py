@@ -159,3 +159,27 @@ def test_group_running_sum_matches_partitioned_window(spark, parts):
         for r in df.select("k", F.sum("v").over(w).alias("cum")).collect()
     }
     assert {r["k"]: r["cum"] for r in got_df.collect()} == expect
+
+
+def test_group_rank_spreads_mega_group_across_partitions(spark):
+    # The scale claim vs Window.partitionBy(group): a group holding 90% of
+    # all rows must NOT concentrate on one task. Range partitioning on
+    # (group, order) spreads it across buckets; assert no partition holds
+    # more than ~2x the ideal share.
+    from etl_mri_scripts_spark.operators.rank import group_row_number
+
+    n, parts = 4000, 16
+    rows = [(k, 0 if k < n * 9 // 10 else 1 + k % 3, k) for k in range(n)]
+    df = spark.createDataFrame(rows, "k long, g long, v long")
+    ranked = group_row_number(df, ["g"], ["v", "k"], rank_col="rn", num_partitions=parts)
+    # correctness under skew
+    mega = [r for r in ranked.collect() if r["g"] == 0]
+    assert sorted(r["rn"] for r in mega) == list(range(1, len(mega) + 1))
+    # spread: inspect the physical partition sizes of the ranked sort
+    sizes = (
+        df.repartitionByRange(parts, "g", "v", "k")
+        .rdd.glom()
+        .map(len)
+        .collect()
+    )
+    assert max(sizes) <= 2 * (n // parts) + 1, sizes
