@@ -847,3 +847,92 @@ def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+EPOCH_BUDGET_TOKENS = 200_000  # token budget for the mixed training corpus
+MAX_EPOCHS = 4.0  # repetition ceiling before diminishing returns
+
+
+@query(
+    "corpus_epochs_budget",
+    oracle=f"""
+    -- Data-constrained mixing: allocate a repeat factor (epochs) per
+    -- source under a global token budget — temperature-mix targets, but a
+    -- source whose target exceeds its inventory repeats (up to
+    -- {MAX_EPOCHS} epochs) instead of silently under-delivering. All
+    -- shares live on the per-source aggregate; unspent budget from
+    -- epoch-capped sources is reported, not resharded (one pass, no
+    -- iterative waterfill — the audit row a second rebalance would read).
+    WITH per_source AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY 1
+    ),
+    raw AS (
+      SELECT source, n_docs, total_tokens,
+             total_tokens * 1.0 / sum(total_tokens) OVER () AS p_raw
+      FROM per_source
+    ),
+    shares AS (
+      SELECT source, n_docs, total_tokens,
+             pow(p_raw, {MIX_ALPHA}) / sum(pow(p_raw, {MIX_ALPHA})) OVER () AS mix_share
+      FROM raw
+    )
+    SELECT source, n_docs, total_tokens,
+           round(mix_share, 6) AS mix_share,
+           CAST(round(mix_share * {EPOCH_BUDGET_TOKENS}) AS BIGINT) AS target_tokens,
+           round(least({MAX_EPOCHS}, mix_share * {EPOCH_BUDGET_TOKENS} / total_tokens), 6)
+               AS epochs,
+           CAST(round(total_tokens
+                 * least({MAX_EPOCHS}, mix_share * {EPOCH_BUDGET_TOKENS} / total_tokens))
+               AS BIGINT) AS effective_tokens,
+           mix_share * {EPOCH_BUDGET_TOKENS} / total_tokens > {MAX_EPOCHS} AS epoch_capped
+    FROM shares ORDER BY source
+    """,
+)
+def corpus_epochs_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch allocation under a token budget (the
+    data-constrained mixing recipe: temperature-share targets, repetition
+    capped at MAX_EPOCHS for small high-value sources).
+
+    Scale shape: identical to corpus_temperature_mix — ONE
+    map-side-combined groupBy(source) over the corpus computes token
+    inventories; every share/epoch column is arithmetic over the ~20-row
+    per-source aggregate (the bounded-frame window whitelist case). The
+    token count is the whitespace proxy; swapping in BPE counts
+    (q:bpe_tokenize_counts) changes the input column, not the plan."""
+    d = table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+    )
+    w = Window.partitionBy()
+    p_raw = F.col("total_tokens") * 1.0 / F.sum("total_tokens").over(w)
+    shares = per_source.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        (F.pow(p_raw, MIX_ALPHA) / F.sum(F.pow(p_raw, MIX_ALPHA)).over(w)).alias(
+            "mix_share"
+        ),
+    )
+    epochs = F.least(
+        F.lit(MAX_EPOCHS),
+        F.col("mix_share") * EPOCH_BUDGET_TOKENS / F.col("total_tokens"),
+    )
+    return shares.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round("mix_share", 6).alias("mix_share"),
+        F.round(F.col("mix_share") * EPOCH_BUDGET_TOKENS).cast("long").alias(
+            "target_tokens"
+        ),
+        F.round(epochs, 6).alias("epochs"),
+        F.round(F.col("total_tokens") * epochs).cast("long").alias("effective_tokens"),
+        (
+            F.col("mix_share") * EPOCH_BUDGET_TOKENS / F.col("total_tokens")
+            > MAX_EPOCHS
+        ).alias("epoch_capped"),
+    ).orderBy("source")

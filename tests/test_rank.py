@@ -183,3 +183,23 @@ def test_group_rank_spreads_mega_group_across_partitions(spark):
         .collect()
     )
     assert max(sizes) <= 2 * (n // parts) + 1, sizes
+
+
+def test_group_running_sum_handles_negative_values(spark):
+    # The per-group base is extracted with min_by(cum - x, rank), which is
+    # exact for any sign of x (a plain min(cum - x) would not be).
+    from etl_mri_scripts_spark.operators.rank import group_running_sum
+
+    rows = [(k, k % 3, (v % 21) - 10) for k, v in _rows(200)]
+    df = spark.createDataFrame(rows, "k long, g long, v long")
+    got_df = group_running_sum(df, ["g"], ["k"], "v", cum_col="cum", num_partitions=7)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expect = {
+        r["k"]: r["cum"]
+        for r in df.select("k", F.sum("v").over(w).alias("cum")).collect()
+    }
+    assert {r["k"]: r["cum"] for r in got_df.collect()} == expect
