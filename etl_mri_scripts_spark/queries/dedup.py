@@ -659,6 +659,97 @@ def connected_component_labels_jump(edges: DataFrame) -> DataFrame:
     )
 
 
+CC_STAR_MAX_ROUNDS = 64  # O(log^2 n) proven bound; 64 >> any physical graph
+
+
+def connected_component_labels_star(edges: DataFrame) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond") — the canonical
+    edge-rewriting formulation, O(log^2 n) rounds worst case and ~log n
+    in practice, with per-round cost linear in the CURRENT edge count
+    (which shrinks as stars form, unlike label tables that stay
+    node-sized).
+
+    Round structure over an undirected edge set E:
+
+    - large-star: for each node u, with m = min({u} + neighbors(u)),
+      rewrite every STRICTLY LARGER neighbor v > u to the edge (v, m).
+      Processing the symmetric adjacency means each undirected edge is
+      rewritten exactly once, from its smaller endpoint's star; m <= u < v
+      so no self-loops form.
+    - small-star: orient each edge large->small; for each u, with
+      m = min(smaller-neighbors(u)), rewrite every smaller neighbor
+      v != m to (v, m) and attach (u, m).
+
+    The fixpoint is a star forest: every non-root node holds exactly one
+    edge (node, component_min). Convergence is detected by exact edge-set
+    equality (count match + empty exceptAll — two cheap jobs on the
+    shrinking edge set), not a hash signature. localCheckpoint truncates
+    the per-round lineage exactly as in the label engines."""
+    canon = (
+        edges.select(
+            F.greatest("s", "d").alias("a"), F.least("s", "d").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("s").alias("node")).distinct().localCheckpoint(eager=True)
+    )
+
+    E = canon
+    for _ in range(CC_STAR_MAX_ROUNDS):
+        # --- large-star over the symmetric adjacency
+        adj = E.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            E.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = adj.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        ls = (
+            adj.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)  # feeds both small-star branches
+        )
+        # --- small-star over the large->small orientation
+        oriented = ls.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            oriented.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionAll(
+                oriented.join(mins2, "u").select(
+                    F.col("u").alias("a"), F.col("m").alias("b")
+                )
+            )
+            .select(
+                F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if ss.count() == E.count() and ss.exceptAll(E).limit(1).count() == 0:
+            E = ss
+            break
+        E = ss
+    else:
+        raise RuntimeError(
+            f"large-star/small-star did not converge within {CC_STAR_MAX_ROUNDS} "
+            "rounds — beyond the proven O(log^2 n) bound; investigate the edges"
+        )
+    # star forest -> labels: non-roots point at their component min; roots
+    # (and nodes whose component collapsed onto them) label themselves
+    return (
+        nodes.join(E.select(F.col("a").alias("node"), F.col("b").alias("lab")), "node", "left")
+        .select("node", F.coalesce("lab", "node").alias("lab"))
+    )
+
+
 CC_PROP_STAGE_PASSES = 4  # cheap 1-shuffle passes before escalating
 
 

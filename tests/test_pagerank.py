@@ -177,3 +177,49 @@ def test_staged_auto_cc_matches_on_shallow_and_deep(spark):
         ).collect()
     }
     assert all(labs[i] == 0 for i in range(n + 1))
+
+
+def test_large_star_small_star_matches_propagation(spark):
+    # The canonical Kiveris et al. edge-rewriting engine must agree with
+    # min-label propagation on random sparse graphs, a deep chain, and
+    # the two-node component.
+    from etl_mri_scripts_spark.queries.dedup import (
+        connected_component_labels,
+        connected_component_labels_star,
+    )
+
+    x = 99991
+    for trial in range(3):
+        pairs = set()
+        for _ in range(50):
+            x = (x * 1103515245 + 12345) % (2**31)
+            a = x % 30
+            x = (x * 1103515245 + 12345) % (2**31)
+            b = x % 30
+            if a != b:
+                pairs.add((a, b))
+        sym = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+        edges = spark.createDataFrame(sym, "s long, d long")
+        prop = {r["node"]: r["lab"] for r in connected_component_labels(edges).collect()}
+        star = {
+            r["node"]: r["lab"]
+            for r in connected_component_labels_star(edges).collect()
+        }
+        assert prop == star, f"trial {trial}: label divergence"
+
+
+def test_large_star_small_star_deep_chain(spark):
+    from etl_mri_scripts_spark.queries.dedup import (
+        CC_MAX_PASSES,
+        connected_component_labels_star,
+    )
+
+    n = 3 * CC_MAX_PASSES  # diameter 120, converges in O(log n) rounds
+    chain = [(i, i + 1) for i in range(n)] + [(i + 1, i) for i in range(n)]
+    chain += [(7000, 7001), (7001, 7000)]
+    edges = spark.createDataFrame(chain, "s long, d long")
+    labs = {
+        r["node"]: r["lab"] for r in connected_component_labels_star(edges).collect()
+    }
+    assert all(labs[i] == 0 for i in range(n + 1))
+    assert labs[7000] == labs[7001] == 7000
