@@ -82,6 +82,7 @@ ALLOWED_SP_WINDOW = {
     "orders_monthly_growth",  # month-grain series (~80 rows)
     "orders_crosstab_chi2",  # R x C crosstab cells (<= ~15 rows)
     "corpus_temperature_mix",  # per-source aggregate (~20 rows)
+    "corpus_epochs_budget",  # same per-source aggregate frame
     "corpus_importance_weights",  # 256-bucket hashed-unigram histogram
 }
 

@@ -1795,3 +1795,139 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.select("doc_id", "component_id", "quality", (F.col("rn") == 1).alias("kept"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_split_leakage_matrix",
+    oracle=f"""
+    -- Train/test contamination audit: near-duplicate pairs whose members
+    -- land in DIFFERENT training splits leak eval signal. The matrix
+    -- counts verified near-dup pairs per (split, split) cell —
+    -- canonicalized so (train,val) == (val,train) — with the leak flag
+    -- on off-diagonal cells. Split = the stateless md5-bucket rule
+    -- (group-consistent by doc), so the audit is a pure function of the
+    -- corpus, reproducible on any engine.
+    WITH {{vpairs}},
+    split_of AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    tagged AS (
+      SELECT least(sa.split, sb.split) AS split_a,
+             greatest(sa.split, sb.split) AS split_b
+      FROM vpairs v
+      JOIN split_of sa ON sa.doc_id = v.doc_a
+      JOIN split_of sb ON sb.doc_id = v.doc_b
+    )
+    SELECT split_a, split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           split_a <> split_b AS leaking
+    FROM tagged
+    GROUP BY 1, 2
+    ORDER BY split_a, split_b
+    """.replace("{vpairs}", _VERIFIED_PAIRS_DUCK),
+)
+def dedup_split_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup leakage across training splits — the audit run BEFORE
+    shipping a split: any verified near-dup pair with one member in train
+    and the other in val/test leaks evaluation signal.
+
+    Scale shape: the pair relation is the already-bounded LSH+verify
+    output (never all-pairs); the split is the stateless md5-bucket rule
+    (a projection — no split table to join, the same expression both
+    engines compute), so the audit costs two broadcast-free equi-joins
+    of the pair list against a (doc_id, split) projection plus a 6-cell
+    aggregate. Cells are canonicalized unordered, so 'train|val' counts
+    one way."""
+    pairs = dedup_lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    hx = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4)
+    split_of = d.select(
+        "doc_id",
+        F.when(hx < "cccc", "train").when(hx < "e666", "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    sa = split_of.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    sb = split_of.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("leaking", F.col("split_a") != F.col("split_b"))
+        .orderBy("split_a", "split_b")
+    )
+
+
+@query(
+    "dedup_rate_by_source",
+    oracle=f"""
+    -- Per-source dedup-rate report: the corpus-health rollup a crawl
+    -- pipeline publishes per ingest — how much of each source is exact
+    -- duplicate (non-canonical member of an identical-text group) or
+    -- near-duplicate (verified LSH pair with a smaller-id partner).
+    WITH {{vpairs}},
+    canon AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    near AS (SELECT DISTINCT doc_b AS doc_id FROM vpairs)
+    SELECT c.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN c.rn > 1 THEN 1 END) AS BIGINT) AS n_exact_dup,
+           CAST(count(n.doc_id) AS BIGINT) AS n_near_dup,
+           round(count(CASE WHEN c.rn > 1 THEN 1 END) * 1.0 / count(*), 6)
+               AS exact_dup_rate,
+           round(count(n.doc_id) * 1.0 / count(*), 6) AS near_dup_rate
+    FROM canon c LEFT JOIN near n ON n.doc_id = c.doc_id
+    GROUP BY 1 ORDER BY 1
+    """.replace("{vpairs}", _VERIFIED_PAIRS_DUCK),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup health per source: exact-dup members (identical-text groups,
+    canonical = lowest doc_id) and near-dup members (verified pair with a
+    smaller partner), as counts and rates.
+
+    Scale shape: the exact-dup rank partitions on the text DIGEST —
+    groups are identical-copy sets (bounded fan-in), never
+    data-volume-sized, so the window is safe; the near-dup side is the
+    bounded LSH+verify pair list reduced to a distinct id set; the final
+    rollup is one map-side-combined groupBy(source)."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    canon = d.select(
+        "doc_id", "source", F.row_number().over(w).alias("rn")
+    )
+    near = (
+        dedup_lsh_verified_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(1))
+    )
+    return (
+        canon.join(near, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("rn") > 1, 1)).alias("n_exact_dup"),
+            F.count("is_near").alias("n_near_dup"),
+            F.round(
+                F.count(F.when(F.col("rn") > 1, 1)) * 1.0 / F.count(F.lit(1)), 6
+            ).alias("exact_dup_rate"),
+            F.round(F.count("is_near") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "near_dup_rate"
+            ),
+        )
+        .orderBy("source")
+    )

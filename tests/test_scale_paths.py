@@ -165,6 +165,7 @@ def test_no_query_plans_a_single_partition_window(spark, sf_dir):
         "orders_monthly_growth",  # month-grain series (~80 rows)
         "orders_crosstab_chi2",  # R x C crosstab cells (<= ~15 rows)
         "corpus_temperature_mix",  # per-source aggregate (~20 rows)
+        "corpus_epochs_budget",  # same per-source aggregate frame
         "corpus_importance_weights",  # 256-bucket hashed-unigram histogram
     }
     offenders = {}
