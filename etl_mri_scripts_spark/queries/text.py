@@ -801,3 +801,86 @@ def text_adaptive_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    -- Classifier eval as a query: confusion matrix of the heuristic
+    -- language-ID against the corpus labels, with per-cell share of the
+    -- actual class (the recall decomposition). The matrix is the audit
+    -- artifact a labeling pipeline gates on before trusting predicted
+    -- lang for downstream routing (adaptive thresholds, per-lang caps).
+    WITH scored AS (
+      SELECT doc_id, lang AS actual_lang,
+             {_marker_hits_sql(LANG_MARKERS['en'])} AS s_en,
+             {_marker_hits_sql(LANG_MARKERS['de'])} AS s_de,
+             {_marker_hits_sql(LANG_MARKERS['fr'])} AS s_fr,
+             {_marker_hits_sql(LANG_MARKERS['es'])} AS s_es
+      FROM documents
+    ),
+    pred AS (
+      SELECT actual_lang,
+             CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+                  WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+                  WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                  WHEN s_es > 0 THEN 'es'
+                  ELSE 'und' END AS predicted_lang
+      FROM scored
+    ),
+    cells AS (
+      SELECT actual_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM pred GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT actual_lang, sum(n_docs) AS actual_total FROM cells GROUP BY 1
+    )
+    SELECT c.actual_lang, c.predicted_lang, c.n_docs,
+           round(c.n_docs * 1.0 / t.actual_total, 6) AS share_of_actual,
+           c.actual_lang = c.predicted_lang AS correct
+    FROM cells c JOIN tot t USING (actual_lang)
+    ORDER BY actual_lang, predicted_lang
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language-ID vs corpus labels.
+
+    Scale shape: the marker scoring is the same single codegen'd
+    projection as q:text_language_id (split() staged once per row), the
+    matrix is one map-side-combined groupBy over |langs|^2 cells, and
+    the per-actual totals ride a second tiny aggregate joined back —
+    text never leaves the scan stage."""
+    d0 = table(spark, sf_dir, "documents")
+    staged = d0.select("doc_id", "lang", _words().alias("ws"))
+    d = staged.select(
+        "doc_id",
+        "lang",
+        *[_marker_hits(v, over="ws").alias(f"s_{k}") for k, v in LANG_MARKERS.items()],
+    )
+    s = {k: F.col(f"s_{k}") for k in LANG_MARKERS}
+    predicted = (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]) & (s["en"] > 0), "en")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]) & (s["de"] > 0), "de")
+        .when((s["fr"] >= s["es"]) & (s["fr"] > 0), "fr")
+        .when(s["es"] > 0, "es")
+        .otherwise("und")
+    )
+    cells = (
+        d.select(F.col("lang").alias("actual_lang"), predicted.alias("predicted_lang"))
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = cells.groupBy("actual_lang").agg(F.sum("n_docs").alias("actual_total"))
+    return (
+        cells.join(F.broadcast(tot), "actual_lang")
+        .select(
+            "actual_lang",
+            "predicted_lang",
+            "n_docs",
+            F.round(F.col("n_docs") * 1.0 / F.col("actual_total"), 6).alias(
+                "share_of_actual"
+            ),
+            (F.col("actual_lang") == F.col("predicted_lang")).alias("correct"),
+        )
+        .orderBy("actual_lang", "predicted_lang")
+    )
