@@ -61,6 +61,7 @@ ALLOWED_NLJ = {
     "ann_ivf_kmeans_topk",
     "dedup_semantic_keep",  # same crossJoin with broadcast(K centroids)
     "imaging_key_parity_gate",
+    "events_step_funnel",  # three 1-row step-count aggregates cross-joined
     "dedup_lsh_quality_eval",  # five 1-row aggregates cross-joined
     "corpus_mix_plan",
     "supplier_value_share_threshold",

@@ -839,3 +839,85 @@ def events_sessionize_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("session_no")
         .orderBy("user_id", "session_start", "first_event_id")
     )
+
+
+@query(
+    "events_step_funnel",
+    oracle="""
+    -- Ordered step funnel: users who viewed, then clicked strictly after
+    -- their first view, then purchased strictly after that click — the
+    -- conversion report with ORDER enforced (a purchase before the first
+    -- view does not count). One row: per-step user counts + conversion
+    -- rates off the previous step.
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY 1
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clicked_after,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchased_after,
+           round((SELECT count(*) FROM c) * 1.0 / (SELECT count(*) FROM v), 6)
+               AS click_rate,
+           round((SELECT count(*) FROM p) * 1.0 / (SELECT count(*) FROM c), 6)
+               AS purchase_rate
+    """,
+)
+def events_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase, strictly
+    increasing event time per user).
+
+    Scale shape: each step is a type-filtered aggregate keyed on user_id
+    joined to the previous step's (user_id, min_ts) table — three
+    hash-partitioned shuffles on the SAME key, so at cluster scale the
+    exchanges reuse one partitioning; the step tables shrink
+    monotonically (funnel property), and the final report is three 1-row
+    counts unioned into one row. No window, no per-user event-list
+    collection."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_viewed"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_clicked_after"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchased_after"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_viewed",
+            "n_clicked_after",
+            "n_purchased_after",
+            F.round(F.col("n_clicked_after") * 1.0 / F.col("n_viewed"), 6).alias(
+                "click_rate"
+            ),
+            F.round(
+                F.col("n_purchased_after") * 1.0 / F.col("n_clicked_after"), 6
+            ).alias("purchase_rate"),
+        )
+    )

@@ -114,6 +114,7 @@ def test_no_query_plans_a_cartesian_or_nested_loop(spark, sf_dir):
         "ann_ivf_kmeans_topk",
     "dedup_semantic_keep",  # same crossJoin with broadcast(K centroids)
         "imaging_key_parity_gate",
+        "events_step_funnel",  # three 1-row step-count aggregates cross-joined
         "dedup_lsh_quality_eval",  # five 1-row aggregates cross-joined
         "corpus_mix_plan",  # crossJoin with broadcast 1-row binding-constraint agg
         "supplier_value_share_threshold",  # broadcast 1-row global-total agg (Q11 HAVING scalar)
