@@ -921,3 +921,78 @@ def events_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("purchase_rate"),
         )
     )
+
+
+@query(
+    "events_daily_anomaly",
+    oracle="""
+    -- Volume-anomaly detection on the DAILY grain: per event type, each
+    -- day's count is z-scored against the trailing 7-day window
+    -- (EXCLUDING the current day, so a spike cannot mask itself).
+    -- Aggregate-first discipline: the rolling window runs over the
+    -- (type, day) series — bounded rows — never over raw events.
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, day, n_events,
+             avg(n_events) OVER w AS base_mean,
+             stddev_samp(n_events) OVER w AS base_std,
+             count(*) OVER w AS base_days
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, n_events,
+           round(base_mean, 6) AS base_mean,
+           round((n_events - base_mean) / nullif(base_std, 0.0), 6) AS zscore,
+           base_days >= 3
+             AND abs(n_events - base_mean) > 3 * nullif(base_std, 0.0) AS is_anomaly
+    FROM scored
+    ORDER BY event_type, day
+    """,
+)
+def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume anomalies per event type: trailing-7-day z-score with
+    the current day excluded from its own baseline, flagged at 3 sigma
+    once >= 3 baseline days exist.
+
+    Scale shape: the heavy pass is ONE map-side-combined groupBy to the
+    (event_type, day) grain; the rolling window then runs over that
+    bounded series (days x types rows — a few thousand per year no
+    matter the event volume), partitioned on event_type. This is the
+    aggregate-then-window ordering that keeps monitoring queries viable
+    at any event rate."""
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    scored = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.avg("n_events").over(w).alias("base_mean"),
+        F.stddev_samp("n_events").over(w).alias("base_std"),
+        F.count(F.lit(1)).over(w).alias("base_days"),
+    )
+    return scored.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round("base_mean", 6).alias("base_mean"),
+        F.round(
+            (F.col("n_events") - F.col("base_mean"))
+            / F.nullif(F.col("base_std"), F.lit(0.0)),
+            6,
+        ).alias("zscore"),
+        (
+            (F.col("base_days") >= 3)
+            & (
+                F.abs(F.col("n_events") - F.col("base_mean"))
+                > 3 * F.nullif(F.col("base_std"), F.lit(0.0))
+            )
+        ).alias("is_anomaly"),
+    ).orderBy("event_type", "day")
