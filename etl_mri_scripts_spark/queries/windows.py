@@ -948,8 +948,9 @@ def events_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, day, n_events,
            round(base_mean, 6) AS base_mean,
            round((n_events - base_mean) / nullif(base_std, 0.0), 6) AS zscore,
-           base_days >= 3
-             AND abs(n_events - base_mean) > 3 * nullif(base_std, 0.0) AS is_anomaly
+           -- never NULL: a zero/undefined-variance baseline flags nothing
+           base_days >= 3 AND coalesce(base_std, 0.0) > 0.0
+             AND abs(n_events - base_mean) > 3 * base_std AS is_anomaly
     FROM scored
     ORDER BY event_type, day
     """,
@@ -990,9 +991,10 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("zscore"),
         (
             (F.col("base_days") >= 3)
+            & (F.coalesce(F.col("base_std"), F.lit(0.0)) > 0.0)
             & (
                 F.abs(F.col("n_events") - F.col("base_mean"))
-                > 3 * F.nullif(F.col("base_std"), F.lit(0.0))
+                > 3 * F.col("base_std")
             )
         ).alias("is_anomaly"),
     ).orderBy("event_type", "day")
