@@ -440,9 +440,11 @@ def session_finalizer_stream(
     def _merge(sessions, items):
         # Gaps-and-islands sweep over compressed intervals + new events.
         # Items: (start_us, end_us, n, first_id, last_id); a single event
-        # is (ts, ts, 1, id, id). Sorted by (start, first_id) — the batch
-        # twin's (ts, event_id) tie-break — adjacent items merge when the
-        # boundary gap is < gap_us. Correct for compressed sessions
+        # is (ts, ts, 1, id, id). Sorted by start (tuple order; ties all
+        # merge anyway since gap <= 0), adjacent items merge when the
+        # boundary gap is < gap_us; first/last ids resolve by explicit
+        # (ts, id) comparison, the batch twin's tie-break. Correct for
+        # compressed sessions
         # because every internal gap is < gap_us by construction.
         merged = []
         for it in sorted(sessions + items):
