@@ -313,3 +313,93 @@ def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.desc("exact_cnt"), "key")
         .limit(CMS_TOPK)
     )
+
+
+KMV_K = 32  # sketch size: k smallest hash values per group
+
+
+@query(
+    "sketch_kmv_distinct_by_nation",
+    oracle=f"""
+    -- KMV (k-minimum-values) distinct-count sketch, the second
+    -- SQL-oracle-able sketch beside count-min: hash every key to a
+    -- uniform [0,1) value (md5 prefix / 2^32 — exact in doubles), keep
+    -- the {KMV_K} smallest per group, estimate distinct = (k-1)/h_k.
+    -- Groups holding fewer than k distinct keys report exactly.
+    -- Mergeable: union two groups' sketches and re-take the k smallest.
+    WITH hashed AS (
+      SELECT DISTINCT c_nationkey,
+             CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS h
+      FROM customer
+    ),
+    ranked AS (
+      SELECT c_nationkey, h,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY h) AS rk
+      FROM hashed
+    ),
+    sketch AS (
+      SELECT c_nationkey,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             max(h) AS h_k
+      FROM ranked WHERE rk <= {KMV_K} GROUP BY 1
+    ),
+    exact AS (
+      SELECT c_nationkey, CAST(count(DISTINCT c_custkey) AS BIGINT) AS exact_distinct
+      FROM customer GROUP BY 1
+    )
+    SELECT s.c_nationkey AS nation_key,
+           e.exact_distinct,
+           CASE WHEN s.n_kept < {KMV_K} THEN CAST(s.n_kept AS DOUBLE)
+                ELSE round(({KMV_K} - 1) / s.h_k, 6) END AS kmv_estimate,
+           s.n_kept < {KMV_K} AS is_exact
+    FROM sketch s JOIN exact e USING (c_nationkey)
+    ORDER BY nation_key
+    """,
+)
+def sketch_kmv_distinct_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per nation, vs the exact count.
+
+    Scale shape: the hash is a pure projection; the k-smallest-per-group
+    selection is a rank filter with a LITERAL limit, which Spark executes
+    as WindowGroupLimit — a map-side partial top-k per partition before
+    the exchange, so the per-group state is k rows regardless of group
+    size (never a giant low-cardinality window partition). The sketch is
+    mergeable (union + re-take k smallest) and, because the hash is
+    md5-derived, bit-identical across engines — it hash-matches the SQL
+    oracle, unlike implementation-defined HLL bytes."""
+    from pyspark.sql.window import Window
+
+    cust = table(spark, sf_dir, "customer").select("c_nationkey", "c_custkey")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("c_custkey").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    hashed = cust.select("c_nationkey", h.alias("h")).distinct()
+    w = Window.partitionBy("c_nationkey").orderBy("h")
+    sketch = (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KMV_K)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("h_k"))
+    )
+    exact = cust.groupBy("c_nationkey").agg(
+        F.count_distinct("c_custkey").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("n_kept") < KMV_K, F.col("n_kept").cast("double")
+    ).otherwise(F.round((KMV_K - 1) / F.col("h_k"), 6))
+    return (
+        sketch.join(exact, "c_nationkey")
+        .select(
+            F.col("c_nationkey").alias("nation_key"),
+            "exact_distinct",
+            est.alias("kmv_estimate"),
+            (F.col("n_kept") < KMV_K).alias("is_exact"),
+        )
+        .orderBy("nation_key")
+    )

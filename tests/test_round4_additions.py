@@ -58,3 +58,24 @@ def test_countmin_state_is_fixed_size(spark, sf_dir):
         .agg(F.sum("exact_cnt").alias("cell"))
     )
     assert cells.count() <= CMS_D * CMS_W
+
+
+def test_kmv_estimate_within_tolerance_and_plan_bounded(spark, sf_dir):
+    from etl_mri_scripts_spark.queries.quality import KMV_K
+
+    df = QUERIES["sketch_kmv_distinct_by_nation"](spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        if r["is_exact"]:
+            assert r["kmv_estimate"] == r["exact_distinct"]
+        else:
+            # KMV relative error ~ 1/sqrt(k-1) ≈ 18% at k=32; allow 2.5x
+            assert (
+                abs(r["kmv_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
+                < 2.5 / (KMV_K - 1) ** 0.5
+            ), r
+    # the k-smallest selection must run as WindowGroupLimit (map-side
+    # partial top-k), not a full per-group window sort
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in tree
