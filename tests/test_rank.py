@@ -203,3 +203,38 @@ def test_group_running_sum_handles_negative_values(spark):
         for r in df.select("k", F.sum("v").over(w).alias("cum")).collect()
     }
     assert {r["k"]: r["cum"] for r in got_df.collect()} == expect
+
+
+def test_rank_broadcast_offset_fallback_path(spark, monkeypatch):
+    # Force the >_MAP_EXPR_MAX_PARTITIONS branch (broadcast join instead
+    # of a literal offset map) and check it produces identical ranks and
+    # running sums.
+    import etl_mri_scripts_spark.operators.rank as rank_mod
+
+    monkeypatch.setattr(rank_mod, "_MAP_EXPR_MAX_PARTITIONS", 2)
+    df = spark.createDataFrame(_rows(200), "k long, v long")
+    ranked, total = rank_mod.global_row_number(df, ["v", "k"], num_partitions=8)
+    assert total == 200
+    expect = {
+        r["k"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "k"))
+        ).collect()
+    }
+    assert {r["k"]: r["rn"] for r in ranked.collect()} == expect
+
+    out, n, tot = rank_mod.global_order_prefix(
+        df, ["v", "k"], sum_col="v", rank_col="rn", cum_col="cum", num_partitions=8
+    )
+    w = Window.orderBy("v", "k")
+    expect2 = {
+        r["k"]: (r["rn"], r["cum"])
+        for r in df.select(
+            "k",
+            F.row_number().over(w).alias("rn"),
+            F.sum("v")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("cum"),
+        ).collect()
+    }
+    assert {r["k"]: (r["rn"], r["cum"]) for r in out.collect()} == expect2
