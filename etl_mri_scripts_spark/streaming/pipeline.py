@@ -403,6 +403,35 @@ def running_counters_tws_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def merge_session_intervals(sessions, items, gap_us):
+    """Gaps-and-islands sweep over compressed session intervals + new
+    events (the pure-Python kernel of session_finalizer_stream, exposed
+    for property testing). Items: (start_us, end_us, n, first_id,
+    last_id); a single event is (ts, ts, 1, id, id). Sorted by start
+    (tuple order; equal-start items always merge since their gap <= 0),
+    adjacent items merge when the boundary gap is < gap_us; first/last
+    ids resolve by explicit (ts, id) comparison — the batch twin's
+    tie-break. Correct over compressed sessions because every internal
+    gap is < gap_us by construction."""
+    merged = []
+    for it in sorted(sessions + items):
+        if merged and it[0] - merged[-1][1] < gap_us:
+            cur = merged[-1]
+            merged[-1] = (
+                cur[0],
+                max(cur[1], it[1]),
+                cur[2] + it[2],
+                # first = event at min (ts, id); cur starts first
+                # (sorted), ties broken by smaller id
+                cur[3] if (cur[0], cur[3]) <= (it[0], it[3]) else it[3],
+                # last = event at max (ts, id)
+                cur[4] if (cur[1], cur[4]) >= (it[1], it[4]) else it[4],
+            )
+        else:
+            merged.append(it)
+    return merged
+
+
 def session_finalizer_stream(
     events: DataFrame, gap_sec: int = 600, watermark: str = "10 minutes"
 ) -> DataFrame:
@@ -438,31 +467,7 @@ def session_finalizer_stream(
     gap_ms = gap_sec * 1000
 
     def _merge(sessions, items):
-        # Gaps-and-islands sweep over compressed intervals + new events.
-        # Items: (start_us, end_us, n, first_id, last_id); a single event
-        # is (ts, ts, 1, id, id). Sorted by start (tuple order; ties all
-        # merge anyway since gap <= 0), adjacent items merge when the
-        # boundary gap is < gap_us; first/last ids resolve by explicit
-        # (ts, id) comparison, the batch twin's tie-break. Correct for
-        # compressed sessions
-        # because every internal gap is < gap_us by construction.
-        merged = []
-        for it in sorted(sessions + items):
-            if merged and it[0] - merged[-1][1] < gap_us:
-                cur = merged[-1]
-                merged[-1] = (
-                    cur[0],
-                    max(cur[1], it[1]),
-                    cur[2] + it[2],
-                    # first = event at min (ts, id); cur starts first
-                    # (sorted), ties broken by smaller id
-                    cur[3] if (cur[0], cur[3]) <= (it[0], it[3]) else it[3],
-                    # last = event at max (ts, id)
-                    cur[4] if (cur[1], cur[4]) >= (it[1], it[4]) else it[4],
-                )
-            else:
-                merged.append(it)
-        return merged
+        return merge_session_intervals(sessions, items, gap_us)
 
     def _emit_and_keep(key, sessions, state, watermark_ms):
         sealed = [s for s in sessions if s[1] // 1000 + gap_ms <= watermark_ms]

@@ -184,3 +184,57 @@ def test_containment_dominates_jaccard(na, nb, common):
     assert cont >= jac - 1e-12
     if common == min(na, nb) and common > 0:
         assert cont == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionizer merge kernel: incremental merging across arbitrary
+# batch splits must equal one-shot gaps-and-islands over all events.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _event_batches(draw):
+    n = draw(st.integers(min_value=1, max_value=30))
+    # timestamps with duplicates allowed; gap threshold fixed at 100us
+    tss = draw(st.lists(st.integers(min_value=0, max_value=2000), min_size=n, max_size=n))
+    # arbitrary batch assignment for each event
+    batch_of = draw(st.lists(st.integers(min_value=0, max_value=3), min_size=n, max_size=n))
+    events = [(ts, i) for i, ts in enumerate(tss)]
+    batches = [[], [], [], []]
+    for (ts, i), b in zip(events, batch_of):
+        batches[b].append((ts, ts, 1, i, i))
+    return events, batches
+
+
+@given(_event_batches())
+@settings(max_examples=200, deadline=None)
+def test_merge_session_intervals_equals_one_shot_islands(data):
+    from etl_mri_scripts_spark.streaming.pipeline import merge_session_intervals
+
+    events, batches = data
+    GAP = 100
+
+    # incremental: merge batch after batch into the running session list
+    sessions = []
+    for b in batches:
+        sessions = merge_session_intervals(sessions, b, GAP)
+
+    # one-shot truth: sort by (ts, id), split on gap >= GAP
+    evs = sorted((ts, i) for ts, i in events)
+    expected = []
+    cur = [evs[0]]
+    for ts, i in evs[1:]:
+        if ts - cur[-1][0] >= GAP:
+            expected.append(cur)
+            cur = [(ts, i)]
+        else:
+            cur.append((ts, i))
+    expected.append(cur)
+    exp = [
+        (c[0][0], c[-1][0], len(c), c[0][1], c[-1][1])
+        for c in expected
+    ]
+    assert sorted(sessions) == sorted(exp)

@@ -562,3 +562,93 @@ def test_session_finalizer_out_of_order_extends_backwards(spark, tmp_path):
     assert r["first_event_id"] == 2 and r["last_event_id"] == 8
     assert str(r["session_start"]).startswith("2024-01-01 10:02")
     assert str(r["session_end"]).startswith("2024-01-01 10:08")
+
+
+def test_session_finalizer_matches_batch_islands_on_shuffled_arrival(spark, tmp_path):
+    """Randomized equivalence: events for several users, shuffled across
+    three microbatches (arrival order != event order, within a generous
+    watermark), must produce exactly the sessions the batch
+    gaps-and-islands rule computes on the union."""
+    from etl_mri_scripts_spark.streaming.pipeline import session_finalizer_stream
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1, 8, 0, 0)
+    gap_sec = 600
+
+    # deterministic pseudo-random event set: 3 users x 12 events with
+    # gaps straddling the session threshold
+    x = 424242
+    events = []
+    eid = 0
+    for user in (1, 2, 3):
+        t = 0
+        for _ in range(12):
+            x = (x * 1103515245 + 12345) % (2**31)
+            t += 60 + (x % 1200)  # 1..21 min steps, some >= 10 min gap
+            events.append((eid, base + timedelta(seconds=t), user))
+            eid += 1
+
+    # expected sessions via the batch rule
+    expected = set()
+    for user in (1, 2, 3):
+        evs = sorted((ts, i) for i, ts, u in events if u == user)
+        cur = [evs[0]]
+        for ts, i in evs[1:]:
+            if (ts - cur[-1][0]).total_seconds() >= gap_sec:
+                expected.add((user, cur[0][0], cur[-1][0], len(cur), cur[0][1], cur[-1][1]))
+                cur = [(ts, i)]
+            else:
+                cur.append((ts, i))
+        expected.add((user, cur[0][0], cur[-1][0], len(cur), cur[0][1], cur[-1][1]))
+
+    # shuffle arrival: deal events round-robin into 3 chunks (so each
+    # chunk holds an arbitrary, non-contiguous slice of every user)
+    chunks = [events[i::3] for i in range(3)]
+    in_dir = str(tmp_path / "rand")
+    os.makedirs(in_dir)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    stream = None
+    q = None
+    try:
+        for ci, chunk in enumerate(chunks):
+            rows = [(i, ts, u, "view", 1.0, "") for i, ts, u in chunk]
+            spark.createDataFrame(rows, schema).write.mode("overwrite").json(
+                in_dir + f"/chunk={ci}"
+            )
+            if q is None:
+                stream = stream_events(spark, in_dir + "/*", fmt="json")
+                q = (
+                    session_finalizer_stream(
+                        stream, gap_sec=gap_sec, watermark="12 hours"
+                    )
+                    .writeStream.format("memory")
+                    .queryName("rand_sessions")
+                    .outputMode("append")
+                    .option("checkpointLocation", str(tmp_path / "randck"))
+                    .start()
+                )
+            q.processAllAvailable()
+        # seal everything: far-future watermark driver
+        rows = [(9999, base + timedelta(days=2), 99, "view", 1.0, "")]
+        spark.createDataFrame(rows, schema).write.mode("overwrite").json(
+            in_dir + "/chunk=z"
+        )
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        if q is not None:
+            q.stop()
+    got = {
+        (
+            r["user_id"],
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            r["first_event_id"],
+            r["last_event_id"],
+        )
+        for r in spark.sql(
+            "select * from rand_sessions where user_id in (1,2,3)"
+        ).collect()
+    }
+    assert got == expected, f"missing={expected - got} extra={got - expected}"
