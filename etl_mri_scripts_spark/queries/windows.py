@@ -998,3 +998,66 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("is_anomaly"),
     ).orderBy("event_type", "day")
+
+
+@query(
+    "events_conversion_latency",
+    oracle="""
+    -- Companion to events_step_funnel: the DISTRIBUTION of time from a
+    -- user's first view to their first purchase strictly after it —
+    -- count/mean/median/p90/max over converted users. Latencies are
+    -- integer seconds (microsecond timestamps floor-divided), so every
+    -- statistic except the mean is integer-exact.
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    p AS (
+      -- whole elapsed seconds = truncated microsecond delta (NOT
+      -- date_diff, which counts second-boundary crossings)
+      SELECT e.user_id,
+             (epoch_us(min(e.ts)) - epoch_us(v.t1)) // 1000000 AS latency_sec
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t1
+      GROUP BY e.user_id, v.t1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(avg(latency_sec), 6) AS mean_latency_sec,
+           CAST(median(latency_sec) AS DOUBLE) AS median_latency_sec,
+           CAST(quantile_cont(latency_sec, 0.9) AS DOUBLE) AS p90_latency_sec,
+           CAST(max(latency_sec) AS BIGINT) AS max_latency_sec
+    FROM p
+    """,
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution (first view -> first purchase after).
+
+    Scale shape: two type-filtered aggregates keyed on user_id (the same
+    reusable partitioning as the step funnel; min(ts) folds into the
+    join-side aggregate so no per-user event lists exist), then one
+    global 1-row summary. Exact percentiles are the correctness
+    contract; percentile_approx is the documented swap at cluster scale
+    (same policy as shipping_delay_distribution)."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("tp"))
+        .select(
+            ((F.unix_micros("tp") - F.unix_micros("t1")) / 1_000_000)
+            .cast("long")
+            .alias("latency_sec")
+        )
+    )
+    return p.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.avg("latency_sec"), 6).alias("mean_latency_sec"),
+        F.median("latency_sec").alias("median_latency_sec"),
+        F.percentile("latency_sec", F.lit(0.9)).alias("p90_latency_sec"),
+        F.max("latency_sec").cast("long").alias("max_latency_sec"),
+    )
