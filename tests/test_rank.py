@@ -238,3 +238,19 @@ def test_rank_broadcast_offset_fallback_path(spark, monkeypatch):
         ).collect()
     }
     assert {r["k"]: (r["rn"], r["cum"]) for r in out.collect()} == expect2
+
+
+def test_group_helpers_degenerate_shapes(spark):
+    # one group holding everything, and all-singleton groups
+    from etl_mri_scripts_spark.operators.rank import group_row_number, group_running_sum
+
+    one = spark.createDataFrame([(k, 0, k * 3) for k in range(50)], "k long, g long, v long")
+    r1 = group_row_number(one, ["g"], ["k"], rank_col="rn", count_col="cnt", num_partitions=4)
+    rows = {r["k"]: (r["rn"], r["cnt"]) for r in r1.collect()}
+    assert rows == {k: (k + 1, 50) for k in range(50)}
+
+    singletons = spark.createDataFrame(
+        [(k, k, k + 7) for k in range(40)], "k long, g long, v long"
+    )
+    r2 = group_running_sum(singletons, ["g"], ["k"], "v", cum_col="cum", num_partitions=4)
+    assert all(r["cum"] == r["v"] for r in r2.collect())
