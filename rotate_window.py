@@ -49,7 +49,12 @@ def main() -> int:
         print(f"unknown --recheck names: {missing}", file=sys.stderr)
         return 1
 
-    unverified = [n for n in QUERIES if n not in verified and n not in SENTINELS]
+    # Re-check names are already placed in the head block; listing a
+    # never-verified re-check again in the rotation would waste a slot.
+    unverified = [
+        n for n in QUERIES
+        if n not in verified and n not in SENTINELS and n not in rechecks
+    ]
     head = SENTINELS + rechecks
     slots = max(0, args.window - len(head))
     rotation, queue = unverified[:slots], unverified[slots:]
