@@ -49,8 +49,19 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
         )
 
+    def storage_mb() -> float:
+        # Cached/checkpointed block footprint (MB) across the session —
+        # rank.py localCheckpoints must be reclaimed by the
+        # ContextCleaner once a query's frames are dropped, so this
+        # should stay bounded over a full-registry run.
+        jsc = spark.sparkContext._jsc.sc()
+        return round(
+            sum(i.memSize() + i.diskSize() for i in jsc.getRDDStorageInfo()) / 2**20, 1
+        )
+
     results: dict[str, dict] = {}
     n_pass = n_rows_only = n_fail = 0
+    storage_high_water = 0.0
     for name in names:
         t0 = time.monotonic()
         try:
@@ -70,6 +81,7 @@ def main() -> int:
             traceback.print_exc(limit=3)
             n_fail += 1
         dt = time.monotonic() - t0
+        storage_high_water = max(storage_high_water, storage_mb())
         results[name] = {"status": status, "sec": round(dt, 2), "err": err}
         print(f"{status:>14}  {dt:6.2f}s  {name}", flush=True)
 
@@ -81,6 +93,8 @@ def main() -> int:
                 "pass": n_pass,
                 "rows_only": n_rows_only,
                 "fail": n_fail,
+                "storage_high_water_mb": storage_high_water,
+                "storage_end_mb": storage_mb(),
                 "failures": {k: v["err"] for k, v in results.items() if v["err"]},
             }
         )

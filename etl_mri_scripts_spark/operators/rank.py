@@ -25,11 +25,19 @@ Phases:
 ``row_number`` over the same total order, with no single-partition stage
 anywhere in the plan.
 
-The ranked relation is persisted (MEMORY_AND_DISK) for the duration of
-the returned DataFrame's lifetime: the counts job and the consumer job
-must observe identical range boundaries, and Spark's RangePartitioner
-re-samples boundaries per action, so recomputing the exchange between
-the two jobs would be a correctness bug, not just a cost.
+The ranked relation is local-checkpointed (lazily): the counts job and
+the consumer job must observe identical range boundaries, and Spark's
+RangePartitioner re-samples boundaries per action, so recomputing the
+exchange between the two jobs would be a correctness bug, not just a
+cost. ``localCheckpoint`` is strictly safer than ``persist`` here —
+it pins ONE concrete RDD (a ``LogicalRDD`` plan), so a lost block can
+never silently recompute through a re-sampled exchange; lineage is
+truncated, so executor loss fails loudly instead. It also bounds
+storage across long sessions: once a query's frames are dropped, the
+ContextCleaner reclaims the checkpoint blocks (persist'd frames were
+pinned until an explicit unpersist that no consumer could safely call).
+``eager=False`` keeps the job count identical to the persist scheme:
+the counts job is the materializing action.
 
 ``order_cols`` MUST be a total order (include a unique tie-break key);
 with ties, rank assignment at range-bucket edges would depend on
@@ -42,7 +50,6 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window as WindowSpec
-from pyspark.storagelevel import StorageLevel
 
 # monotonically_increasing_id packs the partition index into the upper
 # 31 bits and a per-partition counter into the lower 33.
@@ -102,7 +109,7 @@ def global_order_prefix(
         df.repartitionByRange(num_partitions, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_mid", F.monotonically_increasing_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     pid = F.shiftrightunsigned(F.col("_mid"), _MID_PARTITION_BITS)
     local = F.col("_mid") - F.shiftleft(pid, _MID_PARTITION_BITS)

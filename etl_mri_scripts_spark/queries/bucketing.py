@@ -86,7 +86,22 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             .mode("overwrite")
             .saveAsTable(t_lineitem)
         )
+    _touch_bucketed(spark, (t_orders, t_lineitem))
     return t_orders, t_lineitem
+
+
+def _touch_bucketed(spark: SparkSession, names: tuple[str, ...]) -> None:
+    # The stale sweep keys on directory mtime, which is otherwise frozen
+    # at creation — a session alive for >_STALE_TABLE_SECS would have its
+    # live tables rmtree'd by a newer session. Refreshing mtime on every
+    # reuse turns the sweep key into last-access time.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    warehouse = warehouse.removeprefix("file:")
+    for name in names:
+        try:
+            os.utime(os.path.join(warehouse, name))
+        except OSError:
+            pass
 
 
 @query(

@@ -573,7 +573,8 @@ def topk_per_group_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def middle_n_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O2: middle-N slice selection (create_sample.py:56-61) — contiguous
     # window centered on the median position. event_id is the dense
-    # 0-based positional index of the log (TESTDATA contract), so
+    # 0-based positional index of the log (TESTDATA contract, pinned by
+    # tests/test_round5_additions.py on every fixture scale), so
     # row_number == event_id + 1 and the middle 100 are exactly the
     # top-100 by distance from the center point (n//2 - 0.5). The center
     # comes from a broadcast single-row count aggregate (bounded NLJ
