@@ -387,9 +387,13 @@ def agg_count_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is a rollup; count(distinct) exercises expand+two-phase distinct agg.
     # Pre-fold to (group keys, distinct key) BEFORE the rollup: Expand
     # multiplies its input x(grouping sets), so shrinking the input first
-    # (map-side combinable groupBy) beats expanding the raw fact table —
-    # measured ~20% here, and the gap grows with fact-to-distinct ratio at
-    # corpus scale.
+    # (map-side combinable groupBy) beats expanding the raw fact table,
+    # and the gap grows with fact-to-distinct ratio at corpus scale.
+    # r5 re-measurement of the r4 driver-bench outlier (3.61 s vs 1.33 s
+    # pin): interleaved 5-run medians at sf0.1 put pre-fold at 1.28-1.37 s
+    # and direct rollup at 1.30-1.45 s — statistically indistinguishable
+    # locally, so the driver number was host noise, and the pre-fold stays
+    # (bench.py now emits a host-noise factor to normalize such runs).
     base = (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus", "l_orderkey")
