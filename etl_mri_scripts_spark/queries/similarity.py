@@ -298,9 +298,13 @@ def kmeans_clustered(spark: SparkSession, v: DataFrame) -> DataFrame:
 
     Spark-idiomatic iterative pattern (what MLlib does): the centroid state
     is tiny (K x dim doubles) and lives on the driver between iterations;
-    the per-vector assignment is a broadcast join + min_by, fully
-    distributed — the corpus never moves to the driver and never shuffles
-    (assignment is a map; only the K x dim partial means aggregate).
+    the per-vector assignment is a literal-argmin PROJECTION (the K x dim
+    codebook inlined as a SQL literal, same scheme as :func:`_pq_code_expr`)
+    — genuinely map-only, so the corpus never moves to the driver and
+    never shuffles; only the K x dim partial means cross an exchange.
+    (The earlier crossJoin(broadcast) + groupBy(vec_id) min_by form
+    re-shuffled the whole corpus every iteration — the groupBy cannot see
+    that the join's candidate rows are already co-located.)
     Determinism: init = lowest-K vec_ids, centroid coordinates rounded to
     6 dp each iteration so retries reproduce bit-identical clusters."""
     from pyspark import StorageLevel
@@ -314,19 +318,19 @@ def kmeans_clustered(spark: SparkSession, v: DataFrame) -> DataFrame:
     centroids = [[round(float(x), 6) for x in r["e"]] for r in init]
 
     def assign(vdf, cents):
-        cdf = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)], "cid int, ce array<double>"
+        # per-vector argmin centroid as a map-side projection; the
+        # struct's (d2, cid) field order gives the deterministic
+        # lowest-cid tiebreak, matching the oracle's min_by(struct).
+        lit = "array(%s)" % ",".join(
+            "array(%s)" % ",".join(f"{float(x)!r}D" for x in c) for c in cents
         )
-        dist = F.expr(
-            "aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, z) -> acc + z)"
+        cid = F.expr(
+            f"array_min(transform({lit}, (c, i) -> named_struct("
+            "'d2', aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)),"
+            " 0.0D, (acc, z) -> acc + z),"
+            " 'cid', i))).cid"
         )
-        scored = vdf.crossJoin(F.broadcast(cdf)).select(
-            "vec_id", "e", "nrm", "cid", dist.alias("d2")
-        )
-        # per-vector argmin centroid; cid tiebreak keeps it deterministic
-        return scored.groupBy("vec_id").agg(
-            F.min_by(F.struct("cid", "e", "nrm"), F.struct("d2", "cid")).alias("s")
-        ).select("vec_id", F.col("s.cid").alias("cid"), F.col("s.e").alias("e"), F.col("s.nrm").alias("nrm"))
+        return vdf.select("vec_id", cid.alias("cid"), "e", "nrm")
 
     for _ in range(KMEANS_ITERS):
         assigned = assign(v, centroids)
@@ -716,13 +720,47 @@ PQ_ITERS = 3
 PQ_RERANK = 10
 
 
+def _pq_code_expr(books: list[list[list[float]]]) -> Column:
+    """Nearest-sub-centroid code as a PURE PROJECTION over (sub_id, sub_e).
+
+    The whole codebook is M*Ks*subdim doubles (~2 KB) — small enough to
+    inline as a literal nested array, so the argmin needs neither a
+    broadcast join nor the groupBy shuffle that reassembling the joined
+    candidates would cost. ``array_min`` over ``struct(d2, code)``
+    compares fields lexicographically — exactly ``min_by(code,
+    struct(d2, code))``, so ties break toward the lower code, matching
+    the unrolled DuckDB oracle. At corpus scale this is the standard ADC
+    encode shape: map-side only, zero shuffle.
+
+    The literal is assembled as ONE SQL string parsed JVM-side:
+    building it from 2048 ``F.lit`` calls costs ~1.2 s of py4j round
+    trips PER Lloyd iteration (measured), the string parse ~20 ms.
+    ``repr(float)`` round-trips float64 exactly, so the literal values
+    are bit-identical to the driver-side codebook."""
+    cents = "array(%s)" % ",".join(
+        "array(%s)" % ",".join(
+            "array(%s)" % ",".join(f"{float(x)!r}D" for x in k) for k in m
+        )
+        for m in books
+    )
+    return F.expr(
+        f"array_min(transform(element_at({cents}, sub_id + 1),"
+        " (c, i) -> named_struct("
+        "'d2', aggregate(zip_with(sub_e, c, (x, y) -> (x - y) * (x - y)),"
+        " 0.0D, (acc, z) -> acc + z),"
+        " 'code', i))).code"
+    )
+
+
 def _pq_train(spark: SparkSession, v: DataFrame) -> list[list[list[float]]]:
     """Per-subspace k-means codebooks, trained jointly in ONE distributed
     pass per iteration: subvectors for all M subspaces are exploded into
-    (sub_id, sub_e) rows, so each k-means step is a single broadcast-join +
-    min_by + groupBy over the whole table — M independent quantizers, no
-    per-subspace jobs. Deterministic: init from the Ks lowest vec_ids,
-    means rounded to 6 dp."""
+    (sub_id, sub_e) rows, assignment is the map-side projection
+    :func:`_pq_code_expr` (no join, no shuffle), and the only shuffle per
+    Lloyd step is the means aggregation — M*Ks*subdim groups with partial
+    aggregation, a few KB past the exchange. M independent quantizers,
+    one job per iteration. Deterministic: init from the Ks lowest
+    vec_ids, means rounded to 6 dp."""
     subs = v.select(
         "vec_id",
         F.explode(
@@ -751,30 +789,8 @@ def _pq_train(spark: SparkSession, v: DataFrame) -> list[list[list[float]]]:
     for r in init:
         books[r["sub_id"]][r["vec_id"]] = [round(float(x), 6) for x in r["sub_e"]]
 
-    d2 = F.expr(
-        "aggregate(zip_with(sub_e, ce, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, z) -> acc + z)"
-    )
-
-    def assign(sdf, bks):
-        cdf = spark.createDataFrame(
-            [(m, k, bks[m][k]) for m in range(PQ_M) for k in range(PQ_KS)],
-            "sub_id int, code int, ce array<double>",
-        )
-        return (
-            sdf.join(F.broadcast(cdf), "sub_id")
-            .select("vec_id", "sub_id", "sub_e", "code", d2.alias("d2"))
-            .groupBy("vec_id", "sub_id")
-            .agg(F.min_by(F.struct("code", "sub_e"), F.struct("d2", "code")).alias("s"))
-            .select(
-                "vec_id",
-                "sub_id",
-                F.col("s.code").alias("code"),
-                F.col("s.sub_e").alias("sub_e"),
-            )
-        )
-
     for _ in range(PQ_ITERS):
-        assigned = assign(subs, books)
+        assigned = subs.select("sub_id", _pq_code_expr(books).alias("code"), "sub_e")
         means = (
             assigned.select("sub_id", "code", F.posexplode("sub_e").alias("pos", "val"))
             .groupBy("sub_id", "code", "pos")
@@ -905,10 +921,6 @@ def _pq_search(spark: SparkSession, sf_dir: str, coarse: bool) -> DataFrame:
     books = _pq_train(spark, v)
 
     # --- encode corpus: nearest sub-centroid per subspace -> code column
-    cdf = spark.createDataFrame(
-        [(m, k, books[m][k]) for m in range(PQ_M) for k in range(PQ_KS)],
-        "sub_id int, code int, ce array<double>",
-    )
     subs = v.select(
         "vec_id",
         "label",
@@ -924,21 +936,11 @@ def _pq_search(spark: SparkSession, sf_dir: str, coarse: bool) -> DataFrame:
     ).select(
         "vec_id", "label", F.col("s.sub_id").alias("sub_id"), F.col("s.sub_e").alias("sub_e")
     )
-    d2 = F.expr(
-        "aggregate(zip_with(sub_e, ce, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, z) -> acc + z)"
-    )
-    # label rides the existing per-vector agg (functionally dependent on
-    # vec_id) so the coarse filter later needs NO extra join against the
-    # corpus — the code table already knows its inverted list.
-    codes = (
-        subs.join(F.broadcast(cdf), "sub_id")
-        .select("vec_id", "label", "sub_id", "code", d2.alias("d2"))
-        .groupBy("vec_id", "sub_id")
-        .agg(
-            F.min_by("code", F.struct("d2", "code")).alias("code"),
-            F.first("label").alias("label"),
-        )
-    )
+    # Encode is the map-side projection (_pq_code_expr): zero shuffle,
+    # and label rides along so the coarse filter later needs NO extra
+    # join against the corpus — the code row already knows its inverted
+    # list.
+    codes = subs.select("vec_id", "label", "sub_id", _pq_code_expr(books).alias("code"))
 
     # --- per-query ADC lookup tables (driver builds M*Ks*N_QUERIES rows —
     # tiny, broadcast): LUT[q][m][k] = ||q_sub_m - centroid_mk||^2
