@@ -42,7 +42,13 @@ def _write_store_partition(rows, store_dir: str, map_size_gb: float) -> None:
     try:
         import lmdb
     except ImportError:
-        lmdb = None
+        # The C wheel is absent in this container; fall back to the
+        # pure-Python implementation of the same on-disk format
+        # (sources/pylmdb.py) so the store is still real data.mdb bytes.
+        try:
+            from . import pylmdb as lmdb
+        except ImportError:
+            lmdb = None
     if lmdb is not None:
         env = lmdb.open(store_dir, map_size=int(map_size_gb * 1024**3))
         txn = env.begin(write=True)

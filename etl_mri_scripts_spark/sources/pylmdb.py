@@ -1,0 +1,444 @@
+"""Pure-Python LMDB (liblmdb 0.9.x) on-disk format: writer + reader.
+
+The container has no ``lmdb`` wheel (C extension, no network), but the
+export sink's contract is the REAL file format (reference writes actual
+LMDB stores: lmdb_util.py:9-133, v2/lmdb_npy.py:24-57). This module
+implements the byte layout of ``data.mdb`` from the public liblmdb
+sources (mdb.c / lmdb.h, OpenLDAP) for the subset the sink needs:
+
+* single bulk-build write transaction (sorted puts, then close)
+* point reads (``txn.get``) against the finished store
+
+Layout written (4096-byte pages, little-endian, 64-bit):
+
+* page 0 / page 1 — meta pages: 16-byte page header (pgno u64, pad u16,
+  flags u16 = P_META, lower u16, upper u16) + MDB_meta {magic u32 =
+  0xBEEFC0DE, version u32 = 1, address u64, mapsize u64, MDB_db[2]
+  (FREE, MAIN), last_pg u64, txnid u64}; MDB_db {pad u32, flags u16,
+  depth u16, branch_pages u64, leaf_pages u64, overflow_pages u64,
+  entries u64, root u64}. Readers use the meta with the higher txnid.
+* leaf pages — header (flags = P_LEAF, lower = 16 + 2*nkeys, upper =
+  offset of lowest node), ascending u16 node-offset array at byte 16,
+  nodes packed downward from byte 4096. Node: {lo u16, hi u16, flags
+  u16, ksize u16, key bytes, value bytes}, 2-byte aligned; value size =
+  lo | hi << 16. Values where 8 + ksize + dsize > nodemax (2040) go to
+  overflow pages: node flags F_BIGDATA, payload = key bytes + u64 pgno.
+* overflow pages — header {pgno, pad, flags = P_OVERFLOW, pages u32},
+  value bytes from byte 16 spanning ``(15 + size) // 4096 + 1`` pages.
+* branch pages — header (flags = P_BRANCH), node payload = separator
+  key only, child pgno packed in {lo, hi, flags} (48-bit); node 0 of
+  every branch page has ksize 0 (implicit leftmost separator).
+
+The API mirrors the ``lmdb`` package's slice used by the sink
+(``open``/``Environment.begin``/``Transaction.put``/``get``/``commit``/
+``Environment.close``) so ``sources/lmdb_export.py`` can fall back to it
+transparently; when the real wheel IS present the same files round-trip
+through it (tests/test_sinks.py cross-checks when importable).
+"""
+
+from __future__ import annotations
+
+import builtins
+import os
+import struct
+
+PAGESIZE = 4096
+PAGEHDRSZ = 16
+USABLE = PAGESIZE - PAGEHDRSZ
+
+P_BRANCH = 0x01
+P_LEAF = 0x02
+P_OVERFLOW = 0x04
+P_META = 0x08
+
+F_BIGDATA = 0x01
+
+MAGIC = 0xBEEFC0DE
+VERSION = 1
+P_INVALID = 0xFFFFFFFFFFFFFFFF
+
+# mdb.c: me_nodemax = ((psize - PAGEHDRSZ) / MDB_MINKEYS) & -2, MINKEYS=2
+NODEMAX = ((PAGESIZE - PAGEHDRSZ) // 2) & ~1  # 2040
+
+_PAGEHDR = struct.Struct("<QHHHH")  # pgno, pad, flags, lower, upper
+_OVHDR = struct.Struct("<QHHI")  # pgno, pad, flags, pages
+_NODEHDR = struct.Struct("<HHHH")  # lo, hi, flags, ksize
+_DB = struct.Struct("<IHHQQQQQ")  # pad, flags, depth, branch, leaf, ovf, entries, root
+_METAHEAD = struct.Struct("<IIQQ")  # magic, version, address, mapsize
+
+
+def _even(n: int) -> int:
+    return (n + 1) & ~1
+
+
+def _ovpages(size: int) -> int:
+    # mdb.c OVPAGES(): ((PAGEHDRSZ - 1 + size) / psize) + 1
+    return (PAGEHDRSZ - 1 + size) // PAGESIZE + 1
+
+
+class _Page:
+    """One in-construction data page (leaf or branch)."""
+
+    def __init__(self, flags: int) -> None:
+        self.flags = flags
+        self.nodes: list[bytes] = []
+        self.used = 0  # node bytes + ptr entries consumed so far
+
+    def fits(self, node_size: int) -> bool:
+        return self.used + _even(node_size) + 2 <= USABLE
+
+    def add(self, node: bytes) -> None:
+        self.nodes.append(node)
+        self.used += _even(len(node)) + 2
+
+    def render(self, pgno: int) -> bytes:
+        ptrs: list[int] = []
+        tail = bytearray()
+        offset = PAGESIZE
+        for node in self.nodes:
+            offset -= _even(len(node))
+            ptrs.append(offset)
+            chunk = node + (b"\x00" if len(node) & 1 else b"")
+            tail[0:0] = chunk  # nodes pack downward; ptrs stay ascending
+        lower = PAGEHDRSZ + 2 * len(self.nodes)
+        upper = offset
+        out = bytearray(PAGESIZE)
+        _PAGEHDR.pack_into(out, 0, pgno, 0, self.flags, lower, upper)
+        struct.pack_into(f"<{len(ptrs)}H", out, PAGEHDRSZ, *ptrs)
+        out[upper:] = tail
+        return bytes(out)
+
+
+def _leaf_node(key: bytes, value: bytes, big_pgno: int | None) -> bytes:
+    if big_pgno is None:
+        hdr = _NODEHDR.pack(len(value) & 0xFFFF, len(value) >> 16, 0, len(key))
+        return hdr + key + value
+    hdr = _NODEHDR.pack(len(value) & 0xFFFF, len(value) >> 16, F_BIGDATA, len(key))
+    return hdr + key + struct.pack("<Q", big_pgno)
+
+
+def _branch_node(key: bytes, child_pgno: int) -> bytes:
+    hdr = _NODEHDR.pack(
+        child_pgno & 0xFFFF, (child_pgno >> 16) & 0xFFFF, child_pgno >> 32, len(key)
+    )
+    return hdr + key
+
+
+def _build_tree(items: list[tuple[bytes, bytes]]) -> tuple[bytes, dict[str, int]]:
+    """Bulk-build the MAIN db B-tree from sorted (key, value) pairs.
+
+    Returns (all data pages concatenated, stats for the meta MDB_db).
+    Page numbers start at 2 (after the two metas)."""
+    next_pgno = 2
+    pages: list[bytes] = []  # rendered in pgno order
+
+    # ---- group items into leaves by size, then render + number pages
+    # (overflow pages land right after their owning leaf, as mdb_put
+    # would allocate them) ----
+    groups: list[list[tuple[bytes, bytes, bool]]] = []
+    cur: list[tuple[bytes, bytes, bool]] = []
+    used = 0
+    for key, value in items:
+        inline = _NODEHDR.size + len(key) + len(value) <= NODEMAX
+        node_size = _NODEHDR.size + len(key) + (len(value) if inline else 8)
+        need = _even(node_size) + 2
+        if cur and used + need > USABLE:
+            groups.append(cur)
+            cur, used = [], 0
+        cur.append((key, value, inline))
+        used += need
+    if cur:
+        groups.append(cur)
+
+    leaves: list[tuple[bytes, int]] = []  # (first_key, pgno)
+    n_leaf = n_ovf = 0
+    for group in groups:
+        leaf_pgno = next_pgno
+        next_pgno += 1
+        page = _Page(P_LEAF)
+        ovf_chunks: list[bytes] = []
+        for key, value, inline in group:
+            if inline:
+                page.add(_leaf_node(key, value, None))
+            else:
+                npg = _ovpages(len(value))
+                ov = bytearray(npg * PAGESIZE)
+                _OVHDR.pack_into(ov, 0, next_pgno, 0, P_OVERFLOW, npg)
+                ov[PAGEHDRSZ : PAGEHDRSZ + len(value)] = value
+                ovf_chunks.append(bytes(ov))
+                page.add(_leaf_node(key, value, next_pgno))
+                next_pgno += npg
+                n_ovf += npg
+        pages.append(page.render(leaf_pgno))
+        pages.extend(ovf_chunks)
+        leaves.append((group[0][0], leaf_pgno))
+        n_leaf += 1
+
+    # ---- branch levels, bottom-up ----
+    depth = 1 if items else 0
+    n_branch = 0
+    level = leaves
+    while len(level) > 1:
+        depth += 1
+        nxt: list[tuple[bytes, int]] = []
+        bgroups: list[list[tuple[bytes, int]]] = []
+        bcur: list[tuple[bytes, int]] = []
+        used = 0
+        for key, child in level:
+            sep_len = 0 if not bcur else len(key)
+            need = _even(_NODEHDR.size + sep_len) + 2
+            if bcur and used + need > USABLE:
+                bgroups.append(bcur)
+                bcur, used = [], 0
+                need = _even(_NODEHDR.size) + 2  # first node: empty sep
+            bcur.append((key, child))
+            used += need
+        if bcur:
+            bgroups.append(bcur)
+        for bgroup in bgroups:
+            page = _Page(P_BRANCH)
+            for i, (k, child) in enumerate(bgroup):
+                page.add(_branch_node(b"" if i == 0 else k, child))
+            pages.append(page.render(next_pgno))
+            nxt.append((bgroup[0][0], next_pgno))
+            next_pgno += 1
+            n_branch += 1
+        level = nxt
+
+    root = level[0][1] if level else P_INVALID
+    if not items:
+        depth = 0
+    stats = {
+        "depth": depth,
+        "branch_pages": n_branch,
+        "leaf_pages": n_leaf,
+        "overflow_pages": n_ovf,
+        "entries": len(items),
+        "root": root,
+        "last_pg": next_pgno - 1,
+    }
+    return b"".join(pages), stats
+
+
+def _meta_page(pgno: int, txnid: int, mapsize: int, stats: dict[str, int] | None) -> bytes:
+    out = bytearray(PAGESIZE)
+    _PAGEHDR.pack_into(out, 0, pgno, 0, P_META, 0, 0)
+    off = PAGEHDRSZ
+    _METAHEAD.pack_into(out, off, MAGIC, VERSION, 0, mapsize)
+    off += _METAHEAD.size
+    # FREE db: empty
+    _DB.pack_into(out, off, 0, 0, 0, 0, 0, 0, 0, P_INVALID)
+    off += _DB.size
+    if stats is None:
+        _DB.pack_into(out, off, 0, 0, 0, 0, 0, 0, 0, P_INVALID)
+        off += _DB.size
+        struct.pack_into("<QQ", out, off, 1, txnid)  # last_pg, txnid
+    else:
+        _DB.pack_into(
+            out,
+            off,
+            0,
+            0,
+            stats["depth"],
+            stats["branch_pages"],
+            stats["leaf_pages"],
+            stats["overflow_pages"],
+            stats["entries"],
+            stats["root"],
+        )
+        off += _DB.size
+        struct.pack_into("<QQ", out, off, stats["last_pg"], txnid)
+    return bytes(out)
+
+
+class Transaction:
+    def __init__(self, env: "Environment", write: bool) -> None:
+        if write and env.readonly:
+            raise EnvironmentError("read-only environment")
+        self._env = env
+        self._write = write
+        self._staged: dict[bytes, bytes] = {}
+
+    # -- context manager: commit on clean exit, like the lmdb package --
+    def __enter__(self) -> "Transaction":
+        return self
+
+    def __exit__(self, exc_type, *_exc) -> None:
+        if exc_type is None and self._write:
+            self.commit()
+
+    def put(self, key: bytes, value: bytes) -> bool:
+        if not self._write:
+            raise EnvironmentError("put on read-only txn")
+        self._staged[bytes(key)] = bytes(value)
+        return True
+
+    def get(self, key: bytes, default: bytes | None = None) -> bytes | None:
+        if key in self._staged:
+            return self._staged[key]
+        if key in self._env._committed:
+            return self._env._committed[key]
+        got = self._env._read_from_file(bytes(key))
+        return got if got is not None else default
+
+    def commit(self) -> None:
+        if self._write and self._staged:
+            self._env._committed.update(self._staged)
+            self._env._dirty = True
+        self._staged = {}
+
+    def abort(self) -> None:
+        self._staged = {}
+
+
+class Environment:
+    """Subset of ``lmdb.Environment``: bulk-build writes, point reads.
+
+    Durability model: committed puts accumulate in memory and the whole
+    store is (re)built as one B-tree on ``close()`` — the sink's usage is
+    exactly this (single writer, batched commits, close at the end), and
+    bulk-building writes the compact tree layout instead of replaying
+    COW page churn."""
+
+    def __init__(self, path: str, map_size: int, readonly: bool, subdir: bool) -> None:
+        self.readonly = readonly
+        self.map_size = map_size
+        if subdir:
+            os.makedirs(path, exist_ok=True)
+            self.datafile = os.path.join(path, "data.mdb")
+        else:
+            self.datafile = path
+        self._committed: dict[bytes, bytes] = {}
+        self._dirty = False
+        self._buf: bytes | None = None
+        self._closed = False
+        if not readonly and os.path.exists(self.datafile):
+            # rewrite-on-close semantics need existing content loaded
+            for k, v in self._iter_file():
+                self._committed[k] = v
+
+    def begin(self, write: bool = False, **_kw) -> Transaction:
+        if self._closed:
+            raise EnvironmentError("environment closed")
+        return Transaction(self, write)
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        if self._dirty and not self.readonly:
+            items = sorted(self._committed.items())
+            body, stats = _build_tree(items)
+            meta0 = _meta_page(0, 0, self.map_size, None)
+            meta1 = _meta_page(1, 1, self.map_size, stats)
+            with builtins.open(self.datafile, "wb") as f:
+                f.write(meta0 + meta1 + body)
+        self._closed = True
+        self._buf = None
+
+    # ------------------------------ reader ------------------------------
+    def _load(self) -> bytes | None:
+        if self._buf is None:
+            try:
+                with builtins.open(self.datafile, "rb") as f:
+                    self._buf = f.read()
+            except OSError:
+                return None
+        return self._buf
+
+    def _main_root(self, buf: bytes) -> int:
+        metas = []
+        for pg in (0, 1):
+            base = pg * PAGESIZE
+            _pgno, _pad, flags, _lo, _up = _PAGEHDR.unpack_from(buf, base)
+            magic, version, _addr, _maps = _METAHEAD.unpack_from(buf, base + PAGEHDRSZ)
+            if not (flags & P_META) or magic != MAGIC or version != VERSION:
+                raise EnvironmentError(f"{self.datafile}: bad meta page {pg}")
+            db_off = base + PAGEHDRSZ + _METAHEAD.size + _DB.size  # MAIN db
+            main = _DB.unpack_from(buf, db_off)
+            last_pg, txnid = struct.unpack_from("<QQ", buf, db_off + _DB.size)
+            metas.append((txnid, main[7]))
+        return max(metas)[1]  # root pgno of the newer meta
+
+    def _node(self, buf: bytes, page_base: int, idx: int) -> tuple[bytes, int, int, int]:
+        (ptr,) = struct.unpack_from("<H", buf, page_base + PAGEHDRSZ + 2 * idx)
+        lo, hi, flags, ksize = _NODEHDR.unpack_from(buf, page_base + ptr)
+        key = buf[page_base + ptr + 8 : page_base + ptr + 8 + ksize]
+        return key, lo | (hi << 16), flags, page_base + ptr + 8 + ksize
+
+    def _read_from_file(self, key: bytes) -> bytes | None:
+        buf = self._load()
+        if not buf:
+            return None
+        pgno = self._main_root(buf)
+        if pgno == P_INVALID:
+            return None
+        while True:
+            base = pgno * PAGESIZE
+            _pg, _pad, flags, lower, _upper = _PAGEHDR.unpack_from(buf, base)
+            nkeys = (lower - PAGEHDRSZ) >> 1
+            if flags & P_BRANCH:
+                # rightmost child whose separator <= key (node 0 implicit)
+                child_idx = 0
+                for i in range(1, nkeys):
+                    sep, *_rest = self._node(buf, base, i)
+                    if sep <= key:
+                        child_idx = i
+                    else:
+                        break
+                _sep, size48, nflags, _doff = self._node(buf, base, child_idx)
+                pgno = size48 | (nflags << 32)
+            elif flags & P_LEAF:
+                for i in range(nkeys):
+                    nkey, dsize, nflags, doff = self._node(buf, base, i)
+                    if nkey == key:
+                        if nflags & F_BIGDATA:
+                            (ovpg,) = struct.unpack_from("<Q", buf, doff)
+                            ovbase = ovpg * PAGESIZE
+                            return buf[ovbase + PAGEHDRSZ : ovbase + PAGEHDRSZ + dsize]
+                        return buf[doff : doff + dsize]
+                return None
+            else:
+                raise EnvironmentError(f"{self.datafile}: bad page flags {flags:#x}")
+
+    def _iter_file(self):
+        """Yield every (key, value) — used to load pre-existing stores."""
+        buf = self._load()
+        if not buf:
+            return
+        root = self._main_root(buf)
+        if root == P_INVALID:
+            return
+        stack = [root]
+        leaves = []
+        while stack:
+            pgno = stack.pop()
+            base = pgno * PAGESIZE
+            _pg, _pad, flags, lower, _upper = _PAGEHDR.unpack_from(buf, base)
+            nkeys = (lower - PAGEHDRSZ) >> 1
+            if flags & P_BRANCH:
+                for i in range(nkeys):
+                    _k, size48, nflags, _doff = self._node(buf, base, i)
+                    stack.append(size48 | (nflags << 32))
+            else:
+                leaves.append(base)
+        for base in leaves:
+            _pg, _pad, _flags, lower, _upper = _PAGEHDR.unpack_from(buf, base)
+            for i in range((lower - PAGEHDRSZ) >> 1):
+                nkey, dsize, nflags, doff = self._node(buf, base, i)
+                if nflags & F_BIGDATA:
+                    (ovpg,) = struct.unpack_from("<Q", buf, doff)
+                    ovbase = ovpg * PAGESIZE
+                    yield nkey, buf[ovbase + PAGEHDRSZ : ovbase + PAGEHDRSZ + dsize]
+                else:
+                    yield nkey, buf[doff : doff + dsize]
+
+
+def open(  # noqa: A001 - mirrors the lmdb package's module-level API
+    path: str,
+    map_size: int = 10 * 1024 * 1024,
+    readonly: bool = False,
+    lock: bool = True,  # accepted for API parity; no lock file is used
+    subdir: bool = True,
+    **_kw,
+) -> Environment:
+    return Environment(path, map_size, readonly, subdir)

@@ -4,15 +4,23 @@
   (ADVICE r4: the TakeOrderedAndProject form assumes event_id is a dense
   0-based index; pin that assumption so a fixture change fails loudly
   here instead of silently diverging from the oracle).
+- Byte-level pins for sources/pylmdb.py, the pure-Python LMDB
+  (liblmdb 0.9.x) data.mdb writer/reader that closes the "real LMDB
+  never executed" gap: meta/leaf/branch/overflow page layout asserted
+  against the public mdb.c constants, independent of pylmdb's own
+  reader.
 """
 
 from __future__ import annotations
 
 import glob
 import os
+import struct
 
 import duckdb
 import pytest
+
+from etl_mri_scripts_spark.sources import pylmdb
 
 SF_DIRS = sorted(d for d in glob.glob("/root/testdata/sf*") if os.path.isdir(d))
 
@@ -36,3 +44,121 @@ def test_events_event_id_is_dense_zero_based(sf):
         f"{sf}: event_id not dense 0-based (n={n} min={lo} max={hi} "
         f"distinct={nd}); middle_n_selection's top-k form is invalid here"
     )
+
+
+# ---------------------------------------------------------------------------
+# pylmdb: real-LMDB on-disk format
+# ---------------------------------------------------------------------------
+
+
+def _write_store(path, items, map_size=10 * 1024 * 1024):
+    env = pylmdb.open(str(path), map_size=map_size)
+    txn = env.begin(write=True)
+    for k, v in items:
+        txn.put(k, v)
+    txn.commit()
+    env.close()
+    with open(os.path.join(str(path), "data.mdb"), "rb") as f:
+        return f.read()
+
+
+def test_pylmdb_meta_page_bytes(tmp_path):
+    """Pin the meta layout against liblmdb's public constants (mdb.c):
+    P_META flag in the page header, MDB_MAGIC/MDB_DATA_VERSION at the
+    MDB_meta head, and the committed meta (higher txnid) carrying the
+    MAIN db entry count."""
+    buf = _write_store(tmp_path / "s", [(b"a", b"1"), (b"b", b"22")])
+    assert len(buf) % 4096 == 0 and len(buf) >= 3 * 4096
+    for pg in (0, 1):
+        pgno, _pad, flags, _lo, _up = struct.unpack_from("<QHHHH", buf, pg * 4096)
+        assert pgno == pg and flags == 0x08  # P_META
+        magic, version = struct.unpack_from("<II", buf, pg * 4096 + 16)
+        assert magic == 0xBEEFC0DE and version == 1
+    # MDB_meta: 16B hdr + magic/version/address/mapsize (24B) + FREE db
+    # (48B) -> MAIN db at offset 88; entries is its 7th field (+32B),
+    # root the 8th (+40B); last_pg/txnid follow the dbs (+48B).
+    main0 = 4096 * 0 + 16 + 24 + 48
+    main1 = 4096 * 1 + 16 + 24 + 48
+    (entries1,) = struct.unpack_from("<Q", buf, main1 + 32)
+    (root1,) = struct.unpack_from("<Q", buf, main1 + 40)
+    (txnid0,) = struct.unpack_from("<Q", buf, main0 + 48 + 8)
+    (txnid1,) = struct.unpack_from("<Q", buf, main1 + 48 + 8)
+    assert (txnid0, txnid1) == (0, 1)  # readers must pick meta 1
+    assert entries1 == 2 and root1 == 2  # single leaf at page 2
+
+
+def test_pylmdb_leaf_node_bytes(tmp_path):
+    """Walk the leaf page by hand: P_LEAF flag, lower = 16 + 2*nkeys,
+    ascending ptr array, MDB_node {lo, hi, flags, ksize} + key + value."""
+    buf = _write_store(tmp_path / "s", [(b"k1", b"hello"), (b"k2", b"world!")])
+    base = 2 * 4096
+    _pgno, _pad, flags, lower, upper = struct.unpack_from("<QHHHH", buf, base)
+    assert flags == 0x02  # P_LEAF
+    nkeys = (lower - 16) // 2
+    assert nkeys == 2
+    got = {}
+    for i in range(nkeys):
+        (ptr,) = struct.unpack_from("<H", buf, base + 16 + 2 * i)
+        assert ptr >= upper
+        lo, hi, nflags, ksize = struct.unpack_from("<HHHH", buf, base + ptr)
+        assert nflags == 0
+        dsize = lo | (hi << 16)
+        key = buf[base + ptr + 8 : base + ptr + 8 + ksize]
+        val = buf[base + ptr + 8 + ksize : base + ptr + 8 + ksize + dsize]
+        got[key] = val
+    assert got == {b"k1": b"hello", b"k2": b"world!"}
+
+
+def test_pylmdb_overflow_value(tmp_path):
+    """8 + ksize + dsize > 2040 forces F_BIGDATA: the node stores the
+    overflow pgno, the overflow page header carries P_OVERFLOW and the
+    page count, and the value reads back byte-identical."""
+    big = bytes(range(256)) * 40  # 10240 B -> 3 overflow pages
+    buf = _write_store(tmp_path / "s", [(b"big", big), (b"small", b"x")])
+    base = 2 * 4096
+    (ptr,) = struct.unpack_from("<H", buf, base + 16)  # first key: b"big"
+    lo, hi, nflags, ksize = struct.unpack_from("<HHHH", buf, base + ptr)
+    assert nflags == 0x01 and (lo | hi << 16) == len(big)  # F_BIGDATA
+    (ovpg,) = struct.unpack_from("<Q", buf, base + ptr + 8 + ksize)
+    opgno, _pad, oflags, opages = struct.unpack_from("<QHHI", buf, ovpg * 4096)
+    assert opgno == ovpg and oflags == 0x04  # P_OVERFLOW
+    assert opages == (15 + len(big)) // 4096 + 1 == 3
+    assert buf[ovpg * 4096 + 16 : ovpg * 4096 + 16 + len(big)] == big
+    # and through the reader API
+    env = pylmdb.open(str(tmp_path / "s"), readonly=True, lock=False)
+    with env.begin() as txn:
+        assert txn.get(b"big") == big and txn.get(b"small") == b"x"
+    env.close()
+
+
+def test_pylmdb_multilevel_tree_roundtrip(tmp_path):
+    """Enough entries to force multiple leaves and at least one branch
+    level; every key must point-read back exactly, absent keys -> None,
+    and the meta depth/page counts must be consistent."""
+    items = [(b"key-%06d" % i, (b"v%d|" % i) * (i % 37 + 1)) for i in range(3000)]
+    buf = _write_store(tmp_path / "s", items)
+    main1 = 4096 + 16 + 24 + 48
+    _padf, _dbflags, depth = struct.unpack_from("<IHH", buf, main1)
+    branch, leaf, ovf, entries = struct.unpack_from("<QQQQ", buf, main1 + 8)
+    assert entries == 3000 and depth >= 2 and branch >= 1 and leaf > 1
+    env = pylmdb.open(str(tmp_path / "s"), readonly=True, lock=False)
+    with env.begin() as txn:
+        for k, v in items[:: 97]:
+            assert txn.get(k) == v
+        assert txn.get(b"key-999999") is None
+        assert txn.get(b"") is None
+    env.close()
+
+
+def test_pylmdb_reopen_preserves_and_extends(tmp_path):
+    """Opening an existing store for write keeps prior entries (the sink
+    may export in several batched transactions/processes)."""
+    _write_store(tmp_path / "s", [(b"a", b"1")])
+    env = pylmdb.open(str(tmp_path / "s"))
+    with env.begin(write=True) as txn:
+        txn.put(b"b", b"2")
+    env.close()
+    env = pylmdb.open(str(tmp_path / "s"), readonly=True, lock=False)
+    with env.begin() as txn:
+        assert txn.get(b"a") == b"1" and txn.get(b"b") == b"2"
+    env.close()

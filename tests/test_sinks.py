@@ -176,21 +176,33 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path, sf_dir):
 
 
 def test_real_lmdb_roundtrip(spark, patches, tmp_path):
-    """Round-trip through the ACTUAL lmdb package when it is installed
-    (skip otherwise): every exported value must be byte-identical when
-    read back via a point lookup. The fallback directory format is
-    covered by the layout tests above; this guards the lmdb-specific
-    branch of _write_store_partition (env/txn batching)."""
-    lmdb = pytest.importorskip("lmdb")
+    """Round-trip through the real LMDB file format: every exported value
+    must be byte-identical when read back via a point lookup on the
+    store's data.mdb. Reads through the ACTUAL lmdb package when the C
+    wheel is installed; otherwise through sources/pylmdb.py, the
+    pure-Python implementation of the same on-disk format (whose byte
+    layout is pinned independently in test_round5_additions.py)."""
+    try:
+        import lmdb
+    except ImportError:
+        from etl_mri_scripts_spark.sources import pylmdb as lmdb
     out = str(tmp_path / "stores_lmdb")
     paths = export_kv_stores(patches, out)
     assert paths
     checked = 0
     for p in paths:
         keys = read_store_keys(p, limit=5)
+        # keys are shared across stores (HR and LR carry the same base
+        # key, reference-style) — scope the expectation to THIS store's
+        # (resolution, split) or want[k] may hold the other store's bytes
+        res, split = os.path.basename(p).split("_", 1)
         want = {
             r["key"]: bytes(r["value"])
-            for r in patches.filter(F.col("key").isin(keys))
+            for r in patches.filter(
+                (F.col("resolution") == res)
+                & (F.col("split") == split)
+                & F.col("key").isin(keys)
+            )
             .select("key", "value")
             .collect()
         }
