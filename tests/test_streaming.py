@@ -652,3 +652,87 @@ def test_session_finalizer_matches_batch_islands_on_shuffled_arrival(spark, tmp_
         ).collect()
     }
     assert got == expected, f"missing={expected - got} extra={got - expected}"
+
+
+def test_session_finalizer_matches_registered_batch_twin_at_sf001(spark, tmp_path):
+    """VERDICT r4 item 8: pit the streaming finalizer against the
+    REGISTERED batch twin (queries.events_sessionize_custom, the oracled
+    driver query) on the real sf0.01 events table (10k events, 150
+    users), delivered out of order: rows are dealt into three
+    micro-batches by event_id % 3, so each batch holds an arbitrary
+    non-contiguous slice of every user's timeline and late-but-in-
+    watermark events must extend or bridge buffered sessions. The sealed
+    append-mode output must equal the batch result exactly."""
+    from etl_mri_scripts_spark.queries.windows import events_sessionize_custom
+    from etl_mri_scripts_spark.streaming.pipeline import session_finalizer_stream
+    from etl_mri_scripts_spark.tables import table
+    from datetime import datetime
+
+    sf = "/root/testdata/sf0.01"
+    ev = table(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    expected = {
+        (
+            r["user_id"],
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            r["first_event_id"],
+            r["last_event_id"],
+        )
+        for r in events_sessionize_custom(spark, sf).collect()
+    }
+
+    in_dir = str(tmp_path / "sf001stream")
+    os.makedirs(in_dir)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    q = None
+    try:
+        for ci in range(3):
+            chunk = ev.filter(F.col("event_id") % 3 == ci).withColumn(
+                "props", F.lit("")
+            )
+            # parquet, not json: the json writer truncates timestamps to
+            # milliseconds and the equivalence is exact to the microsecond
+            chunk.coalesce(1).write.mode("overwrite").parquet(in_dir + f"/chunk={ci}")
+            if q is None:
+                stream = stream_events(spark, in_dir + "/*", fmt="parquet")
+                # watermark > the table's 30-day span: nothing is late
+                q = (
+                    session_finalizer_stream(stream, gap_sec=600, watermark="40 days")
+                    .writeStream.format("memory")
+                    .queryName("sf001_sessions")
+                    .outputMode("append")
+                    .option("checkpointLocation", str(tmp_path / "sf001ck"))
+                    .start()
+                )
+            q.processAllAvailable()
+        # seal: sentinel event far past every session's last+gap
+        rows = [(10**9, datetime(2024, 12, 1), 10**6, "view", 1.0, "")]
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            in_dir + "/chunk=z"
+        )
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        if q is not None:
+            q.stop()
+    got = {
+        (
+            r["user_id"],
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            r["first_event_id"],
+            r["last_event_id"],
+        )
+        for r in spark.sql(
+            "select * from sf001_sessions where user_id < 1000000"
+        ).collect()
+    }
+    assert got == expected, (
+        f"streaming vs batch twin diverged: missing={len(expected - got)} "
+        f"extra={len(got - expected)}; sample missing={list(expected - got)[:3]} "
+        f"sample extra={list(got - expected)[:3]}"
+    )
