@@ -82,6 +82,15 @@ def main() -> int:
             n_fail += 1
         dt = time.monotonic() - t0
         storage_high_water = max(storage_high_water, storage_mb())
+        # Query-internal persists (minhash signatures, k-means assignments,
+        # rare-shingle tables, ...) are registered in the CacheManager and
+        # stay pinned past the query's action — fine for one query, an
+        # unbounded leak across a 200-query session. Release between
+        # queries; nothing reuses caches across queries (each call builds
+        # fresh plans), so this only caps the session footprint. The rank
+        # machinery's localCheckpoints are NOT in the CacheManager and are
+        # reclaimed by the ContextCleaner on their own.
+        spark.catalog.clearCache()
         results[name] = {"status": status, "sec": round(dt, 2), "err": err}
         print(f"{status:>14}  {dt:6.2f}s  {name}", flush=True)
 
