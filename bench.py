@@ -161,9 +161,14 @@ def main() -> None:
     probes.append(probe_sentinel())
     cpu_total1, cpu_steal1 = read_cpu_stat()
 
-    # Noise factor = observed sentinel median / its pinned baseline median
-    # (same host class, idle conditions). >1 means the host is slower than
-    # at pin time; divide totals by it to compare code, not host weather.
+    # Noise factor = observed sentinel probe median / the SAME statistic
+    # recorded during the pin runs (sentinel_probe_pin = median of the
+    # pin runs' own start/mid/end probes). The statistic must match on
+    # both sides: dividing a median probe by the baseline's
+    # elementwise-best query time would report noise > 1 on an identical
+    # idle host and let a real regression hide in the normalized total.
+    # >1 means the host is slower than at pin time; divide totals by it
+    # to compare code, not host weather.
     sentinel_pin = None
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -171,7 +176,7 @@ def main() -> None:
             base = json.load(f)
         # The pin only calibrates runs at the baseline's own scale factor.
         if base.get("sf") == sf:
-            sentinel_pin = base.get("queries", {}).get(NOISE_SENTINEL)
+            sentinel_pin = base.get("sentinel_probe_pin")
     except (OSError, ValueError):
         pass
     good_probes = [p for p in probes if p is not None]

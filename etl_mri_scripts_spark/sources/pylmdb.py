@@ -60,6 +60,9 @@ P_INVALID = 0xFFFFFFFFFFFFFFFF
 # mdb.c: me_nodemax = ((psize - PAGEHDRSZ) / MDB_MINKEYS) & -2, MINKEYS=2
 NODEMAX = ((PAGESIZE - PAGEHDRSZ) // 2) & ~1  # 2040
 
+# mdb.c ENV_MAXKEY default (MDB_MAXKEYSIZE): 511 bytes
+MAXKEYSIZE = 511
+
 _PAGEHDR = struct.Struct("<QHHHH")  # pgno, pad, flags, lower, upper
 _OVHDR = struct.Struct("<QHHI")  # pgno, pad, flags, pages
 _NODEHDR = struct.Struct("<HHHH")  # lo, hi, flags, ksize
@@ -69,6 +72,13 @@ _METAHEAD = struct.Struct("<IIQQ")  # magic, version, address, mapsize
 
 def _even(n: int) -> int:
     return (n + 1) & ~1
+
+
+def _node_need(node_size: int) -> int:
+    """Page bytes one node consumes: the 2-byte-aligned node itself plus
+    its mp_ptrs index entry. THE page-capacity rule — every grouping and
+    rendering decision must go through this one definition."""
+    return _even(node_size) + 2
 
 
 def _ovpages(size: int) -> int:
@@ -84,12 +94,10 @@ class _Page:
         self.nodes: list[bytes] = []
         self.used = 0  # node bytes + ptr entries consumed so far
 
-    def fits(self, node_size: int) -> bool:
-        return self.used + _even(node_size) + 2 <= USABLE
-
     def add(self, node: bytes) -> None:
         self.nodes.append(node)
-        self.used += _even(len(node)) + 2
+        self.used += _node_need(len(node))
+        assert self.used <= USABLE, "page overfull — grouping must pre-check _node_need"
 
     def render(self, pgno: int) -> bytes:
         ptrs: list[int] = []
@@ -141,7 +149,7 @@ def _build_tree(items: list[tuple[bytes, bytes]]) -> tuple[bytes, dict[str, int]
     for key, value in items:
         inline = _NODEHDR.size + len(key) + len(value) <= NODEMAX
         node_size = _NODEHDR.size + len(key) + (len(value) if inline else 8)
-        need = _even(node_size) + 2
+        need = _node_need(node_size)
         if cur and used + need > USABLE:
             groups.append(cur)
             cur, used = [], 0
@@ -186,11 +194,11 @@ def _build_tree(items: list[tuple[bytes, bytes]]) -> tuple[bytes, dict[str, int]
         used = 0
         for key, child in level:
             sep_len = 0 if not bcur else len(key)
-            need = _even(_NODEHDR.size + sep_len) + 2
+            need = _node_need(_NODEHDR.size + sep_len)
             if bcur and used + need > USABLE:
                 bgroups.append(bcur)
                 bcur, used = [], 0
-                need = _even(_NODEHDR.size) + 2  # first node: empty sep
+                need = _node_need(_NODEHDR.size)  # first node: empty sep
             bcur.append((key, child))
             used += need
         if bcur:
@@ -226,8 +234,11 @@ def _meta_page(pgno: int, txnid: int, mapsize: int, stats: dict[str, int] | None
     off = PAGEHDRSZ
     _METAHEAD.pack_into(out, off, MAGIC, VERSION, 0, mapsize)
     off += _METAHEAD.size
-    # FREE db: empty
-    _DB.pack_into(out, off, 0, 0, 0, 0, 0, 0, 0, P_INVALID)
+    # FREE db: empty EXCEPT its pad field — liblmdb aliases it as the
+    # persisted page size (mdb.c: #define mm_psize mm_dbs[FREE_DBI].md_pad);
+    # a zero here makes the real library divide by zero computing
+    # mapsize / psize at open.
+    _DB.pack_into(out, off, PAGESIZE, 0, 0, 0, 0, 0, 0, P_INVALID)
     off += _DB.size
     if stats is None:
         _DB.pack_into(out, off, 0, 0, 0, 0, 0, 0, 0, P_INVALID)
@@ -270,6 +281,13 @@ class Transaction:
     def put(self, key: bytes, value: bytes) -> bool:
         if not self._write:
             raise EnvironmentError("put on read-only txn")
+        if not 0 < len(key) <= MAXKEYSIZE:
+            # real lmdb: MDB_BAD_VALSIZE at put(); failing here (not at
+            # close) keeps the error at the faulty call and preserves
+            # every other committed entry
+            raise EnvironmentError(
+                f"MDB_BAD_VALSIZE: key length {len(key)} not in 1..{MAXKEYSIZE}"
+            )
         self._staged[bytes(key)] = bytes(value)
         return True
 
@@ -325,7 +343,12 @@ class Environment:
     def close(self) -> None:
         if self._closed:
             return
-        if self._dirty and not self.readonly:
+        # Real lmdb materializes the meta pages on environment creation,
+        # so even a store that never saw a put must leave a valid (empty)
+        # data.mdb behind — otherwise an empty export partition ships a
+        # store that readers cannot open.
+        must_create = not self.readonly and not os.path.exists(self.datafile)
+        if (self._dirty or must_create) and not self.readonly:
             items = sorted(self._committed.items())
             body, stats = _build_tree(items)
             meta0 = _meta_page(0, 0, self.map_size, None)

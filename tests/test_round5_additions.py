@@ -150,6 +150,57 @@ def test_pylmdb_multilevel_tree_roundtrip(tmp_path):
     env.close()
 
 
+def test_pylmdb_psize_in_free_db_pad(tmp_path):
+    """liblmdb aliases the FREE db's pad field as the persisted page size
+    (mdb.c: #define mm_psize mm_dbs[FREE_DBI].md_pad); writing 0 there
+    makes the real library divide by zero (mapsize / psize) at open.
+    Both metas must carry 4096."""
+    buf = _write_store(tmp_path / "s", [(b"a", b"1")])
+    for pg in (0, 1):
+        free_db = pg * 4096 + 16 + 24  # page hdr + magic/ver/addr/mapsize
+        (psize,) = struct.unpack_from("<I", buf, free_db)
+        assert psize == 4096, f"meta {pg}: mm_psize {psize} != 4096"
+
+
+def test_pylmdb_oversized_key_fails_at_put_not_close(tmp_path):
+    """Real lmdb rejects keys > 511 bytes with MDB_BAD_VALSIZE at put();
+    failing late (at close) would discard every other committed entry."""
+    env = pylmdb.open(str(tmp_path / "s"))
+    txn = env.begin(write=True)
+    with pytest.raises(EnvironmentError, match="MDB_BAD_VALSIZE"):
+        txn.put(b"K" * 512, b"v")
+    with pytest.raises(EnvironmentError, match="MDB_BAD_VALSIZE"):
+        txn.put(b"", b"v")
+    txn.put(b"K" * 511, b"ok")  # boundary key is legal
+    txn.put(b"a", b"1")
+    txn.commit()
+    env.close()
+    env = pylmdb.open(str(tmp_path / "s"), readonly=True, lock=False)
+    with env.begin() as txn:
+        assert txn.get(b"a") == b"1" and txn.get(b"K" * 511) == b"ok"
+    env.close()
+
+
+def test_pylmdb_empty_store_is_a_valid_file(tmp_path):
+    """A store that never saw a put must still leave a valid empty
+    data.mdb (real lmdb materializes the metas at env creation); an
+    empty export partition must not ship an unopenable store."""
+    env = pylmdb.open(str(tmp_path / "s"))
+    with env.begin(write=True) as txn:
+        pass  # no puts
+    env.close()
+    datafile = os.path.join(str(tmp_path / "s"), "data.mdb")
+    assert os.path.exists(datafile)
+    with open(datafile, "rb") as f:
+        buf = f.read()
+    (magic,) = struct.unpack_from("<I", buf, 16)
+    assert magic == 0xBEEFC0DE
+    env = pylmdb.open(str(tmp_path / "s"), readonly=True, lock=False)
+    with env.begin() as txn:
+        assert txn.get(b"anything") is None
+    env.close()
+
+
 def test_pylmdb_reopen_preserves_and_extends(tmp_path):
     """Opening an existing store for write keeps prior entries (the sink
     may export in several batched transactions/processes)."""
