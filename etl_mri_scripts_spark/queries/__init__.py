@@ -79,6 +79,28 @@ _DRIVER_ORDER = [
     "sketch_countmin_heavy_hitters",
     "sketch_kmv_distinct_by_nation",
     "corpus_epochs_budget",
+    # --- r5 re-checks: implementation changed THIS round after their
+    # driver row, so they re-verify in the same round's driver run
+    # instead of queueing for round 6. (a) rank.py persist ->
+    # localCheckpoint(eager=False) touches every rank-helper consumer;
+    # (b) the k-means/PQ literal-argmin rewrite touches the clustered
+    # ANN family. All verified locally at sf0.01 AND sf0.1 post-change.
+    "text_vocabulary_ranked",  # r5: rank localCheckpoint
+    "sample_stratified_exact",  # r5: rank localCheckpoint
+    "curation_funnel",  # r5: rank localCheckpoint
+    "pack_sequences_concat",  # r5: rank localCheckpoint
+    "training_shard_assignment",  # r5: rank localCheckpoint
+    "docs_compaction_plan",  # r5: rank localCheckpoint
+    "source_cap_downsample",  # r5: rank localCheckpoint
+    "customer_revenue_gini",  # r5: rank localCheckpoint
+    "customer_rfm_segments",  # r5: rank localCheckpoint
+    "revenue_pareto_share",  # r5: rank localCheckpoint
+    "ann_ivf_kmeans_topk",  # r5: literal-argmin assignment
+    "ann_pq_adc_topk",  # r5: literal-argmin train/encode
+    "ann_ivf_pq_topk",  # r5: literal-argmin train/encode
+    "dedup_semantic_keep",  # r5: literal-argmin assignment
+    "ann_recall_eval",  # r5: evaluates the rewritten ANN methods
+    "ann_truncated_recall_eval",  # r5: evaluates the rewritten ANN methods
 ]
 
 
