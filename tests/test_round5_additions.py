@@ -213,3 +213,41 @@ def test_pylmdb_reopen_preserves_and_extends(tmp_path):
     with env.begin() as txn:
         assert txn.get(b"a") == b"1" and txn.get(b"b") == b"2"
     env.close()
+
+
+def test_pylmdb_fuzz_roundtrip(tmp_path):
+    """Property-style round-trip: random key/value sizes straddling every
+    layout boundary (inline vs F_BIGDATA at 8+ksize+dsize=2040, one- vs
+    multi-page overflow at 4080/4096, single- vs multi-leaf, empty
+    values, max-size keys). Deterministic LCG so failures reproduce."""
+    x = 987654321
+    def rnd(n):
+        nonlocal x
+        x = (x * 6364136223846793005 + 1442695040888963407) % 2**64
+        return x % n
+
+    items = {}
+    for i in range(400):
+        klen = [1, 2, 7, 64, 200, 511][rnd(6)]
+        key = (b"%06d-" % i) + bytes(rnd(256) for _ in range(max(0, klen - 7)))
+        vlen = [0, 1, 100, 2024, 2025, 2040, 4079, 4080, 4081, 9000][rnd(10)]
+        items[key] = bytes(rnd(256) for _ in range(vlen))
+    env = pylmdb.open(str(tmp_path / "s"), map_size=64 * 1024 * 1024)
+    txn = env.begin(write=True)
+    for n, (k, v) in enumerate(items.items(), 1):
+        txn.put(k, v)
+        if n % 100 == 0:  # batched commits like the export sink
+            txn.commit()
+            txn = env.begin(write=True)
+    txn.commit()
+    env.close()
+
+    env = pylmdb.open(str(tmp_path / "s"), readonly=True, lock=False)
+    with env.begin() as txn:
+        for k, v in items.items():
+            assert txn.get(k) == v, f"mismatch for {k!r}"
+        assert txn.get(b"\xff" * 16) is None
+    # and the full scan sees exactly the written set, in sorted order
+    got = list(env._iter_file())
+    assert {k: v for k, v in got} == items
+    env.close()
