@@ -81,6 +81,22 @@ def _node_need(node_size: int) -> int:
     return _even(node_size) + 2
 
 
+def _rebalance_tail(groups: list[list], need_of) -> None:
+    """liblmdb keeps >= MDB_MINKEYS (2) nodes on every non-root page; a
+    greedy fill can strand a single node on the trailing page, which
+    trips the real library's page-fill assertions. Steal one node from
+    the previous page when the pair fits (two NODEMAX-sized inline nodes
+    plus their index entries exceed USABLE by 4 bytes, so the guard is
+    not theoretical)."""
+    if (
+        len(groups) > 1
+        and len(groups[-1]) == 1
+        and len(groups[-2]) > 2
+        and need_of(groups[-2][-1]) + need_of(groups[-1][0]) <= USABLE
+    ):
+        groups[-1].insert(0, groups[-2].pop())
+
+
 def _ovpages(size: int) -> int:
     # mdb.c OVPAGES(): ((PAGEHDRSZ - 1 + size) / psize) + 1
     return (PAGEHDRSZ - 1 + size) // PAGESIZE + 1
@@ -157,6 +173,12 @@ def _build_tree(items: list[tuple[bytes, bytes]]) -> tuple[bytes, dict[str, int]
         used += need
     if cur:
         groups.append(cur)
+    _rebalance_tail(
+        groups,
+        lambda it: _node_need(
+            _NODEHDR.size + len(it[0]) + (len(it[1]) if it[2] else 8)
+        ),
+    )
 
     leaves: list[tuple[bytes, int]] = []  # (first_key, pgno)
     n_leaf = n_ovf = 0
@@ -203,6 +225,8 @@ def _build_tree(items: list[tuple[bytes, bytes]]) -> tuple[bytes, dict[str, int]
             used += need
         if bcur:
             bgroups.append(bcur)
+        # sep keys are <= MAXKEYSIZE, so any two branch nodes fit
+        _rebalance_tail(bgroups, lambda it: _node_need(_NODEHDR.size + len(it[0])))
         for bgroup in bgroups:
             page = _Page(P_BRANCH)
             for i, (k, child) in enumerate(bgroup):

@@ -251,3 +251,26 @@ def test_pylmdb_fuzz_roundtrip(tmp_path):
     got = list(env._iter_file())
     assert {k: v for k, v in got} == items
     env.close()
+
+
+def test_pylmdb_no_single_node_trailing_pages(tmp_path):
+    """liblmdb's page-fill invariant: >= 2 nodes on every non-root page.
+    Pick an item size where a leaf holds an odd-making count so the
+    greedy fill would strand one node on the last page, then verify the
+    rebalance moved a neighbor over."""
+    # ~500 B inline nodes -> 8 per leaf (8*504=4032 <= 4080); 17 items
+    # would greedily pack 8+8+1
+    items = [(b"k%02d" % i, b"v" * 492) for i in range(17)]
+    buf = _write_store(tmp_path / "s", items)
+    n_pages = len(buf) // 4096
+    counts = []
+    for pg in range(2, n_pages):
+        _pgno, _pad, flags, lower, _up = struct.unpack_from("<QHHHH", buf, pg * 4096)
+        if flags == 0x02:  # P_LEAF
+            counts.append((lower - 16) // 2)
+    assert sum(counts) == 17 and min(counts) >= 2, counts
+    env = pylmdb.open(str(tmp_path / "s"), readonly=True, lock=False)
+    with env.begin() as txn:
+        for k, v in items:
+            assert txn.get(k) == v
+    env.close()
