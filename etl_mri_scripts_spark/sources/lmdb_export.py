@@ -39,16 +39,27 @@ def _write_store_partition(rows, store_dir: str, map_size_gb: float) -> None:
         ((r["key"], bytes(r["value"]), r["meta_line"]) for r in rows), key=lambda t: t[0]
     )
     meta_path = os.path.join(store_dir, "meta_info.txt")
+    # Writer preference: the lmdb wheel; else the system liblmdb shared
+    # library via ctypes (sources/lmdb_ctypes.py — genuine liblmdb code,
+    # just without the wheel); else the pure-Python writer of the same
+    # on-disk format (sources/pylmdb.py). All three produce real
+    # data.mdb bytes; the directory-KV layout is the last resort.
+    lmdb = None
     try:
         import lmdb
     except ImportError:
-        # The C wheel is absent in this container; fall back to the
-        # pure-Python implementation of the same on-disk format
-        # (sources/pylmdb.py) so the store is still real data.mdb bytes.
         try:
-            from . import pylmdb as lmdb
-        except ImportError:
-            lmdb = None
+            from . import lmdb_ctypes
+
+            if lmdb_ctypes.available():
+                lmdb = lmdb_ctypes
+        except Exception:  # noqa: BLE001 - any ctypes failure -> next tier
+            pass
+        if lmdb is None:
+            try:
+                from . import pylmdb as lmdb
+            except ImportError:
+                lmdb = None
     if lmdb is not None:
         env = lmdb.open(store_dir, map_size=int(map_size_gb * 1024**3))
         txn = env.begin(write=True)
@@ -59,6 +70,13 @@ def _write_store_partition(rows, store_dir: str, map_size_gb: float) -> None:
                     txn.commit()
                     txn = env.begin(write=True)
             txn.commit()
+        except BaseException:
+            # liblmdb forbids closing an environment with a live write
+            # txn; abort it before the close below re-raises the error
+            abort = getattr(txn, "abort", None)
+            if abort is not None:
+                abort()
+            raise
         finally:
             env.close()
     else:

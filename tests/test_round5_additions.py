@@ -274,3 +274,98 @@ def test_pylmdb_no_single_node_trailing_pages(tmp_path):
         for k, v in items:
             assert txn.get(k) == v
     env.close()
+
+
+# ---------------------------------------------------------------------------
+# cross-validation against the REAL liblmdb shared library (ctypes)
+# ---------------------------------------------------------------------------
+
+
+def _real_lmdb():
+    from etl_mri_scripts_spark.sources import lmdb_ctypes
+
+    if not lmdb_ctypes.available():
+        pytest.skip("no liblmdb shared library on this host")
+    return lmdb_ctypes
+
+
+def _cross_items():
+    items = {b"k%03d" % i: (b"v%d|" % i) * (i % 50 + 1) for i in range(300)}
+    items[b"bigval"] = bytes(range(256)) * 40  # 10 KB -> overflow pages
+    items[b"empty"] = b""
+    items[b"K" * 511] = b"max key"
+    return items
+
+
+def test_real_liblmdb_reads_pylmdb_store(tmp_path):
+    """THE format proof: genuine liblmdb (via ctypes, no wheel needed)
+    must open a pylmdb-written store and return every value
+    byte-identical — inline nodes, overflow pages, empty values,
+    max-size keys, multi-leaf tree."""
+    lmdb_ctypes = _real_lmdb()
+    items = _cross_items()
+    env = pylmdb.open(str(tmp_path / "s"))
+    with env.begin(write=True) as txn:
+        for k, v in items.items():
+            txn.put(k, v)
+    env.close()
+    renv = lmdb_ctypes.open(str(tmp_path / "s"), readonly=True, lock=False)
+    with renv.begin() as txn:
+        for k, v in items.items():
+            assert txn.get(k) == v, f"real liblmdb mismatch for {k!r}"
+        assert txn.get(b"absent") is None
+    renv.close()
+
+
+def test_pylmdb_reads_real_liblmdb_store(tmp_path):
+    """And the other direction: pylmdb's reader walks a store written by
+    genuine liblmdb (COW page layout, populated free-list db, real split
+    decisions) and returns every value byte-identical."""
+    lmdb_ctypes = _real_lmdb()
+    items = _cross_items()
+    wenv = lmdb_ctypes.open(str(tmp_path / "s"), map_size=64 * 1024 * 1024)
+    txn = wenv.begin(write=True)
+    for n, (k, v) in enumerate(items.items(), 1):
+        txn.put(k, v)
+        if n % 100 == 0:  # several commits -> real COW churn
+            txn.commit()
+            txn = wenv.begin(write=True)
+    txn.commit()
+    wenv.close()
+    penv = pylmdb.open(str(tmp_path / "s"), readonly=True, lock=False)
+    with penv.begin() as txn:
+        for k, v in items.items():
+            assert txn.get(k) == v, f"pylmdb mismatch reading real store for {k!r}"
+        assert txn.get(b"absent") is None
+    penv.close()
+
+
+def test_real_liblmdb_reads_export_sink_store(spark, tmp_path):
+    """End-to-end: a store exported by the Spark sink (which prefers the
+    ctypes tier here) must point-read through genuine liblmdb."""
+    from etl_mri_scripts_spark.operators.pipeline import PipelineConfig, run_pipeline
+    from etl_mri_scripts_spark.sources.lmdb_export import export_kv_stores, read_store_keys
+    from etl_mri_scripts_spark.sources.volumes import synthetic_volumes
+    from pyspark.sql import functions as F
+
+    lmdb_ctypes = _real_lmdb()
+    cfg = PipelineConfig(crop_hr=16, step_hr=8, scales=(2,))
+    vols = synthetic_volumes(spark, 1, (24, 24, 4), seed=3)
+    patches = run_pipeline(spark, vols, cfg)
+    out = str(tmp_path / "stores")
+    paths = export_kv_stores(patches, out)
+    assert paths
+    p = paths[0]
+    res, split = os.path.basename(p).split("_", 1)
+    keys = read_store_keys(p, limit=3)
+    want = {
+        r["key"]: bytes(r["value"])
+        for r in patches.filter(
+            (F.col("resolution") == res) & (F.col("split") == split) & F.col("key").isin(keys)
+        ).select("key", "value").collect()
+    }
+    env = lmdb_ctypes.open(p, readonly=True, lock=False)
+    with env.begin() as txn:
+        for k in keys:
+            assert txn.get(k.encode("ascii")) == want[k]
+    env.close()

@@ -185,7 +185,9 @@ def test_real_lmdb_roundtrip(spark, patches, tmp_path):
     try:
         import lmdb
     except ImportError:
-        from etl_mri_scripts_spark.sources import pylmdb as lmdb
+        from etl_mri_scripts_spark.sources import lmdb_ctypes, pylmdb
+
+        lmdb = lmdb_ctypes if lmdb_ctypes.available() else pylmdb
     out = str(tmp_path / "stores_lmdb")
     paths = export_kv_stores(patches, out)
     assert paths
