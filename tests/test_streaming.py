@@ -375,7 +375,11 @@ def test_transform_with_state_matches_applyinpandas_twin(spark, tmp_path, sf_dir
     """transformWithStateInPandas (Spark 4 typed-state API) must produce
     the same running totals as the applyInPandasWithState form and the
     batch aggregate. Needs google.protobuf (the TWS state-server wire
-    format), absent in this container -> skip, like the real-lmdb test."""
+    format) importable IN-PROCESS, absent in this container -> skip; the
+    path still executes here via the subprocess harness in
+    test_round5_additions.py::test_transform_with_state_via_host_protobuf,
+    which injects a host-provided protobuf runtime into worker
+    PYTHONPATH."""
     pytest.importorskip("google.protobuf")
     from etl_mri_scripts_spark.streaming.pipeline import running_counters_tws_stream
     from etl_mri_scripts_spark.tables import table
