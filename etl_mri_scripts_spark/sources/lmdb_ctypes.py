@@ -97,7 +97,11 @@ def available() -> bool:
     try:
         _lib()
         return True
-    except ImportError:
+    except Exception:  # noqa: BLE001 - unloadable/incomplete .so == unavailable
+        # Not just ImportError: a wrong-arch or truncated liblmdb.so
+        # found by the glob raises OSError from CDLL, an ancient one
+        # AttributeError on missing symbols. Any failure means this
+        # tier is unavailable — callers fall through to pylmdb.
         return False
 
 
@@ -123,9 +127,17 @@ class Transaction:
             _lib().mdb_txn_begin(env._env, None, flags, ctypes.byref(self._txn)),
             "mdb_txn_begin",
         )
-        self._dbi = ctypes.c_uint()
-        _check(_lib().mdb_dbi_open(self._txn, None, 0, ctypes.byref(self._dbi)), "mdb_dbi_open")
         self._done = False
+        self._dbi = ctypes.c_uint()
+        try:
+            _check(
+                _lib().mdb_dbi_open(self._txn, None, 0, ctypes.byref(self._dbi)),
+                "mdb_dbi_open",
+            )
+        except BaseException:
+            # never leak a live txn into env.close() (liblmdb UB)
+            self.abort()
+            raise
 
     def __enter__(self) -> "Transaction":
         return self

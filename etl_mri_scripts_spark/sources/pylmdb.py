@@ -21,7 +21,7 @@ Layout written (4096-byte pages, little-endian, 64-bit):
   offset of lowest node), ascending u16 node-offset array at byte 16,
   nodes packed downward from byte 4096. Node: {lo u16, hi u16, flags
   u16, ksize u16, key bytes, value bytes}, 2-byte aligned; value size =
-  lo | hi << 16. Values where 8 + ksize + dsize > nodemax (2040) go to
+  lo | hi << 16. Values where 8 + ksize + dsize > nodemax (2038) go to
   overflow pages: node flags F_BIGDATA, payload = key bytes + u64 pgno.
 * overflow pages — header {pgno, pad, flags = P_OVERFLOW, pages u32},
   value bytes from byte 16 spanning ``(15 + size) // 4096 + 1`` pages.
@@ -57,8 +57,14 @@ MAGIC = 0xBEEFC0DE
 VERSION = 1
 P_INVALID = 0xFFFFFFFFFFFFFFFF
 
-# mdb.c: me_nodemax = ((psize - PAGEHDRSZ) / MDB_MINKEYS) & -2, MINKEYS=2
-NODEMAX = ((PAGESIZE - PAGEHDRSZ) // 2) & ~1  # 2040
+# mdb.c: me_nodemax = (((psize - PAGEHDRSZ) / MDB_MINKEYS) & -2)
+#                     - sizeof(indx_t),  MINKEYS=2
+# = 2038 for 4096-byte pages. The trailing indx_t subtraction matters:
+# it makes exactly two maximal inline nodes (plus their index entries)
+# fill a page, and it is the real library's inline/F_BIGDATA boundary —
+# verified empirically against liblmdb 0.9.31 (total 2038 inlines,
+# 2039 spills; tests/test_round5_additions.py pins it).
+NODEMAX = (((PAGESIZE - PAGEHDRSZ) // 2) & ~1) - 2  # 2038
 
 # mdb.c ENV_MAXKEY default (MDB_MAXKEYSIZE): 511 bytes
 MAXKEYSIZE = 511
@@ -82,12 +88,16 @@ def _node_need(node_size: int) -> int:
 
 
 def _rebalance_tail(groups: list[list], need_of) -> None:
-    """liblmdb keeps >= MDB_MINKEYS (2) nodes on every non-root page; a
-    greedy fill can strand a single node on the trailing page, which
-    trips the real library's page-fill assertions. Steal one node from
-    the previous page when the pair fits (two NODEMAX-sized inline nodes
-    plus their index entries exceed USABLE by 4 bytes, so the guard is
-    not theoretical)."""
+    """Best-effort MDB_MINKEYS hygiene: a greedy fill can strand a
+    single node on the trailing page; steal one from the previous page
+    when that page keeps >= 2 nodes and the pair fits. With NODEMAX
+    2038 two maximal inline nodes fill a page exactly, so the fit guard
+    only bites for hypothetical layouts. A 1-node trailing page remains
+    UNAVOIDABLE when only two nodes fit per page and the count is odd —
+    real liblmdb's own splitter produces 1-node leaf pages for such
+    oversized nodes too (its MINKEYS enforcement is a delete-time
+    rebalance, not a write-layout invariant), so readers must and do
+    tolerate them."""
     if (
         len(groups) > 1
         and len(groups[-1]) == 1

@@ -110,7 +110,7 @@ def test_pylmdb_leaf_node_bytes(tmp_path):
 
 
 def test_pylmdb_overflow_value(tmp_path):
-    """8 + ksize + dsize > 2040 forces F_BIGDATA: the node stores the
+    """8 + ksize + dsize > 2038 forces F_BIGDATA: the node stores the
     overflow pgno, the overflow page header carries P_OVERFLOW and the
     page count, and the value reads back byte-identical."""
     big = bytes(range(256)) * 40  # 10240 B -> 3 overflow pages
@@ -217,7 +217,7 @@ def test_pylmdb_reopen_preserves_and_extends(tmp_path):
 
 def test_pylmdb_fuzz_roundtrip(tmp_path):
     """Property-style round-trip: random key/value sizes straddling every
-    layout boundary (inline vs F_BIGDATA at 8+ksize+dsize=2040, one- vs
+    layout boundary (inline vs F_BIGDATA at 8+ksize+dsize=2038, one- vs
     multi-page overflow at 4080/4096, single- vs multi-leaf, empty
     values, max-size keys). Deterministic LCG so failures reproduce."""
     x = 987654321
@@ -230,7 +230,7 @@ def test_pylmdb_fuzz_roundtrip(tmp_path):
     for i in range(400):
         klen = [1, 2, 7, 64, 200, 511][rnd(6)]
         key = (b"%06d-" % i) + bytes(rnd(256) for _ in range(max(0, klen - 7)))
-        vlen = [0, 1, 100, 2024, 2025, 2040, 4079, 4080, 4081, 9000][rnd(10)]
+        vlen = [0, 1, 100, 2022, 2023, 2024, 2038, 4079, 4080, 4081, 9000][rnd(11)]
         items[key] = bytes(rnd(256) for _ in range(vlen))
     env = pylmdb.open(str(tmp_path / "s"), map_size=64 * 1024 * 1024)
     txn = env.begin(write=True)
@@ -491,3 +491,25 @@ def test_transform_with_state_via_host_protobuf(tmp_path):
         f"rc={proc.returncode}\nstdout: {proc.stdout[-2000:]}\n"
         f"stderr: {proc.stderr[-3000:]}"
     )
+
+
+def test_pylmdb_inline_overflow_threshold_matches_real_liblmdb(tmp_path):
+    """Pin the inline/F_BIGDATA boundary to the REAL library's behavior:
+    liblmdb 0.9.31 inlines a node iff 8 + ksize + dsize <= 2038
+    (me_nodemax subtracts sizeof(indx_t) after the & -2 — verified
+    empirically: total 2038 inline, 2039 spills). pylmdb must make the
+    identical decision at every boundary total, and genuine liblmdb
+    must read the boundary stores byte-exactly."""
+    lmdb_ctypes = _real_lmdb()
+    for total, want_big in [(2037, 0), (2038, 0), (2039, 1), (2040, 1)]:
+        vlen = total - 8 - 3
+        p = str(tmp_path / f"s{total}")
+        buf = _write_store(p, [(b"key", b"v" * vlen)])
+        base = 2 * 4096
+        (ptr,) = struct.unpack_from("<H", buf, base + 16)
+        _lo, _hi, nflags, _ks = struct.unpack_from("<HHHH", buf, base + ptr)
+        assert nflags == want_big, f"total={total}: pylmdb flags {nflags} != {want_big}"
+        env = lmdb_ctypes.open(p, readonly=True, lock=False)
+        with env.begin() as txn:
+            assert txn.get(b"key") == b"v" * vlen
+        env.close()
