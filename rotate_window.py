@@ -39,9 +39,13 @@ def main() -> int:
     from etl_mri_scripts_spark.queries import QUERIES
 
     verified: set[str] = set()
+    last_round: dict[str, str] = {}  # query -> newest CORRECTNESS file containing it
     for fn in sorted(glob.glob("CORRECTNESS_r*.json")):
         with open(fn) as f:
-            verified |= set(json.load(f))
+            names = set(json.load(f))
+        verified |= names
+        for n in names:
+            last_round[n] = fn
 
     rechecks = [n for n in args.recheck.split(",") if n]
     missing = [n for n in rechecks if n not in QUERIES]
@@ -59,8 +63,22 @@ def main() -> int:
     slots = max(0, args.window - len(head))
     rotation, queue = unverified[:slots], unverified[slots:]
 
+    # Once the whole registry is driver-verified, spare window slots go
+    # to the queries whose driver rows are OLDEST — freshness rotation,
+    # so every row is eventually re-earned under current code.
+    freshness: list[tuple[str, str]] = []
+    spare = slots - len(rotation)
+    if spare > 0 and not queue:
+        taken = set(head) | set(rotation)
+        stalest = sorted(
+            (n for n in QUERIES if n not in taken),
+            key=lambda n: (last_round.get(n, ""), n),
+        )
+        freshness = [(n, last_round.get(n, "?")) for n in stalest[:spare]]
+
     print(f"# window={args.window}: {len(SENTINELS)} sentinels + "
-          f"{len(rechecks)} re-checks + {len(rotation)} rotation; "
+          f"{len(rechecks)} re-checks + {len(rotation)} rotation + "
+          f"{len(freshness)} freshness; "
           f"{len(queue)} queued for the round after")
     print("_DRIVER_ORDER = [")
     for n in SENTINELS:
@@ -69,6 +87,8 @@ def main() -> int:
         print(f'    "{n}",  # re-check: implementation changed')
     for n in rotation:
         print(f'    "{n}",')
+    for n, src in freshness:
+        print(f'    "{n}",  # freshness: last driver row {src}')
     if queue:
         print("    # ============ next-round rotation queue ================")
         for n in queue:
