@@ -448,6 +448,7 @@ def degrade_slice(
         work = spgr_signal(work, t1, t2s, params.tr_ms, params.te_ms, params.flip_deg)
 
     lr = kspace_lowpass(work, (1.0 / f, 1.0 / f), params.window_kind, params.keep_size)
+    clean_lr = lr  # the robust-rescale reference below is THIS array
     lr = apply_motion(lr, params.motion_max_shift, params.motion_line_jitter, rng)
     lr = apply_bias_field(lr, params.bias_strength, params.bias_scale_rel, rng)
 
@@ -466,8 +467,12 @@ def degrade_slice(
         raise ValueError(f"unknown noise model {params.noise_model}")
 
     if params.robust_rescale:
-        ref = kspace_lowpass(work, (1.0 / f, 1.0 / f), params.window_kind, params.keep_size)
-        lr = robust_rescale_ref(lr, ref)
+        # reuse the pre-motion/bias/noise low-pass computed above — a
+        # second identical kspace_lowpass call doubled the FFT cost of
+        # every slice on the default presets (r5 review). Safe because
+        # apply_motion/bias/noise all return new arrays (clean_lr is
+        # never mutated), asserted by the D11 reference-reuse test.
+        lr = robust_rescale_ref(lr, clean_lr)
 
     meta = {
         "field_target_tesla": f"{b0:g}",

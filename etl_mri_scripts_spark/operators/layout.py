@@ -46,7 +46,17 @@ def _interleave(cols: list[Column], bits: int) -> Column:
 
 def zorder_sorted(df: DataFrame, dims: list[str], bits: int = ZBITS) -> DataFrame:
     """Return ``df`` clustered by the Morton key of ``dims`` (the write-side
-    op: call right before .write so row groups inherit the clustering)."""
+    op: call right before .write so row groups inherit the clustering).
+
+    ``bits`` is capped so the interleaved key fits the 63 value bits of a
+    signed long: at the default 21 bits, a 4th dimension would place bits
+    at positions up to 83 — shiftleft silently drops them and position 63
+    flips the key's sign, destroying the clustering the function exists
+    for. Capping (vs raising) keeps any dims count usable: resolution per
+    dimension drops but monotonicity — all Morton needs — survives."""
+    if not dims:
+        raise ValueError("zorder_sorted needs at least one dimension")
+    bits = min(bits, 63 // len(dims))
     aggs = []
     for d in dims:
         aggs += [F.min(d).alias(f"__lo_{d}"), F.max(d).alias(f"__hi_{d}")]

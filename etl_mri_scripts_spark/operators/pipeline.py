@@ -12,7 +12,9 @@ One DataFrame lineage replaces the reference's three disk round-trips
 - volumes are one row each; per-volume stats (P5) are a per-record map, not
   a shuffle. The 100 TB hazard is row size (a 960x840x640 f32 volume is
   ~2 GB): production ingest must decode slab-wise on executors (S5 lazy
-  read) and the Arrow batch size is pinned to 1 row for the volume stage.
+  read) and the Arrow batch size is pinned small for the volume stage
+  (ARROW_VOLUME_BATCH rows — set by BOTH run_pipeline and the incremental
+  streaming ingest; at full 2 GB volumes deployments should drop it to 1).
 - the volume->slices and slice->patches fan-outs (3x640 slices, then
   ~12-35 patches/slice) happen inside mapInPandas; a repartition on
   slice_id between them spreads the explosion across the cluster BEFORE
@@ -240,27 +242,39 @@ def gate_approved(patches: DataFrame) -> DataFrame:
 def key_parity_violations(gated: DataFrame) -> DataFrame:
     """J4: per resolution, the normalized key sets must match HR exactly.
     Returns the symmetric difference (empty == valid) instead of raising,
-    so the check is a query the driver can run."""
-    hr = gated.filter(F.col("resolution") == "HR").select("key").distinct()
-    out = None
-    resolutions = [
-        r["resolution"]
-        for r in gated.select("resolution").distinct().collect()
-        if r["resolution"] != "HR"
-    ]
-    for res in resolutions:
-        lr = gated.filter(F.col("resolution") == res).select("key").distinct()
-        missing = hr.join(lr, "key", "left_anti").select(
-            F.lit(res).alias("resolution"), F.lit("missing_in_lr").alias("kind"), "key"
+    so the check is a query the driver can run.
+
+    ONE pass over (key, resolution): per-key resolution sets meet the
+    global resolution set (a broadcast single-row aggregate), and the
+    violations fall out as set algebra — a key carrying HR is missing
+    from every global resolution absent from its set; a key without HR
+    is extra in every resolution it does carry. The earlier form
+    collect()ed the distinct resolutions then ran two anti-joins per LR
+    resolution — 1 + 2R executions of the (expensive, UDF-bearing)
+    upstream lineage for one validation query."""
+    res_sets = gated.groupBy("key").agg(F.collect_set("resolution").alias("have"))
+    all_res = F.broadcast(gated.agg(F.collect_set("resolution").alias("all_res")))
+    viol = F.when(
+        F.array_contains("have", "HR"),
+        F.transform(
+            F.array_except(F.col("all_res"), F.col("have")),
+            lambda r: F.struct(
+                r.alias("resolution"), F.lit("missing_in_lr").alias("kind")
+            ),
+        ),
+    ).otherwise(
+        F.transform(
+            F.col("have"),
+            lambda r: F.struct(
+                r.alias("resolution"), F.lit("extra_in_lr").alias("kind")
+            ),
         )
-        extra = lr.join(hr, "key", "left_anti").select(
-            F.lit(res).alias("resolution"), F.lit("extra_in_lr").alias("kind"), "key"
-        )
-        part = missing.unionByName(extra)
-        out = part if out is None else out.unionByName(part)
-    if out is None:
-        return gated.sparkSession.createDataFrame([], "resolution string, kind string, key string")
-    return out
+    )
+    return (
+        res_sets.crossJoin(all_res)
+        .select("key", F.explode(viol).alias("v"))
+        .select(F.col("v.resolution").alias("resolution"), F.col("v.kind").alias("kind"), "key")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -275,11 +289,19 @@ def assign_split(df: DataFrame, config: PipelineConfig = PipelineConfig()) -> Da
     in-memory seeded shuffles, utils_scripts.py:46-51)."""
     tr, va, _te = config.split_ratios
     unit = F.col("base") if config.split_unit == "volume" else F.col("key")
-    t1 = format(int((tr) * 65536), "04x")
-    t2 = format(int((tr + va) * 65536), "04x")
-    hx = F.substring(F.md5(unit.cast("string").cast("binary")), 1, 4)
+    # NUMERIC threshold compare. The earlier lexicographic hex compare
+    # was identical for thresholds < 1.0 (4-char lowercase hex sorts
+    # numerically) but broke at a cumulative ratio of exactly 1.0:
+    # format(65536, '04x') = '10000' is FIVE chars, and 'ffff' < '10000'
+    # is False — routing ~94% of rows past a 100% bucket (r5 review).
+    t1 = int(tr * 65536)
+    t2 = int((tr + va) * 65536)
+    bucket = F.conv(
+        F.substring(F.md5(unit.cast("string").cast("binary")), 1, 4), 16, 10
+    ).cast("long")
     return df.withColumn(
-        "split", F.when(hx < t1, "train").when(hx < t2, "val").otherwise("test")
+        "split",
+        F.when(bucket < t1, "train").when(bucket < t2, "val").otherwise("test"),
     )
 
 
@@ -338,6 +360,14 @@ def read_dataset(spark: SparkSession, out_dir: str, merge_schema: bool = True) -
     return spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(out_dir)
 
 
+# Arrow input batch rows for the volume-stage mapInPandas: volume rows are
+# the row-size hazard (a real 2 GB volume x N rows materializes N x 2 GB in
+# one pandas batch), so both the batch pipeline and the incremental ingest
+# pin this BEFORE running the explode stage. 16 suits the test fixtures;
+# full-size deployments should use 1.
+ARROW_VOLUME_BATCH = 16
+
+
 def run_pipeline(
     spark: SparkSession,
     volumes: DataFrame,
@@ -349,7 +379,7 @@ def run_pipeline(
     no recompute of the UDF across HR/approved/LR plan branches.
     """
     # Volume rows are huge; keep Arrow batches tiny for the explode stage.
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_VOLUME_BATCH))
     slices = explode_slices(volumes, config)
     gated = degrade_and_patch(slices, config, gated=True)
     return assign_split(gated, config)

@@ -175,10 +175,13 @@ def group_row_number(
     order_cols``, so one two-phase GLOBAL rank (parallel range-
     partitioned sort) plus a per-group min-rank base joined back yields
     the in-group rank: ``rank = global_rn - min(global_rn) + 1``. The
-    base table has one row per group; the join is a plain equi-join so
-    AQE broadcasts it when small and shuffles it when the group count
-    itself is web-scale (millions of domains). The group size falls out
-    of the same aggregate (``max - min + 1``) — no second count window.
+    base table has one row per group; the join is a NULL-SAFE equi-join
+    (``<=>``) so a NULL group value forms its own group exactly like a
+    ``Window.partitionBy`` NULL partition — a plain equi-join would
+    silently DROP every NULL-group row. AQE broadcasts the base when
+    small and shuffles it when the group count itself is web-scale
+    (millions of domains). The group size falls out of the same
+    aggregate (``max - min + 1``) — no second count window.
     """
     group_cols = list(group_cols)
     ranked, _ = global_row_number(
@@ -189,10 +192,27 @@ def group_row_number(
         aggs.append((F.max("_grn") - F.min("_grn") + 1).alias(count_col))
     base = ranked.groupBy(*group_cols).agg(*aggs)
     return (
-        ranked.join(base, group_cols)
+        _join_null_safe(ranked, base, group_cols)
         .withColumn(rank_col, (F.col("_grn") - F.col("_base") + 1).cast("long"))
         .drop("_grn", "_base")
     )
+
+
+def _join_null_safe(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
+    """Equi-join on ``keys`` with ``<=>`` semantics (NULL == NULL), used
+    to attach per-group aggregates back without losing NULL-group rows
+    (``Window.partitionBy`` treats NULL as a real partition; a plain
+    join condition never matches it). Still hash-joinable — Spark plans
+    null-safe equality as a normal equi-join key."""
+    renamed = right.select(
+        *[F.col(c).alias(f"_nsj_{c}") for c in keys],
+        *[c for c in right.columns if c not in keys],
+    )
+    cond = None
+    for c in keys:
+        clause = left[c].eqNullSafe(renamed[f"_nsj_{c}"])
+        cond = clause if cond is None else cond & clause
+    return left.join(renamed, cond).drop(*[f"_nsj_{c}" for c in keys])
 
 
 def group_running_sum(
@@ -228,7 +248,7 @@ def group_running_sum(
         F.min_by(F.col("_gcum") - F.col(sum_col), F.col("_grn")).alias("_base")
     )
     return (
-        out.join(base, group_cols)
+        _join_null_safe(out, base, group_cols)
         .withColumn(cum_col, (F.col("_gcum") - F.col("_base")).cast("long"))
         .drop("_grn", "_gcum", "_base")
     )

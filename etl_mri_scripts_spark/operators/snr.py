@@ -202,6 +202,21 @@ def phase_sigma_by_volume(repeats: DataFrame) -> DataFrame:
     grouping, so they skip the shuffle entirely."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        # A volume with a lone acquisition has no defined repeat-sigma;
+        # emit a NULL metrics row instead of raising — one bad group
+        # must not abort a corpus-wide analytics job (the estimator
+        # raises ValueError on < 2 repeats, and applyInPandas fails the
+        # whole query on any group's exception).
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                [
+                    {
+                        "base": pdf["base"].iloc[0],
+                        "n_repeats": len(pdf),
+                        "sigma_global": None,
+                    }
+                ]
+            )
         vols = [
             npy_bytes_to_np(bytes(b)).astype(np.float32)
             for b in pdf.sort_values("repeat_i")["voxels"]

@@ -21,6 +21,20 @@ EVENT_SCHEMA = (
 )
 
 
+def _cents_half_up(v: float) -> int:
+    """Python twin of queries/exact.py ``cents`` (Spark ``F.round``,
+    i.e. BigDecimal HALF_UP on ``Double.toString``). Python's builtin
+    ``round`` is banker's rounding (half-even): for value 0.125,
+    ``int(round(12.5))`` = 12 but the batch/oracle side says 13 — a
+    stream/batch parity break on every .5-cent input. ``repr(float)``
+    matches ``Double.toString``'s value exactly, so quantizing its
+    Decimal HALF_UP reproduces the JVM result bit-for-bit (including
+    negatives: HALF_UP rounds away from zero on both sides)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(v * 100)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+
 def stream_events(spark: SparkSession, in_dir: str, fmt: str = "json") -> DataFrame:
     """File-source stream of event rows (new files -> new micro-batches)."""
     reader = spark.readStream.schema(EVENT_SCHEMA).format(fmt)
@@ -120,10 +134,22 @@ def run_incremental_pipeline(
     Exactly-once per input file via the checkpoint — the streaming-native
     form of the reference's --force/skip-if-exists logic.
     """
-    from ..operators.pipeline import PipelineConfig, assign_split, degrade_and_patch, explode_slices
+    from ..operators.pipeline import (
+        ARROW_VOLUME_BATCH,
+        PipelineConfig,
+        assign_split,
+        degrade_and_patch,
+        explode_slices,
+    )
     from ..sources.volumes import VOLUME_SCHEMA
 
     cfg = config or PipelineConfig(crop_hr=16, step_hr=8, scales=(2,))
+    # Same row-size guard as run_pipeline: volume rows are huge, and
+    # without this the Arrow default (10k records/batch) would
+    # materialize a whole micro-batch of volumes in one pandas batch.
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_VOLUME_BATCH)
+    )
     stream = spark.readStream.schema(VOLUME_SCHEMA).parquet(volumes_in_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -313,7 +339,7 @@ def time_weighted_avg_stream(events: DataFrame) -> DataFrame:
             pdf = pdf.sort_values(["ts", "event_id"])
             for ev_ts, ev_val in zip(pdf["ts"], pdf["value"]):
                 ts_us = int(pd.Timestamp(ev_ts).value) // 1000
-                v_cents = int(round(float(ev_val) * 100))
+                v_cents = _cents_half_up(float(ev_val))
                 if last_us is not None:
                     dt = ts_us - last_us
                     acc_w += last_v * dt
@@ -451,9 +477,25 @@ def session_finalizer_stream(
     admissible event can change it. Two same-batch events gap_sec apart
     therefore yield two sessions, and an out-of-order event never
     regresses session_end / first-last ids.
+
+    Requires ``spark.sql.session.timeZone = UTC``: Arrow hands the
+    stateful UDF tz-NAIVE timestamps rendered in the session zone,
+    while ``getCurrentWatermarkMs``/``setTimeoutTimestamp`` are UTC
+    epoch ms. Any other zone would shift the sealing comparison by the
+    zone offset (sealing hours early or late, or registering a timeout
+    <= watermark, which Spark rejects). ``session.get_spark`` pins UTC;
+    this guard turns a silently-wrong deployment into a loud error.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        raise ValueError(
+            f"session_finalizer_stream requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): event times reach the UDF zone-naive but the "
+            f"watermark/timeout API is UTC epoch ms"
+        )
 
     out_schema = (
         "user_id long, session_start timestamp, session_end timestamp, "
@@ -470,8 +512,13 @@ def session_finalizer_stream(
         return merge_session_intervals(sessions, items, gap_us)
 
     def _emit_and_keep(key, sessions, state, watermark_ms):
-        sealed = [s for s in sessions if s[1] // 1000 + gap_ms <= watermark_ms]
-        open_ = [s for s in sessions if s[1] // 1000 + gap_ms > watermark_ms]
+        # Seal when watermark >= CEIL(last_us/1000) + gap: flooring the
+        # sub-ms residue would seal up to 1 ms early, and an event at
+        # ts in [floor_ms + gap, last_us + gap_us) is still admissible
+        # (>= watermark) yet belongs to the already-emitted session —
+        # a spurious split the batch gaps-and-islands twin never makes.
+        sealed = [s for s in sessions if (s[1] + 999) // 1000 + gap_ms <= watermark_ms]
+        open_ = [s for s in sessions if (s[1] + 999) // 1000 + gap_ms > watermark_ms]
         if open_:
             state.update(
                 (
@@ -484,8 +531,9 @@ def session_finalizer_stream(
             )
             # fire when the watermark passes the EARLIEST open session's
             # last event + gap (must be > current watermark, guaranteed
-            # by the open_ predicate)
-            state.setTimeoutTimestamp(min(s[1] for s in open_) // 1000 + gap_ms)
+            # by the open_ predicate; same CEIL as the seal check so the
+            # timer can never fire before its session is sealable)
+            state.setTimeoutTimestamp(min((s[1] + 999) // 1000 for s in open_) + gap_ms)
         elif state.exists:
             state.remove()
         cols = [

@@ -254,3 +254,38 @@ def test_group_helpers_degenerate_shapes(spark):
     )
     r2 = group_running_sum(singletons, ["g"], ["k"], "v", cum_col="cum", num_partitions=4)
     assert all(r["cum"] == r["v"] for r in r2.collect())
+
+
+def test_group_helpers_keep_null_group_rows(spark):
+    """Window.partitionBy treats NULL as a real partition; the two-phase
+    helpers must too (r5 review: the plain equi-join attach silently
+    dropped every NULL-group row)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from etl_mri_scripts_spark.operators.rank import group_row_number, group_running_sum
+
+    rows = [("a", 1, 10), ("a", 2, 20), (None, 3, 30), (None, 4, 40), ("b", 5, 50)]
+    df = spark.createDataFrame(rows, "g string, ord int, x long")
+
+    got = group_row_number(df, ["g"], ["ord"], rank_col="rn", count_col="n").collect()
+    assert len(got) == 5, "NULL-group rows were dropped"
+    w = Window.partitionBy("g").orderBy("ord")
+    want = {
+        (r["g"], r["ord"]): (r["rn"], r["n"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .collect()
+    }
+    for r in got:
+        assert (r["rn"], r["n"]) == want[(r["g"], r["ord"])], r
+
+    got2 = group_running_sum(df, ["g"], ["ord"], "x", cum_col="cum").collect()
+    assert len(got2) == 5, "NULL-group rows were dropped"
+    w2 = w.rowsBetween(Window.unboundedPreceding, 0)
+    want2 = {
+        (r["g"], r["ord"]): r["cum"]
+        for r in df.withColumn("cum", F.sum("x").over(w2)).collect()
+    }
+    for r in got2:
+        assert r["cum"] == want2[(r["g"], r["ord"])], r

@@ -513,3 +513,31 @@ def test_pylmdb_inline_overflow_threshold_matches_real_liblmdb(tmp_path):
         with env.begin() as txn:
             assert txn.get(b"key") == b"v" * vlen
         env.close()
+
+
+def test_assign_split_full_train_ratio(spark):
+    """r5 review: the lexicographic hex threshold broke at a cumulative
+    ratio of 1.0 ('10000' is five chars, so 'ffff' < '10000' is False
+    and ~94% of rows leaked past a 100% bucket). The numeric compare
+    must route EVERY row to train for (1.0, 0.0, 0.0) and keep the
+    historical routing for fractional ratios."""
+    from etl_mri_scripts_spark.operators.pipeline import PipelineConfig, assign_split
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(f"vol{i:03d}",) for i in range(500)], "base string"
+    )
+    all_train = assign_split(df, PipelineConfig(split_ratios=(1.0, 0.0, 0.0)))
+    assert all_train.filter(F.col("split") != "train").count() == 0
+    tv = assign_split(df, PipelineConfig(split_ratios=(0.5, 0.5, 0.0)))
+    assert tv.filter(F.col("split") == "test").count() == 0
+    # fractional routing unchanged vs the historical hex compare
+    cfg = PipelineConfig()  # default ratios
+    tr, va, _ = cfg.split_ratios
+    t1, t2 = format(int(tr * 65536), "04x"), format(int((tr + va) * 65536), "04x")
+    hx = F.substring(F.md5(F.col("base").cast("string").cast("binary")), 1, 4)
+    legacy = df.withColumn(
+        "legacy", F.when(hx < t1, "train").when(hx < t2, "val").otherwise("test")
+    )
+    joined = assign_split(df, cfg).join(legacy, "base")
+    assert joined.filter(F.col("split") != F.col("legacy")).count() == 0
