@@ -101,6 +101,10 @@ _DRIVER_ORDER = [
     "dedup_semantic_keep",  # r5: literal-argmin assignment
     "ann_recall_eval",  # r5: evaluates the rewritten ANN methods
     "ann_truncated_recall_eval",  # r5: evaluates the rewritten ANN methods
+    "imaging_key_parity_gate",  # r5: single-pass key_parity_violations
+    "split_group_consistent",  # r5: assign_split numeric threshold
+    "split_hash_bucket",  # r5: assign_split numeric threshold
+    "imaging_pipeline_manifest",  # r5: degrade_slice lowpass reuse
 ]
 
 
