@@ -67,6 +67,7 @@ ALLOWED_NLJ = {
     "supplier_value_share_threshold",
     "idle_rich_customers_by_nation",
     "text_tfidf_top_terms",
+    "text_bigram_pmi",  # crossJoin with broadcast 1-row n_words/n_bigrams aggs
     "middle_n_selection",  # broadcast 1-row count agg (top-k center)
     "join_key_skew_diagnostic",  # broadcast 1-row max/avg agg
     "top_supplier_revenue_tiesafe",  # broadcast 1-row max agg (Q15 scalar)

@@ -105,6 +105,9 @@ _DRIVER_ORDER = [
     "split_group_consistent",  # r5: assign_split numeric threshold
     "split_hash_bucket",  # r5: assign_split numeric threshold
     "imaging_pipeline_manifest",  # r5: degrade_slice lowpass reuse
+    "late_lines_priority_by_status",  # r5: interval arithmetic fix
+    "join_asof_last_view",  # r5: tie-deterministic LATERAL oracle
+    "text_bigram_pmi",  # r5: lazy broadcast totals
 ]
 
 

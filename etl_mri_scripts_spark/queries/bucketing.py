@@ -181,7 +181,10 @@ def scan_aggregate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k, v in confs.items():
         spark.conf.set(k, v)
     try:
-        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        # through the catalog chokepoint (applies tune(); for lineitem the
+        # read itself is a plain parquet scan, so the V2 aggregate capture
+        # below is unaffected)
+        li = table(spark, sf_dir, "lineitem")
         df = li.agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.min("l_orderkey").alias("min_orderkey"),

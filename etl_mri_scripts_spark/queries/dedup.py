@@ -138,6 +138,11 @@ def _minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # components, incremental delta) starts from it. Spark's CacheManager
     # matches by analyzed plan, so all of them share ONE materialization of
     # the 8-hashes-per-shingle pass — the dominant cost of the family.
+    # Lifetime: CacheManager entries accumulate one per sf_dir for the
+    # session's life; long-lived serving sessions must release between
+    # work units with spark.catalog.clearCache() (check_window.py does,
+    # per query) — no query-side unpersist is safe, since the consumer's
+    # action runs after this function returns.
     return sig.persist(StorageLevel.MEMORY_AND_DISK)
 
 _SHINGLES_DUCK = """

@@ -595,19 +595,14 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("nation_key"), "c_custkey")
         .agg(F.sum(revenue_fixed(F.col("l_extendedprice"), F.col("l_discount"))).alias("r"))
     )
-    # Per-nation rank without a 25-partition giant window: one two-phase
-    # GLOBAL rank over (nation_key, r, c_custkey) — nation runs are
-    # contiguous in that order — then per-nation rank = rn - min(rn) + 1,
-    # where the min table is a 25-row aggregate broadcast back.
-    from ..operators.rank import global_row_number
+    # Per-nation rank without a 25-partition giant window: the canonical
+    # two-phase helper (global rank over the contiguous (nation, r, cust)
+    # order + per-nation min-base attach). Was an inline copy of the same
+    # scheme until r5 — which meant the helper's NULL-group fix did not
+    # reach it; one implementation, one set of semantics.
+    from ..operators.rank import group_row_number
 
-    g, _n = global_row_number(rev, ["nation_key", "r", "c_custkey"], rank_col="_grn")
-    base = g.groupBy(F.col("nation_key").alias("_nk")).agg(F.min("_grn").alias("_base"))
-    ranked = (
-        g.join(F.broadcast(base), g.nation_key == base._nk)
-        .withColumn("i", F.col("_grn") - F.col("_base") + 1)
-        .drop("_nk", "_base", "_grn")
-    )
+    ranked = group_row_number(rev, ["nation_key"], ["r", "c_custkey"], rank_col="i")
     return (
         ranked.groupBy("nation_key")
         .agg(

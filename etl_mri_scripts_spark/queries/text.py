@@ -388,7 +388,11 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     wsdf = d.select(F.split("text", " ").alias("ws")).persist(StorageLevel.MEMORY_AND_DISK)
     uni = wsdf.select(F.explode("ws").alias("word"))
     ucnt = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    n_words = uni.count()
+    # Scalar totals ride as broadcast 1-row aggregates (same convention as
+    # text_tfidf_top_terms's n_docs): an eager .count() here would run two
+    # full explode-and-count jobs on every invocation, including plan-only
+    # uses, before a lazy frame is even returned.
+    nw = F.broadcast(uni.agg(F.count(F.lit(1)).alias("_nw")))
     big = wsdf.filter(F.size("ws") >= 2).select(
         F.explode(
             F.expr(
@@ -400,16 +404,21 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bigram")).filter(
         F.col("n_bigram") >= BIGRAM_MIN_COUNT
     )
-    n_bigrams = big.count()
+    nb = F.broadcast(big.agg(F.count(F.lit(1)).alias("_nb")))
     u1 = ucnt.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
     u2 = ucnt.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
     pmi = F.log(
-        (F.col("n_bigram") / float(n_bigrams))
-        / ((F.col("c1") / float(n_words)) * (F.col("c2") / float(n_words)))
+        (F.col("n_bigram") / F.col("_nb").cast("double"))
+        / (
+            (F.col("c1") / F.col("_nw").cast("double"))
+            * (F.col("c2") / F.col("_nw").cast("double"))
+        )
     )
     return (
         bcnt.join(u1, "w1")
         .join(u2, "w2")
+        .crossJoin(nw)
+        .crossJoin(nb)
         .select("w1", "w2", "n_bigram", F.round(pmi, 6).alias("pmi"))
         .orderBy("w1", "w2")
     )

@@ -793,7 +793,10 @@ def late_lines_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame
     is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        # full-timestamp arithmetic, matching the oracle's + INTERVAL 90
+        # DAY; F.date_add would truncate o_orderdate to a DATE first and
+        # diverge on any non-midnight order timestamp
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
         .groupBy("l_linestatus")
         .agg(
             F.count(F.when(is_high, F.lit(1))).alias("high_line_count"),

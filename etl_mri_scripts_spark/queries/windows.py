@@ -154,8 +154,11 @@ def window_running_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_asof_last_view",
     oracle="""
     -- As-of join: each click matched to the user's most recent view at or
-    -- before it. DuckDB has a native ASOF JOIN; Spark does not — the
-    -- engine's formulation is union + ordered window (see the Spark side).
+    -- before it. DuckDB has a native ASOF JOIN, but its tie-breaking when
+    -- two views share a timestamp is unspecified — the LATERAL top-1 form
+    -- pins the same deterministic choice as the Spark side (latest ts,
+    -- then HIGHEST view_id; Spark's window orders by (ts, side, view_id)
+    -- and last() takes the final one).
     WITH clicks AS (
       SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'
     ),
@@ -165,8 +168,11 @@ def window_running_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.click_id, c.user_id, c.ts,
            v.view_id AS matched_view_id,
            epoch_us(c.ts) - epoch_us(v.ts) AS view_age_us
-    FROM clicks c ASOF LEFT JOIN views v
-      ON c.user_id = v.user_id AND v.ts <= c.ts
+    FROM clicks c LEFT JOIN LATERAL (
+      SELECT view_id, ts FROM views v
+      WHERE v.user_id = c.user_id AND v.ts <= c.ts
+      ORDER BY v.ts DESC, v.view_id DESC LIMIT 1
+    ) v ON TRUE
     ORDER BY c.user_id, c.ts, c.click_id
     """,
 )

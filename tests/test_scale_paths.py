@@ -120,6 +120,7 @@ def test_no_query_plans_a_cartesian_or_nested_loop(spark, sf_dir):
         "supplier_value_share_threshold",  # broadcast 1-row global-total agg (Q11 HAVING scalar)
         "idle_rich_customers_by_nation",  # broadcast 1-row avg-balance agg (Q22 scalar subquery)
         "text_tfidf_top_terms",  # crossJoin with broadcast 1-row n_docs agg
+        "text_bigram_pmi",  # crossJoin with broadcast 1-row n_words/n_bigrams aggs
         "middle_n_selection",  # broadcast 1-row count agg (top-k center)
         "join_key_skew_diagnostic",  # broadcast 1-row max/avg agg
         "top_supplier_revenue_tiesafe",  # broadcast 1-row max agg (Q15 scalar)
