@@ -168,6 +168,8 @@ def cmd_estimate_snr(args: argparse.Namespace) -> int:
     vols = _load_volumes(spark, args.input_dir, args.pattern)
     rep = snr_metrics(vols)
     if args.output_dir:
+        # write + collect below both consume rep: one decode/analyze pass
+        rep = rep.persist()
         rep.write.mode("overwrite").parquet(args.output_dir)
     for row in rep.collect():
         print(json.dumps(row.asDict(), default=float))
@@ -235,9 +237,11 @@ def cmd_test_filter(args: argparse.Namespace) -> int:
     spark = _spark(args.cpus)
     vols = _load_volumes(spark, args.input_dir, args.pattern)
     cfg = PipelineConfig(crop_hr=args.crop, step_hr=args.step, scales=())
+    # Two consumers (PNG tree write, stats aggregate) — persist so the
+    # expensive decode+degradation lineage executes once, not twice.
     patches = degrade_and_patch(explode_slices(vols, cfg), cfg, gated=False).filter(
         F.col("resolution") == "HR"
-    )
+    ).persist()
 
     import pandas as pd
 
@@ -263,6 +267,7 @@ def cmd_test_filter(args: argparse.Namespace) -> int:
         F.count(F.lit(1)).alias("n_patches"),
         F.count(F.when(F.col("is_dark"), 1)).alias("n_dark"),
     ).collect()[0]
+    patches.unpersist()
     print(
         json.dumps(
             {
@@ -324,7 +329,8 @@ def build_parser() -> argparse.ArgumentParser:
     cs.add_argument("--input_dir", required=True)
     cs.add_argument("--output_dir", required=True)
     cs.add_argument("--pattern", default=r".*\.nii(\.gz)?$")
-    cs.add_argument("--axis", default="axial")
+    cs.add_argument("--axis", default="axial",
+                    choices=["axial", "coronal", "sagittal"])
     cs.add_argument("--num_slices", type=int, default=100)
     cs.add_argument("--pmin", type=float, default=1.0)
     cs.add_argument("--pmax", type=float, default=99.0)

@@ -38,7 +38,10 @@ def register_all(spark: SparkSession) -> list[str]:
 
     @pandas_udf("double")
     def parse_field_target_udf(field: pd.Series) -> pd.Series:
-        return field.map(parse_field_target).astype(float)
+        # na_action='ignore' propagates NULL like every built-in function;
+        # without it str(None) fails float() and the parser's 3.0 default
+        # fires, silently fabricating a field strength for NULL input
+        return field.map(parse_field_target, na_action="ignore").astype("Float64")
 
     @pandas_udf("string")
     def normalize_key_udf(key: pd.Series) -> pd.Series:

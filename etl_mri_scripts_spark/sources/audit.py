@@ -5,6 +5,7 @@ slice_generator.py:33-40) and small text reports (K8) as DataFrame writes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors import AnalysisException
 from pyspark.sql import functions as F
 
 LOG_SCHEMA = "ts timestamp, file string, force boolean"
@@ -31,8 +32,14 @@ def already_processed(spark: SparkSession, log_dir: str) -> DataFrame:
     os.path.exists check with one plan-level anti-join)."""
     try:
         return read_log(spark, log_dir).select("file").distinct()
-    except Exception:
-        return spark.createDataFrame([], "file string")
+    except AnalysisException as exc:
+        # Only "no log yet" may degrade to the empty set. A real read
+        # failure (permissions, corrupt files) must surface — swallowing
+        # it would silently disable the idempotency gate and reprocess
+        # the whole corpus.
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return spark.createDataFrame([], "file string")
+        raise
 
 
 def split_report(patches: DataFrame) -> DataFrame:

@@ -75,6 +75,15 @@ def decode_nifti1(content: bytes) -> tuple[np.ndarray, tuple[float, float, float
     ndim = dim[0]
     if not 1 <= ndim <= 7:
         raise ValueError(f"bad ndim {ndim}")
+    if ndim > 3 and any(int(d) > 1 for d in dim[4 : 1 + ndim]):
+        # refuse rather than silently truncate to timepoint 0 — the
+        # nibabel path would return the full 4D array here, and the two
+        # environments must not decode the same file differently (the
+        # slice pipeline is 3-D only either way)
+        raise ValueError(
+            f"decode_nifti1 supports 3-D volumes only (file is {ndim}-D, "
+            f"dim={tuple(dim[1:1 + ndim])})"
+        )
     shape = tuple(max(int(d), 1) for d in dim[1 : 1 + max(ndim, 3)][:3])
 
     (datatype,) = struct.unpack_from(end + "h", content, 70)
@@ -117,6 +126,10 @@ def encode_nifti1(
     if code is None:
         vol = vol.astype(np.float32)
         code = 16
+    # The header below is little-endian; the payload must match it. A
+    # big-endian input array (e.g. decoded from a BE NIfTI) would
+    # otherwise serialize byte-swapped relative to its declared dtype.
+    vol = vol.astype(vol.dtype.newbyteorder("<"), copy=False)
     hdr = bytearray(348)
     struct.pack_into("<i", hdr, 0, 348)
     struct.pack_into("<8h", hdr, 40, 3, *vol.shape, 1, 1, 1, 1)

@@ -15,7 +15,7 @@ rows (fat) as early as possible so shuffles move features, not media.
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -118,9 +118,16 @@ def scan_png_tree(spark: SparkSession, root: str) -> DataFrame:
                 img = decode_png(bytes(content))
                 h, w = img.shape[:2]
                 c = 1 if img.ndim == 2 else img.shape[2]
-                stem = str(path).rsplit("/", 1)[-1][: -len(".png")]
+                # 64-bit id over the FULL path: a stem-only crc32 made
+                # train/0001.png and val/0001.png share one media_id
+                # (and 32-bit ids birthday-collide around ~100k files)
+                mid = np.int64(
+                    int.from_bytes(
+                        hashlib.md5(str(path).encode()).digest()[:8], "big", signed=True
+                    )
+                )
                 rows.append(dict(
-                    media_id=np.int64(zlib.crc32(stem.encode())), kind="image",
+                    media_id=mid, kind="image",
                     mime="image/x-npy", payload=np_to_npy_bytes(img, "uint8"),
                     width=w, height=h, channels=c, sample_rate=0, n_frames=1,
                 ))
@@ -226,8 +233,15 @@ def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
                     continue
                 arr = codec_decode(bytes(r.payload), r.mime)
                 res = _area_resize(arr, out_h, out_w)
-                out.append(dict(media_id=r.media_id, kind=r.kind, mime=r.mime,
-                                payload=np_to_npy_bytes(res), width=out_w, height=out_h,
+                # the output payload is npy bytes in the resize's own
+                # dtype (_area_resize preserves the input dtype): the
+                # previous np_to_npy_bytes default silently converted
+                # uint8 pixels to float32, and copying r.mime verbatim
+                # mislabeled rows whose input was a real codec (e.g.
+                # image/png) — the next codec_decode then failed
+                out.append(dict(media_id=r.media_id, kind=r.kind, mime="image/x-npy",
+                                payload=np_to_npy_bytes(res, str(res.dtype)),
+                                width=out_w, height=out_h,
                                 channels=r.channels, sample_rate=0, n_frames=1))
             # explicit columns: a partition with no image rows must still
             # yield a frame matching MEDIA_SCHEMA

@@ -85,12 +85,27 @@ def _decode_one_nifti(content: bytes) -> tuple[np.ndarray, tuple[float, float, f
     import os
     import tempfile
 
-    with tempfile.NamedTemporaryFile(suffix=".nii.gz", delete=False) as f:
+    # nibabel picks gzip handling from the filename — sniff the 1f 8b
+    # magic so a plain .nii payload (which scan_nifti's regex accepts)
+    # is not gzip-opened and killed with BadGzipFile.
+    suffix = ".nii.gz" if bytes(content[:2]) == b"\x1f\x8b" else ".nii"
+    with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as f:
         f.write(content)
         tmp = f.name
     try:
         img = nib.load(tmp)
         vol = np.asarray(img.get_fdata(), dtype=np.float32)
+        # same contract as the pure-numpy fallback: 3-D volumes only —
+        # squeeze trailing singleton dims, refuse a true 4D series (the
+        # slice pipeline transposes 3-D arrays; silently taking
+        # timepoint 0 would diverge between environments)
+        if vol.ndim > 3:
+            if all(s == 1 for s in vol.shape[3:]):
+                vol = vol.reshape(vol.shape[:3])
+            else:
+                raise ValueError(
+                    f"decode_nifti supports 3-D volumes only (got {vol.shape})"
+                )
         zooms = tuple(float(z) for z in img.header.get_zooms()[:3])
     finally:
         os.unlink(tmp)

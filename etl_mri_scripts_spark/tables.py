@@ -65,8 +65,18 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         prev = None
     spark.conf.set(conf_key, "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts_type = df.schema["ts"].dataType
+    try:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ts_type = df.schema["ts"].dataType
+    except BaseException:
+        # a failed read (missing file, missing ts column) must not leak
+        # the conf into the caller's session — every later parquet read
+        # would silently interpret NANOS timestamps as raw longs
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+        raise
     if isinstance(ts_type, LongType):
         # NANOS file: the conf must STAY set — the scan re-checks it when the
         # lazy plan executes. This is the only case with a session-wide

@@ -541,3 +541,72 @@ def test_assign_split_full_train_ratio(spark):
     )
     joined = assign_split(df, cfg).join(legacy, "base")
     assert joined.filter(F.col("split") != F.col("legacy")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# review-pass regression pins (sources/functions/cli batch)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_field_target_udf_propagates_null(spark):
+    from etl_mri_scripts_spark.functions.registry import register_all
+
+    register_all(spark)
+    rows = spark.sql(
+        "SELECT parse_field_target(f) AS b0 FROM VALUES ('3t'), (NULL), ('1.5T') AS t(f)"
+    ).collect()
+    assert [r["b0"] for r in rows] == [3.0, None, 1.5]
+
+
+def test_encode_nifti1_big_endian_array_roundtrips():
+    import numpy as np
+
+    from etl_mri_scripts_spark.sources.codecs import decode_nifti1, encode_nifti1
+
+    vol = np.arange(24, dtype=">i2").reshape(2, 3, 4)
+    out, _ = decode_nifti1(encode_nifti1(vol, (1.0, 1.0, 1.0)))
+    assert out.ravel().tolist() == list(range(24))
+
+
+def test_decode_nifti1_refuses_4d():
+    import struct
+
+    import numpy as np
+
+    from etl_mri_scripts_spark.sources.codecs import decode_nifti1, encode_nifti1
+
+    vol = np.zeros((2, 3, 4), dtype=np.float32)
+    body = bytearray(encode_nifti1(vol, (1.0, 1.0, 1.0), gzipped=False))
+    # rewrite dim[] to declare a 4-D series with 5 timepoints
+    struct.pack_into("<8h", body, 40, 4, 2, 3, 4, 5, 1, 1, 1)
+    with pytest.raises(ValueError, match="3-D volumes only"):
+        decode_nifti1(bytes(body))
+
+
+def test_resize_images_preserves_uint8_and_mime(spark, tmp_path):
+    import numpy as np
+
+    from etl_mri_scripts_spark.sources.codecs import encode_png
+    from etl_mri_scripts_spark.sources.multimodal import (
+        codec_decode,
+        resize_images,
+        scan_png_tree,
+    )
+
+    img = (np.arange(32 * 32, dtype=np.uint32).reshape(32, 32) % 256).astype("uint8")
+    d = tmp_path / "tree" / "train"
+    d.mkdir(parents=True)
+    (d / "0001.png").write_bytes(encode_png(img))
+    d2 = tmp_path / "tree" / "val"
+    d2.mkdir(parents=True)
+    (d2 / "0001.png").write_bytes(encode_png(img[::-1].copy()))
+
+    media = scan_png_tree(spark, str(tmp_path / "tree"))
+    rows = media.collect()
+    # full-path ids: same basename in different dirs must not collide
+    assert len({r["media_id"] for r in rows}) == 2
+    out = resize_images(media, 16, 16).collect()
+    for r in out:
+        assert r["mime"] == "image/x-npy"
+        arr = codec_decode(bytes(r["payload"]), r["mime"])
+        assert arr.dtype == np.uint8 and arr.shape[:2] == (16, 16)
