@@ -471,8 +471,9 @@ def degrade_slice(
         # second identical kspace_lowpass call doubled the FFT cost of
         # every slice on the default presets (r5 review). Safe because
         # apply_motion/bias/noise all return new arrays (clean_lr is
-        # never mutated), asserted by the D11 reference-reuse test.
-        lr = robust_rescale_ref(lr, clean_lr)
+        # never mutated) — asserted by
+        # tests/test_degradation.py::test_degradation_kernels_do_not_mutate_input.
+        lr = robust_rescale(lr, clean_lr)
 
     meta = {
         "field_target_tesla": f"{b0:g}",
@@ -487,9 +488,6 @@ def degrade_slice(
     }
     return {"hr": hr, "lr": lr.astype(np.float32), "meta": meta}
 
-
-# alias used inside degrade_slice (keeps the public name `robust_rescale`)
-robust_rescale_ref = robust_rescale
 
 
 def degrade_slice_preset(

@@ -89,10 +89,13 @@ def binary_erode(mask: np.ndarray, iterations: int = 1) -> np.ndarray:
     return out
 
 
-def brain_air_masks(vol: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """brain = erode(dilate(otsu-fg, 1), 2); air = (vol < p5) & ~dilate(brain, 2),
-    with p70/p5 fallbacks when a mask degenerates
-    (ref: v2/estimate_snr.py:44-68)."""
+def brain_air_masks(vol: np.ndarray) -> tuple[np.ndarray, np.ndarray, float]:
+    """(brain, air, otsu_thr): brain = erode(dilate(otsu-fg, 1), 2);
+    air = (vol < p5) & ~dilate(brain, 2), with p70/p5 fallbacks when a
+    mask degenerates (ref: v2/estimate_snr.py:44-68). The threshold that
+    actually built the masks is returned so reports stay consistent with
+    the mask stats (a separate otsu_threshold(vol) call uses different
+    clip percentiles and yields a different number)."""
     thr = otsu_threshold(vol, clip_percentiles=(0.5, 99.5))
     fg = vol > thr
     brain = binary_erode(binary_dilate(fg, 1), 2)
@@ -102,7 +105,7 @@ def brain_air_masks(vol: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         brain = vol > np.nanpercentile(vol, 70)
     if not air.any():
         air = vol < p5
-    return brain, air
+    return brain, air, float(thr)
 
 
 # --- A7: background-sigma de-bias -----------------------------------------
@@ -114,7 +117,17 @@ def sigma_from_background_std(std_air: float, mode: str = "rayleigh", n_coils: i
     sigma (ref: v2/estimate_snr.py:74-95). Uses lgamma for large k."""
     if mode == "gaussian":
         return std_air
-    k = 2 if mode == "rayleigh" else 2 * int(n_coils)
+    if mode in ("rayleigh", "rician"):
+        # single-coil magnitude background: Rayleigh (k = 2) — 'rician'
+        # is the degradation module's name for the same single-coil model
+        k = 2
+    elif mode == "chi":
+        k = 2 * int(n_coils)
+    else:
+        # an unrecognized mode previously fell through to the chi branch,
+        # silently applying a multi-coil correction (~7% sigma error for
+        # 'rician'/n_coils=32) while the metrics row reported n_coils=1
+        raise ValueError(f"unknown noise mode {mode!r}")
     ratio = math.exp(math.lgamma((k + 1) / 2.0) - math.lgamma(k / 2.0))
     denom = math.sqrt(max(k - 2.0 * ratio * ratio, 1e-12))
     return std_air / denom
@@ -146,10 +159,10 @@ def compute_snr_volume(vol: np.ndarray, mode: str = "chi", n_coils: int = 32) ->
     compute_snr_flash7t, v2/estimate_snr.py:118-178,197-288)."""
     if vol.ndim != 3:
         raise ValueError("compute_snr_volume expects a 3D volume")
-    brain, air = brain_air_masks(vol)
+    brain, air, thr = brain_air_masks(vol)
     stats = snr_from_roi(vol, brain, air, mode, n_coils)
     return {
-        "otsu_threshold": otsu_threshold(vol),
+        "otsu_threshold": thr,
         "brain_frac": float(brain.mean()),
         "air_frac": float(air.mean()),
         **stats,
@@ -165,7 +178,7 @@ def estimate_phase_sigma_from_repeats(vols: list[np.ndarray]) -> dict:
         raise ValueError("need >= 2 repeats")
     stack = np.stack(vols, axis=0)
     sigma_map = stack.std(axis=0, ddof=1)
-    brain, _ = brain_air_masks(stack.mean(axis=0))
+    brain, _, _ = brain_air_masks(stack.mean(axis=0))
     return {
         "sigma_map": sigma_map.astype(np.float32),
         "sigma_global": float(sigma_map[brain].mean()) if brain.any() else float(sigma_map.mean()),
@@ -221,6 +234,20 @@ def phase_sigma_by_volume(repeats: DataFrame) -> DataFrame:
             npy_bytes_to_np(bytes(b)).astype(np.float32)
             for b in pdf.sort_values("repeat_i")["voxels"]
         ]
+        if len({v.shape for v in vols}) > 1:
+            # mismatched repeat dimensions (truncated/corrupt re-scan):
+            # no defined voxelwise std — NULL row, same rationale as the
+            # lone-acquisition guard above (one bad group must not abort
+            # the corpus job; np.stack would raise inside applyInPandas)
+            return pd.DataFrame(
+                [
+                    {
+                        "base": pdf["base"].iloc[0],
+                        "n_repeats": len(vols),
+                        "sigma_global": None,
+                    }
+                ]
+            )
         m = estimate_phase_sigma_from_repeats(vols)
         return pd.DataFrame(
             [

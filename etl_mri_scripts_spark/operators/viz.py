@@ -39,12 +39,15 @@ def pnorm_uint8(x: np.ndarray, pmin: float = 1.0, pmax: float = 99.0) -> np.ndar
     """Percentile-window normalize to uint8 for display
     (ref: v2/viz_degradation.py:20-28, incl. the vmin==vmax epsilon guard)."""
     x = np.asarray(x, dtype=np.float32)
-    vmin = float(np.nanpercentile(x, pmin))
-    vmax = float(np.nanpercentile(x, pmax))
+    pcts = np.nanpercentile(x, [pmin, pmax])  # one pass, both tails
+    vmin, vmax = float(pcts[0]), float(pcts[1])
     if vmax <= vmin + 1e-8:
         vmax = vmin + 1e-8
     y = np.clip((x - vmin) / (vmax - vmin), 0.0, 1.0)
-    return (y * 255.0).astype(np.uint8)
+    # NaN voxels survive clip (clip(NaN) = NaN) and a NaN->uint8 cast is
+    # undefined, making rendered PNG bytes platform-dependent; render
+    # NaN as black instead.
+    return (np.nan_to_num(y, nan=0.0) * 255.0).astype(np.uint8)
 
 
 def rot90_display(img: np.ndarray) -> np.ndarray:

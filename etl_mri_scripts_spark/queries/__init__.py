@@ -108,6 +108,7 @@ _DRIVER_ORDER = [
     "late_lines_priority_by_status",  # r5: interval arithmetic fix
     "join_asof_last_view",  # r5: tie-deterministic LATERAL oracle
     "text_bigram_pmi",  # r5: lazy broadcast totals
+    "imaging_snr_metrics",  # r5: otsu_threshold now the mask-building one
 ]
 
 

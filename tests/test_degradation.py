@@ -196,3 +196,33 @@ def test_meta_contents(img):
     assert m["noise_model"] == "chi"
     assert m["n_coils"] == "32"
     assert m["hr_shape"] == "64x64" and m["lr_shape"] == "32x32"
+
+
+def test_degradation_kernels_do_not_mutate_input():
+    """degrade_slice reuses the clean low-pass (clean_lr) as the
+    robust-rescale reference AFTER motion/bias/noise have been applied to
+    the same array object — valid only while every kernel returns a fresh
+    array. Pin that invariant so a future in-place optimization of any
+    kernel fails here instead of silently corrupting the reference."""
+    import numpy as np
+
+    from etl_mri_scripts_spark.operators.degradation import (
+        add_chi_noise_multicoil,
+        add_rician_noise,
+        apply_bias_field,
+        apply_motion,
+        prescan_normalize,
+        synth_coil_sensitivities,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.random((32, 28), dtype=np.float32)
+    snapshot = img.copy()
+    maps = synth_coil_sensitivities(img.shape, 4, 0.35)
+
+    apply_motion(img, 0.5, 0.02, np.random.default_rng(1))
+    apply_bias_field(img, 0.2, 0.12, np.random.default_rng(2))
+    add_rician_noise(img, 20.0, np.random.default_rng(3))
+    add_chi_noise_multicoil(img, 20.0, maps, np.random.default_rng(4))
+    prescan_normalize(img, maps)
+    np.testing.assert_array_equal(img, snapshot)

@@ -32,7 +32,7 @@ GOLDEN = {
         "bpe_tokenize_counts": ("ee5729e5424e39f4", 500),
         "pack_sequences_bestfit": ("4886fd964d3eb8b6", 500),
         "imaging_pipeline_patches": ("2b18d392403cfae3", 80),
-        "imaging_snr_metrics": ("b45d1e1a27d67062", 3),
+        "imaging_snr_metrics": ("9de41867f10f83a6", 3),  # r5: thr from brain_air_masks
         "multimodal_feature_extract": ("68afe1f7481bc1c0", 12),
         "multimodal_frame_sample": ("6f1277fef5b97cf9", 16),
         "imaging_triptych_render": ("76746811f5b3549b", 2),
@@ -44,7 +44,7 @@ GOLDEN = {
         "bpe_tokenize_counts": ("caa734364f1f74ff", 500),
         "pack_sequences_bestfit": ("05fda59b2db58251", 500),
         "imaging_pipeline_patches": ("2b18d392403cfae3", 80),
-        "imaging_snr_metrics": ("b45d1e1a27d67062", 3),
+        "imaging_snr_metrics": ("9de41867f10f83a6", 3),  # r5: thr from brain_air_masks
         "multimodal_feature_extract": ("68afe1f7481bc1c0", 12),
         "multimodal_frame_sample": ("6f1277fef5b97cf9", 16),
         "imaging_triptych_render": ("76746811f5b3549b", 2),

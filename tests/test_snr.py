@@ -61,7 +61,7 @@ def test_morphology_basics():
 
 def test_masks_cover_expected_regions():
     vol, brain_true = make_volume()
-    brain, air = brain_air_masks(vol)
+    brain, air, _thr = brain_air_masks(vol)
     # Otsu-based brain should mostly agree with the planted blob
     recall = (brain & brain_true).sum() / brain_true.sum()
     precision = (brain & brain_true).sum() / max(brain.sum(), 1)
