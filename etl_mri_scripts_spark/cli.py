@@ -167,12 +167,18 @@ def cmd_estimate_snr(args: argparse.Namespace) -> int:
     spark = _spark(args.cpus)
     vols = _load_volumes(spark, args.input_dir, args.pattern)
     rep = snr_metrics(vols)
-    if args.output_dir:
-        # write + collect below both consume rep: one decode/analyze pass
-        rep = rep.persist()
-        rep.write.mode("overwrite").parquet(args.output_dir)
-    for row in rep.collect():
-        print(json.dumps(row.asDict(), default=float))
+    persisted = False
+    try:
+        if args.output_dir:
+            # write + collect below both consume rep: one decode/analyze pass
+            rep = rep.persist()
+            persisted = True
+            rep.write.mode("overwrite").parquet(args.output_dir)
+        for row in rep.collect():
+            print(json.dumps(row.asDict(), default=float))
+    finally:
+        if persisted:
+            rep.unpersist()
     return 0
 
 
@@ -259,15 +265,17 @@ def cmd_test_filter(args: argparse.Namespace) -> int:
                 )
             yield pd.DataFrame(rows, columns=["key", "payload"])
 
-    annotated = patches.select("full_key", "is_dark", "value").mapInPandas(
-        to_png, schema="key string, payload binary"
-    )
-    write_png_tree(annotated, args.output_dir, compression=3)
-    stats = patches.agg(
-        F.count(F.lit(1)).alias("n_patches"),
-        F.count(F.when(F.col("is_dark"), 1)).alias("n_dark"),
-    ).collect()[0]
-    patches.unpersist()
+    try:
+        annotated = patches.select("full_key", "is_dark", "value").mapInPandas(
+            to_png, schema="key string, payload binary"
+        )
+        write_png_tree(annotated, args.output_dir, compression=3)
+        stats = patches.agg(
+            F.count(F.lit(1)).alias("n_patches"),
+            F.count(F.when(F.col("is_dark"), 1)).alias("n_dark"),
+        ).collect()[0]
+    finally:
+        patches.unpersist()
     print(
         json.dumps(
             {

@@ -59,6 +59,36 @@ _MID_PARTITION_BITS = 33
 # unwieldy in the plan; switch to a broadcast hash join on pid.
 _MAP_EXPR_MAX_PARTITIONS = 4096
 
+# How the sorted+id'd relation is pinned between the counts job and the
+# consumer job. "local" (default): localCheckpoint — blocks live on
+# executors, an executor loss fails the query loudly (retry from
+# scratch); right for local mode and stable clusters. "reliable":
+# RDD checkpoint to the SparkContext checkpoint dir (HDFS/S3) — survives
+# executor loss at the cost of a write to durable storage; the escape
+# hatch for long-running queries on lossy clusters. Set via
+#   spark.conf.set("spark.etl_mri.rank.checkpointMode", "reliable")
+# plus spark.sparkContext.setCheckpointDir(...).
+_CHECKPOINT_MODE_KEY = "spark.etl_mri.rank.checkpointMode"
+
+
+def _pin_boundaries(ordered: DataFrame) -> DataFrame:
+    """Freeze the range-partitioned sort (and its `_mid` ids) so the
+    counts job and the consumer job observe identical partition
+    boundaries. ``eager=False`` in both modes: the counts job is the
+    materializing action either way."""
+    spark = ordered.sparkSession
+    mode = spark.conf.get(_CHECKPOINT_MODE_KEY, "local")
+    if mode == "local":
+        return ordered.localCheckpoint(eager=False)
+    if mode == "reliable":
+        if spark.sparkContext.getCheckpointDir() is None:
+            raise ValueError(
+                f"{_CHECKPOINT_MODE_KEY}=reliable requires "
+                "spark.sparkContext.setCheckpointDir(<fault-tolerant path>)"
+            )
+        return ordered.checkpoint(eager=False)
+    raise ValueError(f"{_CHECKPOINT_MODE_KEY} must be 'local' or 'reliable', got {mode!r}")
+
 
 def global_row_number(
     df: DataFrame,
@@ -105,11 +135,10 @@ def global_order_prefix(
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ordered = (
+    ordered = _pin_boundaries(
         df.repartitionByRange(num_partitions, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_mid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=False)
     )
     pid = F.shiftrightunsigned(F.col("_mid"), _MID_PARTITION_BITS)
     local = F.col("_mid") - F.shiftleft(pid, _MID_PARTITION_BITS)

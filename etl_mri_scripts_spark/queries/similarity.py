@@ -299,7 +299,8 @@ def kmeans_clustered(spark: SparkSession, v: DataFrame) -> DataFrame:
     Spark-idiomatic iterative pattern (what MLlib does): the centroid state
     is tiny (K x dim doubles) and lives on the driver between iterations;
     the per-vector assignment is a literal-argmin PROJECTION (the K x dim
-    codebook inlined as a SQL literal, same scheme as :func:`_pq_code_expr`)
+    codebook inlined as ONE SQL literal string — never per-element
+    ``F.lit`` calls, which cost ~1.2 s of py4j round trips per iteration)
     — genuinely map-only, so the corpus never moves to the driver and
     never shuffles; only the K x dim partial means cross an exchange.
     (The earlier crossJoin(broadcast) + groupBy(vec_id) min_by form
@@ -720,90 +721,139 @@ PQ_ITERS = 3
 PQ_RERANK = 10
 
 
-def _pq_code_expr(books: list[list[list[float]]]) -> Column:
-    """Nearest-sub-centroid code as a PURE PROJECTION over (sub_id, sub_e).
+def _pq_assign_np(E, B):
+    """Vectorized nearest-sub-centroid codes: (n, 64) float64 vectors ->
+    (n, M) int codes against codebook B (M, Ks, subdim).
 
-    The whole codebook is M*Ks*subdim doubles (~2 KB) — small enough to
-    inline as a literal nested array, so the argmin needs neither a
-    broadcast join nor the groupBy shuffle that reassembling the joined
-    candidates would cost. ``array_min`` over ``struct(d2, code)``
-    compares fields lexicographically — exactly ``min_by(code,
-    struct(d2, code))``, so ties break toward the lower code, matching
-    the unrolled DuckDB oracle. At corpus scale this is the standard ADC
-    encode shape: map-side only, zero shuffle.
+    Why numpy and not a JVM expression: Spark's higher-order functions
+    (``transform``/``zip_with``/``aggregate``) are evaluated INTERPRETED
+    — they never enter whole-stage codegen — so the literal-argmin
+    projection costs ~0.7 s per Lloyd job at sf0.1 in boxed-double
+    allocation; the Arrow-batched numpy form does the identical
+    arithmetic in ~20 ms (measured, round 6).
 
-    The literal is assembled as ONE SQL string parsed JVM-side:
-    building it from 2048 ``F.lit`` calls costs ~1.2 s of py4j round
-    trips PER Lloyd iteration (measured), the string parse ~20 ms.
-    ``repr(float)`` round-trips float64 exactly, so the literal values
-    are bit-identical to the driver-side codebook."""
-    cents = "array(%s)" % ",".join(
-        "array(%s)" % ",".join(
-            "array(%s)" % ",".join(f"{float(x)!r}D" for x in k) for k in m
-        )
-        for m in books
-    )
-    return F.expr(
-        f"array_min(transform(element_at({cents}, sub_id + 1),"
-        " (c, i) -> named_struct("
-        "'d2', aggregate(zip_with(sub_e, c, (x, y) -> (x - y) * (x - y)),"
-        " 0.0D, (acc, z) -> acc + z),"
-        " 'code', i))).code"
+    Bit-compat contract with the DuckDB oracle and the former JVM form:
+    d2 accumulates SEQUENTIALLY over j (the ``d2 += diff*diff`` loop ==
+    ``aggregate(zip_with(...))`` == DuckDB ``list_sum(list_transform)``
+    element order, same IEEE ops), and ``argmin`` returns the FIRST
+    minimum = the lowest code — exactly ``min`` over lexicographic
+    ``struct(d2, code)``."""
+    import numpy as np
+
+    n = E.shape[0]
+    codes = np.empty((n, PQ_M), dtype=np.int32)
+    for m in range(PQ_M):
+        X = E[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        C = B[m]
+        d2 = np.zeros((n, PQ_KS))
+        for j in range(PQ_SUBDIM):
+            diff = X[:, j, None] - C[None, :, j]
+            d2 += diff * diff
+        codes[:, m] = d2.argmin(axis=1)
+    return codes
+
+
+def _pq_encode(v: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """Corpus encode: (vec_id, label, e) -> (vec_id, label, sub_id, code)
+    rows, M per vector, via the Arrow-batched :func:`_pq_assign_np`
+    projection. Map-side only, zero shuffle — the standard ADC encode
+    shape; label rides along so the IVF-PQ coarse filter needs no extra
+    corpus join."""
+    import numpy as np
+    import pandas as pd
+
+    B = np.asarray(books, dtype=np.float64)
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["e"].to_numpy())
+            codes = _pq_assign_np(E, B)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), PQ_M),
+                    "label": np.repeat(pdf["label"].to_numpy(), PQ_M),
+                    "sub_id": np.tile(np.arange(PQ_M, dtype=np.int32), n),
+                    "code": codes.reshape(-1),
+                }
+            )
+
+    return v.select("vec_id", "label", "e").mapInPandas(
+        encode, schema="vec_id long, label int, sub_id int, code int"
     )
 
 
 def _pq_train(spark: SparkSession, v: DataFrame) -> list[list[list[float]]]:
     """Per-subspace k-means codebooks, trained jointly in ONE distributed
-    pass per iteration: subvectors for all M subspaces are exploded into
-    (sub_id, sub_e) rows, assignment is the map-side projection
-    :func:`_pq_code_expr` (no join, no shuffle), and the only shuffle per
-    Lloyd step is the means aggregation — M*Ks*subdim groups with partial
-    aggregation, a few KB past the exchange. M independent quantizers,
-    one job per iteration. Deterministic: init from the Ks lowest
-    vec_ids, means rounded to 6 dp."""
-    subs = v.select(
-        "vec_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(m).alias("sub_id"),
-                    F.slice("e", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub_e"),
-                )
-                for m in range(PQ_M)
-            ])
-        ).alias("s"),
-    ).select("vec_id", F.col("s.sub_id").alias("sub_id"), F.col("s.sub_e").alias("sub_e"))
-    # The explode+slice table feeds PQ_ITERS assign jobs plus the init
-    # collect; persisting it trades one materialization for PQ_ITERS + 1
-    # re-derivations (scan + slice + explode each time).
-    from pyspark import StorageLevel
-
-    subs = subs.persist(StorageLevel.MEMORY_AND_DISK)
+    pass per iteration directly over the unexploded (vec_id, e) vectors:
+    each Arrow batch computes assignments (:func:`_pq_assign_np`) AND
+    per-(sub_id, code) partial sums/counts in numpy, so the job's
+    shuffle carries only M*Ks*(subdim+2)-sized partials per batch and
+    the driver collects M*Ks mean rows. The mean itself is finalized
+    ENGINE-SIDE (``F.round(sum/count, 6)``) so the rounding mode matches
+    the former ``F.round(F.avg(...))`` form and the DuckDB oracle
+    (HALF_UP-family, not Python's bankers' rounding). M independent
+    quantizers, one job per iteration. Deterministic: init from the Ks
+    lowest vec_ids, means rounded to 6 dp; partial-sum order
+    insensitivity is the same tolerance class as hash-green rounds 1-5
+    (partial aggregation never had a deterministic order)."""
+    import numpy as np
+    import pandas as pd
 
     init = (
-        subs.filter(F.col("vec_id") < PQ_KS)
-        .orderBy("vec_id", "sub_id")
-        .collect()
+        v.filter(F.col("vec_id") < PQ_KS).select("vec_id", "e").orderBy("vec_id").collect()
     )
-    books: list[list[list[float]]] = [[None] * PQ_KS for _ in range(PQ_M)]  # type: ignore[list-item]
-    for r in init:
-        books[r["sub_id"]][r["vec_id"]] = [round(float(x), 6) for x in r["sub_e"]]
+    books: list[list[list[float]]] = [
+        [
+            [round(float(x), 6) for x in r["e"][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]]
+            for r in init
+        ]
+        for m in range(PQ_M)
+    ]
 
+    s_cols = [f"s{p}" for p in range(PQ_SUBDIM)]
+    schema = "sub_id int, code int, cnt long, " + ", ".join(
+        f"{c} double" for c in s_cols
+    )
     for _ in range(PQ_ITERS):
-        assigned = subs.select("sub_id", _pq_code_expr(books).alias("code"), "sub_e")
+        B = np.asarray(books, dtype=np.float64)
+
+        def partials(batches, B=B):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                E = np.stack(pdf["e"].to_numpy())
+                codes = _pq_assign_np(E, B)
+                rows = []
+                for m in range(PQ_M):
+                    X = E[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+                    cm = codes[:, m]
+                    cnt = np.bincount(cm, minlength=PQ_KS)
+                    sums = np.zeros((PQ_KS, PQ_SUBDIM))
+                    np.add.at(sums, cm, X)
+                    for k in np.nonzero(cnt)[0]:
+                        rows.append((m, int(k), int(cnt[k]), *sums[k].tolist()))
+                yield pd.DataFrame(rows, columns=["sub_id", "code", "cnt", *s_cols])
+
         means = (
-            assigned.select("sub_id", "code", F.posexplode("sub_e").alias("pos", "val"))
-            .groupBy("sub_id", "code", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("m"))
+            v.select("vec_id", "e")
+            .mapInPandas(partials, schema=schema)
+            .groupBy("sub_id", "code")
+            .agg(*[
+                F.round(F.sum(c) / F.sum("cnt"), 6).alias(f"m{p}")
+                for p, c in enumerate(s_cols)
+            ])
             .collect()
         )
-        nxt: dict[tuple[int, int], list[float]] = {}
-        for r in means:
-            nxt.setdefault((r["sub_id"], r["code"]), [0.0] * PQ_SUBDIM)[r["pos"]] = float(r["m"])
+        nxt: dict[tuple[int, int], list[float]] = {
+            (r["sub_id"], r["code"]): [float(r[f"m{p}"]) for p in range(PQ_SUBDIM)]
+            for r in means
+        }
         books = [
             [nxt.get((m, k), books[m][k]) for k in range(PQ_KS)] for m in range(PQ_M)
         ]
-    subs.unpersist()
     return books
 
 
@@ -917,30 +967,20 @@ def _pq_search(spark: SparkSession, sf_dir: str, coarse: bool) -> DataFrame:
     (label) — IVF-PQ, the billion-vector recipe: the coarse index bounds
     the candidate set, PQ bounds the bytes per candidate."""
     emb = table(spark, sf_dir, "embeddings")
-    v = _vectors(emb, "label")
+    # localCheckpoint (lazy) pins the scanned/projected vector table:
+    # the training init collect materializes it, the PQ_ITERS partial
+    # jobs, the LUT collect, the encode and the rerank all read the
+    # pinned blocks (one parquet scan + norm projection total), and
+    # ContextCleaner reclaims them when the frames drop (no unpersist
+    # hook needed — same pattern as operators/rank.py boundary pinning).
+    v = _vectors(emb, "label").localCheckpoint(eager=False)
     books = _pq_train(spark, v)
 
-    # --- encode corpus: nearest sub-centroid per subspace -> code column
-    subs = v.select(
-        "vec_id",
-        "label",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(m).alias("sub_id"),
-                    F.slice("e", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub_e"),
-                )
-                for m in range(PQ_M)
-            ])
-        ).alias("s"),
-    ).select(
-        "vec_id", "label", F.col("s.sub_id").alias("sub_id"), F.col("s.sub_e").alias("sub_e")
-    )
-    # Encode is the map-side projection (_pq_code_expr): zero shuffle,
-    # and label rides along so the coarse filter later needs NO extra
-    # join against the corpus — the code row already knows its inverted
-    # list.
-    codes = subs.select("vec_id", "label", "sub_id", _pq_code_expr(books).alias("code"))
+    # --- encode corpus: nearest sub-centroid per subspace -> code rows
+    # (map-side Arrow projection; label rides along so the coarse filter
+    # later needs NO extra join against the corpus — the code row
+    # already knows its inverted list).
+    codes = _pq_encode(v, books)
 
     # --- per-query ADC lookup tables (driver builds M*Ks*N_QUERIES rows —
     # tiny, broadcast): LUT[q][m][k] = ||q_sub_m - centroid_mk||^2

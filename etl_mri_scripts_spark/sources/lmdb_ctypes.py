@@ -138,6 +138,7 @@ class Transaction:
             # never leak a live txn into env.close() (liblmdb UB)
             self.abort()
             raise
+        env._live_txns.add(self)
 
     def __enter__(self) -> "Transaction":
         return self
@@ -168,12 +169,14 @@ class Transaction:
             # mdb_txn_commit frees the handle whether or not it succeeds
             # — mark done BEFORE raising so a later abort can't double-free
             self._done = True
+            self._env._live_txns.discard(self)
             _check(_lib().mdb_txn_commit(self._txn), "mdb_txn_commit")
 
     def abort(self) -> None:
         if not self._done:
             _lib().mdb_txn_abort(self._txn)
             self._done = True
+            self._env._live_txns.discard(self)
 
 
 class Environment:
@@ -197,6 +200,9 @@ class Environment:
             self._env = None
             _check(rc, "mdb_env_open")
         self._closed = False
+        # live Transaction handles; closing an env with an unfinished txn
+        # is undefined behavior in liblmdb, so close() aborts these first
+        self._live_txns: set[Transaction] = set()
 
     def begin(self, write: bool = False, **_kw) -> Transaction:
         if self._closed:
@@ -207,6 +213,8 @@ class Environment:
 
     def close(self) -> None:
         if not self._closed and self._env:
+            for txn in list(self._live_txns):
+                txn.abort()
             _lib().mdb_env_close(self._env)
             self._closed = True
 

@@ -88,16 +88,18 @@ def _node_need(node_size: int) -> int:
 
 
 def _rebalance_tail(groups: list[list], need_of) -> None:
-    """Best-effort MDB_MINKEYS hygiene: a greedy fill can strand a
-    single node on the trailing page; steal one from the previous page
-    when that page keeps >= 2 nodes and the pair fits. With NODEMAX
-    2038 two maximal inline nodes fill a page exactly, so the fit guard
-    only bites for hypothetical layouts. A 1-node trailing page remains
-    UNAVOIDABLE when only two nodes fit per page and the count is odd —
-    real liblmdb's own splitter produces 1-node leaf pages for such
-    oversized nodes too (its MINKEYS enforcement is a delete-time
-    rebalance, not a write-layout invariant), so readers must and do
-    tolerate them."""
+    """Best-effort MDB_MINKEYS hygiene — NOT a guarantee. The exact
+    rule: a 1-node trailing page is repaired by stealing the previous
+    page's last node only when (a) the donor would keep >= 2 nodes after
+    the steal (so it needs > 2 before) and (b) the stolen pair fits one
+    page. Outside those conditions 1-node trailing pages REMAIN — e.g.
+    three maximal inline nodes pack 2+1 (donor has exactly 2, and two
+    maximal nodes already fill a page so a third can't join) — so "every
+    non-root page keeps >= 2 nodes" does NOT hold in general. Real
+    liblmdb's own splitter produces 1-node leaf pages for such oversized
+    nodes too (its MINKEYS enforcement is a delete-time rebalance, not a
+    write-layout invariant), so readers must and do tolerate them; the
+    fuzz test asserts the precise conditional invariant above."""
     if (
         len(groups) > 1
         and len(groups[-1]) == 1
@@ -346,11 +348,17 @@ class Transaction:
 class Environment:
     """Subset of ``lmdb.Environment``: bulk-build writes, point reads.
 
-    Durability model: committed puts accumulate in memory and the whole
-    store is (re)built as one B-tree on ``close()`` — the sink's usage is
-    exactly this (single writer, batched commits, close at the end), and
-    bulk-building writes the compact tree layout instead of replaying
-    COW page churn."""
+    Durability model — DIFFERENT from real liblmdb, by design:
+    ``Transaction.commit()`` is NOT durable. Committed puts accumulate in
+    memory and the whole store is (re)built as one B-tree on ``close()``
+    — a crash between commit and close loses every staged entry, and a
+    non-readonly open of an existing store reloads ALL of it into RAM,
+    so memory is O(store size). The sink's usage fits exactly (single
+    writer, batched commits, one close per task, stores sized to one
+    partition), and bulk-building writes the compact tree layout instead
+    of replaying COW page churn — but never point this tier at a store
+    larger than available RAM; the wheel/ctypes tiers keep liblmdb's
+    real per-commit durability."""
 
     def __init__(self, path: str, map_size: int, readonly: bool, subdir: bool) -> None:
         self.readonly = readonly

@@ -256,6 +256,43 @@ def test_group_helpers_degenerate_shapes(spark):
     assert all(r["cum"] == r["v"] for r in r2.collect())
 
 
+def test_reliable_checkpoint_mode_identical_ranks(spark, tmp_path):
+    """The opt-in reliable-checkpoint mode (lossy-cluster escape hatch)
+    must produce ranks and running sums identical to the default
+    localCheckpoint mode, and must fail loudly when no checkpoint dir
+    is configured."""
+    from etl_mri_scripts_spark.operators.rank import (
+        _CHECKPOINT_MODE_KEY,
+        global_order_prefix,
+    )
+
+    df = spark.createDataFrame(_rows(300), "k long, v long")
+    base, n0, s0 = global_order_prefix(df, ["v", "k"], sum_col="v", num_partitions=8)
+    expect = {r["k"]: (r["rn"], r["cum"]) for r in base.collect()}
+
+    spark.conf.set(_CHECKPOINT_MODE_KEY, "reliable")
+    try:
+        # no checkpoint dir -> loud failure, not silent fallback
+        had_dir = spark.sparkContext.getCheckpointDir()
+        if had_dir is None:
+            with pytest.raises(ValueError, match="setCheckpointDir"):
+                global_order_prefix(df, ["v", "k"], num_partitions=8)
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        out, n1, s1 = global_order_prefix(df, ["v", "k"], sum_col="v", num_partitions=8)
+        assert (n1, s1) == (n0, s0)
+        assert {r["k"]: (r["rn"], r["cum"]) for r in out.collect()} == expect
+    finally:
+        spark.conf.set(_CHECKPOINT_MODE_KEY, "local")
+
+    # unknown mode is rejected
+    spark.conf.set(_CHECKPOINT_MODE_KEY, "bogus")
+    try:
+        with pytest.raises(ValueError, match="local.*reliable|reliable.*local"):
+            global_order_prefix(df, ["v", "k"], num_partitions=8)
+    finally:
+        spark.conf.set(_CHECKPOINT_MODE_KEY, "local")
+
+
 def test_group_helpers_keep_null_group_rows(spark):
     """Window.partitionBy treats NULL as a real partition; the two-phase
     helpers must too (r5 review: the plain equi-join attach silently

@@ -253,8 +253,55 @@ def test_pylmdb_fuzz_roundtrip(tmp_path):
     env.close()
 
 
+def test_pylmdb_rebalance_tail_conditional_invariant(tmp_path):
+    """_rebalance_tail's EXACT guarantee (its docstring): a 1-node
+    trailing page is repaired only when the donor keeps >= 2 nodes after
+    the steal AND the stolen pair fits one page; outside that, 1-node
+    trailing pages remain — and readers tolerate them."""
+    from etl_mri_scripts_spark.sources.pylmdb import (
+        NODEMAX,
+        USABLE,
+        _node_need,
+        _rebalance_tail,
+    )
+
+    need = lambda n: _node_need(8 + n)  # noqa: E731 - node size for payload n
+    # 3-node donor, small nodes: steal happens
+    g = [[10, 10, 10], [10]]
+    _rebalance_tail(g, need)
+    assert [len(x) for x in g] == [2, 2]
+    # 2-node donor: steal would leave it below MINKEYS -> stays 2+1
+    g = [[10, 10], [10]]
+    _rebalance_tail(g, need)
+    assert [len(x) for x in g] == [2, 1]
+    # 3-node donor but the stolen pair would overflow a page -> stays
+    # (two maximal inline nodes fill a page EXACTLY — 2*2042 == 4084 only
+    # one byte past; use payload NODEMAX-8+1 to exceed the fit guard)
+    big = NODEMAX - 8 + 1
+    assert need(big) + need(big) > USABLE
+    g = [[10, 10, big], [big]]
+    _rebalance_tail(g, need)
+    assert [len(x) for x in g] == [3, 1]
+    # end-to-end: three maximal inline nodes pack 2+1 (two fill a page
+    # exactly; the donor has only 2) and point reads still resolve
+    items = [(b"k%01d" % i, b"v" * (NODEMAX - 8 - 3)) for i in range(3)]
+    buf = _write_store(tmp_path / "s", items)
+    counts = []
+    for pg in range(2, len(buf) // 4096):
+        _pgno, _pad, flags, lower, _up = struct.unpack_from("<QHHHH", buf, pg * 4096)
+        if flags == 0x02:  # P_LEAF
+            counts.append((lower - 16) // 2)
+    assert counts == [2, 1], counts
+    env = pylmdb.open(str(tmp_path / "s"), readonly=True, lock=False)
+    with env.begin() as txn:
+        for k, v in items:
+            assert txn.get(k) == v
+    env.close()
+
+
 def test_pylmdb_no_single_node_trailing_pages(tmp_path):
-    """liblmdb's page-fill invariant: >= 2 nodes on every non-root page.
+    """Page-fill hygiene in the repairable case: when the donor keeps
+    >= 2 nodes and the pair fits, no non-root page is left with 1 node.
     Pick an item size where a leaf holds an odd-making count so the
     greedy fill would strand one node on the last page, then verify the
     rebalance moved a neighbor over."""
@@ -340,6 +387,26 @@ def test_pylmdb_reads_real_liblmdb_store(tmp_path):
     penv.close()
 
 
+def test_real_liblmdb_close_aborts_live_txn(tmp_path):
+    """Closing an env with an unfinished write txn is undefined behavior
+    in liblmdb; Environment.close() must abort outstanding transactions
+    first so a caller that lets a txn error escape doesn't inherit the
+    UB. The aborted entries must NOT be visible afterwards."""
+    lmdb_ctypes = _real_lmdb()
+    env = lmdb_ctypes.open(str(tmp_path / "s"), map_size=16 * 1024 * 1024)
+    with env.begin(write=True) as txn:
+        txn.put(b"committed", b"1")
+    live = env.begin(write=True)
+    live.put(b"uncommitted", b"2")
+    env.close()  # must abort `live`, not crash / corrupt
+    assert live._done
+    renv = lmdb_ctypes.open(str(tmp_path / "s"), readonly=True, lock=False)
+    with renv.begin() as txn:
+        assert txn.get(b"committed") == b"1"
+        assert txn.get(b"uncommitted") is None
+    renv.close()
+
+
 def test_real_liblmdb_reads_export_sink_store(spark, tmp_path):
     """End-to-end: a store exported by the Spark sink (which prefers the
     ctypes tier here) must point-read through genuine liblmdb."""
@@ -376,121 +443,16 @@ def test_real_liblmdb_reads_export_sink_store(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def _find_protobuf_runtime():
-    """A google.protobuf runtime the TWS state protocol can use: the
-    normally-importable one, or a modern pure-Python copy shipped by
-    host tooling (e.g. the cloud-sdk bundles protobuf 6.x)."""
-    try:
-        import google.protobuf  # noqa: F401
-
-        return None  # importable as-is; no path injection needed
-    except ImportError:
-        pass
-    candidates = [
-        "/usr/lib/google-cloud-sdk/platform/google_appengine",
-    ]
-    for c in candidates:
-        probe = os.path.join(c, "google", "protobuf", "runtime_version.py")
-        if os.path.exists(probe):
-            return c
-    return None
-
-
-_TWS_SCRIPT = r"""
-import os, sys
-sys.path.insert(0, os.environ["REPO_DIR"])
-from etl_mri_scripts_spark.session import get_spark
-from etl_mri_scripts_spark.streaming.pipeline import running_counters_tws_stream, stream_events
-from etl_mri_scripts_spark.tables import table
-from pyspark.sql import functions as F
-
-tmp = os.environ["TWS_TMP"]
-spark = get_spark("tws-subprocess", cpus=4)
-spark.sparkContext.setLogLevel("ERROR")
-# transformWithState needs column families -> RocksDB state store
-spark.conf.set(
-    "spark.sql.streaming.stateStore.providerClass",
-    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-)
-ev = table(spark, os.environ["TWS_SF"], "events").limit(2000)
-in_dir = os.path.join(tmp, "twsin"); os.makedirs(in_dir)
-a, b = ev.randomSplit([0.5, 0.5], seed=2)
-a.write.mode("overwrite").json(in_dir + "/chunk=a")
-stream = stream_events(spark, in_dir + "/*", fmt="json")
-q = (running_counters_tws_stream(stream)
-     .writeStream.format("memory").queryName("tws_counters")
-     .outputMode("update").option("checkpointLocation", os.path.join(tmp, "ck"))
-     .start())
-try:
-    q.processAllAvailable()
-    b.write.mode("overwrite").json(in_dir + "/chunk=b")
-    q.processAllAvailable()
-finally:
-    q.stop()
-rows = spark.sql("select * from tws_counters").collect()
-latest = {}
-for r in sorted(rows, key=lambda r: r["n_batches"]):
-    latest[r["event_type"]] = (r["n_total"], round(r["value_total"], 4))
-expected = {
-    r["event_type"]: (r["n"], round(r["v"], 4))
-    for r in ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")).collect()
-}
-assert latest == expected, f"{latest} != {expected}"
-print("TWS_PARITY_OK")
-spark.stop()
-"""
-
-
 def test_transform_with_state_via_host_protobuf(tmp_path):
     """Run the real transformWithStateInPandas path (typed-state API,
     protobuf state protocol) in a subprocess whose PYTHONPATH carries a
-    host-provided protobuf runtime plus a sitecustomize shim that
-    no-ops the gencode/runtime version validator (runtime 6.32 vs
-    pyspark gencode 6.33 — wire-compatible; only the strict policy
-    check differs). The shim applies to Spark's Python workers too,
-    since they inherit the environment. Parity target: the batch
-    aggregate, as in the in-suite twin test."""
-    import subprocess
-    import sys
+    host-provided protobuf runtime; parity target is the batch
+    aggregate. Shared harness: tests/tws_harness.py (the in-suite twin
+    in test_streaming.py falls back to the same harness when protobuf
+    is not importable in-process)."""
+    from tests.tws_harness import run_tws_parity_subprocess
 
-    pb_dir = _find_protobuf_runtime()
-    if pb_dir is None:
-        try:
-            import google.protobuf  # noqa: F401
-        except ImportError:
-            pytest.skip("no google.protobuf runtime anywhere on this host")
-    shim = tmp_path / "shim"
-    shim.mkdir()
-    (shim / "sitecustomize.py").write_text(
-        "try:\n"
-        "    from google.protobuf import runtime_version as _rv\n"
-        "    _rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None\n"
-        "except Exception:\n"
-        "    pass\n"
-    )
-    script = tmp_path / "tws_parity.py"
-    script.write_text(_TWS_SCRIPT)
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ)
-    extra = [str(shim)] + ([pb_dir] if pb_dir else [])
-    env["PYTHONPATH"] = os.pathsep.join(
-        extra + [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
-    )
-    env["REPO_DIR"] = repo
-    env["TWS_TMP"] = str(tmp_path / "work")
-    env["TWS_SF"] = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
-    proc = subprocess.run(
-        [sys.executable, str(script)],
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=420,
-    )
-    assert proc.returncode == 0 and "TWS_PARITY_OK" in proc.stdout, (
-        f"rc={proc.returncode}\nstdout: {proc.stdout[-2000:]}\n"
-        f"stderr: {proc.stderr[-3000:]}"
-    )
+    run_tws_parity_subprocess(tmp_path)
 
 
 def test_pylmdb_inline_overflow_threshold_matches_real_liblmdb(tmp_path):

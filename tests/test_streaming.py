@@ -375,12 +375,18 @@ def test_transform_with_state_matches_applyinpandas_twin(spark, tmp_path, sf_dir
     """transformWithStateInPandas (Spark 4 typed-state API) must produce
     the same running totals as the applyInPandasWithState form and the
     batch aggregate. Needs google.protobuf (the TWS state-server wire
-    format) importable IN-PROCESS, absent in this container -> skip; the
-    path still executes here via the subprocess harness in
-    test_round5_additions.py::test_transform_with_state_via_host_protobuf,
-    which injects a host-provided protobuf runtime into worker
-    PYTHONPATH."""
-    pytest.importorskip("google.protobuf")
+    format) importable IN-PROCESS; when it isn't (no wheel in this
+    container), the SAME parity assertion executes via the subprocess
+    harness (tests/tws_harness.py) that injects a host-provided
+    protobuf runtime into worker PYTHONPATH — so this test passes by
+    real execution either way instead of skipping."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        from tests.tws_harness import run_tws_parity_subprocess
+
+        run_tws_parity_subprocess(tmp_path)
+        return
     from etl_mri_scripts_spark.streaming.pipeline import running_counters_tws_stream
     from etl_mri_scripts_spark.tables import table
 
