@@ -44,71 +44,66 @@ from . import tpch_shapes  # noqa: E402,F401
 from . import pipeline_analytics  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 
-# Round-5 window layout. Names not listed keep their registration order
-# after the listed block. This round closes driver coverage of the whole
-# registry: the rotation block holds ALL 14 queries that have never
-# received a driver CORRECTNESS row (r1-r4 union), and the re-check block
-# re-runs the 4 queries whose implementations changed in round 4 after
-# their driver row (two-phase offset rank / TakeOrderedAndProject /
-# pointer-jumping CC rewrites). All 18 passed the local oracle gate
-# (check_window.py) at sf0.01 in round 4 — this rotation is pure upside.
+# Round-6 window layout (freshness rotation). All 200 queries now have a
+# driver CORRECTNESS row; this round's job is keeping rows FRESH: after
+# the sentinels, 6 re-checks cover everything whose implementation
+# changed in round 6 after its last driver row (the numpy PQ
+# assign/encode rewrite; the chunked explode_slices flush; the rank
+# _pin_boundaries refactor — default behavior identical, re-checked as
+# insurance), then the 39 stalest rows (all r1) fill the window. All
+# re-checks passed the local oracle gate at sf0.01 (PQ also at sf0.1)
+# before this rotation landed.
 _DRIVER_ORDER = [
-    # --- sentinels: driver-green in r1/r2, one per module family -------
-    "window_tumbling_hourly",  # r2 green
-    "dedup_exact_hash",  # r2 green
-    "text_token_counts",  # r2 green
-    "ann_bruteforce_topk",  # r2 green
-    "pricing_summary",  # r1 green
-    # --- re-checks: implementation changed in r4 after driver row ------
-    "split_exact_count_rank",  # r4: two-phase offset rank
-    "middle_n_selection",  # r4: TakeOrderedAndProject top-k form
-    "histogram_equi_depth",  # r4: two-phase offset rank
-    "dedup_connected_components",  # r4: pointer-jumping CC
-    # --- never driver-checked: final rotation block (14) ---------------
-    "scan_aggregate_pushdown",
-    "partitioned_dynamic_pruning",
-    "events_sessionize_custom",
-    "dedup_lsh_quality_eval",
-    "dedup_keep_best_quality",
-    "events_step_funnel",
-    "events_daily_anomaly",
-    "events_conversion_latency",
-    "dedup_split_leakage_matrix",
-    "dedup_rate_by_source",
-    "text_langid_confusion",
-    "sketch_countmin_heavy_hitters",
-    "sketch_kmv_distinct_by_nation",
-    "corpus_epochs_budget",
-    # --- r5 re-checks: implementation changed THIS round after their
-    # driver row, so they re-verify in the same round's driver run
-    # instead of queueing for round 6. (a) rank.py persist ->
-    # localCheckpoint(eager=False) touches every rank-helper consumer;
-    # (b) the k-means/PQ literal-argmin rewrite touches the clustered
-    # ANN family. All verified locally at sf0.01 AND sf0.1 post-change.
-    "text_vocabulary_ranked",  # r5: rank localCheckpoint
-    "sample_stratified_exact",  # r5: rank localCheckpoint
-    "curation_funnel",  # r5: rank localCheckpoint
-    "pack_sequences_concat",  # r5: rank localCheckpoint
-    "training_shard_assignment",  # r5: rank localCheckpoint
-    "docs_compaction_plan",  # r5: rank localCheckpoint
-    "source_cap_downsample",  # r5: rank localCheckpoint
-    "customer_revenue_gini",  # r5: rank localCheckpoint
-    "customer_rfm_segments",  # r5: rank localCheckpoint
-    "revenue_pareto_share",  # r5: rank localCheckpoint
-    "ann_ivf_kmeans_topk",  # r5: literal-argmin assignment
-    "ann_pq_adc_topk",  # r5: literal-argmin train/encode
-    "ann_ivf_pq_topk",  # r5: literal-argmin train/encode
-    "dedup_semantic_keep",  # r5: literal-argmin assignment
-    "ann_recall_eval",  # r5: evaluates the rewritten ANN methods
-    "ann_truncated_recall_eval",  # r5: evaluates the rewritten ANN methods
-    "imaging_key_parity_gate",  # r5: single-pass key_parity_violations
-    "split_group_consistent",  # r5: assign_split numeric threshold
-    "split_hash_bucket",  # r5: assign_split numeric threshold
-    "imaging_pipeline_manifest",  # r5: degrade_slice lowpass reuse
-    "late_lines_priority_by_status",  # r5: interval arithmetic fix
-    "join_asof_last_view",  # r5: tie-deterministic LATERAL oracle
-    "text_bigram_pmi",  # r5: lazy broadcast totals
-    "imaging_snr_metrics",  # r5: otsu_threshold now the mask-building one
+    "window_tumbling_hourly",  # sentinel
+    "dedup_exact_hash",  # sentinel
+    "text_token_counts",  # sentinel
+    "ann_bruteforce_topk",  # sentinel
+    "pricing_summary",  # sentinel
+    "ann_pq_adc_topk",  # re-check: implementation changed
+    "ann_ivf_pq_topk",  # re-check: implementation changed
+    "imaging_pipeline_manifest",  # re-check: implementation changed
+    "imaging_pipeline_patches",  # re-check: implementation changed
+    "split_exact_count_rank",  # re-check: implementation changed
+    "revenue_pareto_share",  # re-check: implementation changed
+    "agg_argmax_max_by",  # freshness: last driver row CORRECTNESS_r01.json
+    "agg_count_distinct_rollup",  # freshness: last driver row CORRECTNESS_r01.json
+    "agg_grouping_sets",  # freshness: last driver row CORRECTNESS_r01.json
+    "agg_histogram_width_bucket",  # freshness: last driver row CORRECTNESS_r01.json
+    "agg_minmax_per_group",  # freshness: last driver row CORRECTNESS_r01.json
+    "agg_percentiles_exact",  # freshness: last driver row CORRECTNESS_r01.json
+    "agg_skew_salted_two_stage",  # freshness: last driver row CORRECTNESS_r01.json
+    "agg_stats_moments",  # freshness: last driver row CORRECTNESS_r01.json
+    "cdc_upsert_latest_wins",  # freshness: last driver row CORRECTNESS_r01.json
+    "conditional_agg_counters",  # freshness: last driver row CORRECTNESS_r01.json
+    "cube_status_priority",  # freshness: last driver row CORRECTNESS_r01.json
+    "data_profile_summary",  # freshness: last driver row CORRECTNESS_r01.json
+    "date_format_monthly_rollup",  # freshness: last driver row CORRECTNESS_r01.json
+    "distinct_sorted_dimension",  # freshness: last driver row CORRECTNESS_r01.json
+    "field_target_parse",  # freshness: last driver row CORRECTNESS_r01.json
+    "filter_project_arith",  # freshness: last driver row CORRECTNESS_r01.json
+    "flagship_revenue_by_region_priority",  # freshness: last driver row CORRECTNESS_r01.json
+    "join_anti_customers_without_orders",  # freshness: last driver row CORRECTNESS_r01.json
+    "join_broadcast_supplier_geo",  # freshness: last driver row CORRECTNESS_r01.json
+    "join_inner_orders_customer",  # freshness: last driver row CORRECTNESS_r01.json
+    "join_left_customer_order_counts",  # freshness: last driver row CORRECTNESS_r01.json
+    "join_semi_customers_with_urgent_orders",  # freshness: last driver row CORRECTNESS_r01.json
+    "join_skew_salted_replicated",  # freshness: last driver row CORRECTNESS_r01.json
+    "join_symmetric_difference_validation",  # freshness: last driver row CORRECTNESS_r01.json
+    "key_build_and_normalize",  # freshness: last driver row CORRECTNESS_r01.json
+    "math_scalar_functions",  # freshness: last driver row CORRECTNESS_r01.json
+    "nation_revenue_share",  # freshness: last driver row CORRECTNESS_r01.json
+    "orders_monthly_growth",  # freshness: last driver row CORRECTNESS_r01.json
+    "path_basename_extract",  # freshness: last driver row CORRECTNESS_r01.json
+    "pivot_event_type_counts",  # freshness: last driver row CORRECTNESS_r01.json
+    "report_unpivot_long",  # freshness: last driver row CORRECTNESS_r01.json
+    "semi_structured_json_extract",  # freshness: last driver row CORRECTNESS_r01.json
+    "set_except_keys",  # freshness: last driver row CORRECTNESS_r01.json
+    "set_intersect_keys",  # freshness: last driver row CORRECTNESS_r01.json
+    "set_union_distinct_keys",  # freshness: last driver row CORRECTNESS_r01.json
+    "shipping_delay_distribution",  # freshness: last driver row CORRECTNESS_r01.json
+    "sql_scalar_subquery_decorrelated",  # freshness: last driver row CORRECTNESS_r01.json
+    "topk_customers_by_revenue",  # freshness: last driver row CORRECTNESS_r01.json
+    "topk_per_group_window",  # freshness: last driver row CORRECTNESS_r01.json
 ]
 
 
