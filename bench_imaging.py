@@ -5,8 +5,28 @@ robust normalize -> degradation (per scale) -> patch grid -> fused dark/
 approved gate -> split — at the reference's v2 geometry (crop 128 / step 64,
 v2/nii_to_lmdb.py:343-344) and reports slices/s and patches/s.
 
-Prints ONE JSON line. Env: SPARK_GRAFT_CPUS, SPARK_GRAFT_IMG_VOLS,
-SPARK_GRAFT_IMG_SHAPE (e.g. "192,192,48").
+Prints ONE JSON line. Env:
+  SPARK_GRAFT_CPUS        local[N]
+  SPARK_GRAFT_IMG_VOLS    number of (small) volumes, default 8
+  SPARK_GRAFT_IMG_SHAPE   small-volume shape, default "192,192,48"
+  SPARK_GRAFT_IMG_MODE    "uniform" (default) or "skew"
+  SPARK_GRAFT_IMG_BIG_SHAPE  skew mode's single big volume, default
+                          "960,840,640" — the reference's worst case
+                          (show_images.py:21-23, SURVEY §4 fan-out risk):
+                          a 2.06 GB float32 volume fanning out into
+                          ~2,100 slices of ~3.2 MB.
+
+Skew mode ingests that one big volume SLAB-WISE (synthetic_volume_slabs
+-> explode_slab_slices) and unions its slices with the small monolithic
+fleet inside run_pipeline. Slab ingest is not an optimization, it is the
+only correct path: shipping the volume as one 2.06 GB Arrow cell trips
+Spark's python-runner buffer growth past 1 GiB (capacity<<1 overflows
+int; growth degenerates to a full-buffer copy per chunk write — measured
+live as 400+ s of serializer CPU with no progress), and anything past
+2.147 GB fails outright on int32 Arrow offsets. As ~280 bounded slabs
+the big volume's explode also parallelizes across the cluster instead
+of running as one straggler task; repartition-after-explode then
+spreads patch/degradation work as in the uniform case.
 
 Context for the numbers: each slice runs the degradation once per LR scale
 (2 scales here = 2 full k-space/motion/bias/chi-noise passes per slice),
@@ -22,6 +42,11 @@ import time
 from pyspark.sql import functions as F
 
 
+def _slices_for(n_vols: int, shape: tuple[int, int, int]) -> int:
+    sx, sy, sz = shape
+    return n_vols * (sz + sz + sy)  # axial + coronal (sz quirk) + sagittal
+
+
 def main() -> None:
     from etl_mri_scripts_spark.operators.pipeline import PipelineConfig, run_pipeline
     from etl_mri_scripts_spark.session import get_spark
@@ -31,14 +56,29 @@ def main() -> None:
     shape = tuple(
         int(x) for x in os.environ.get("SPARK_GRAFT_IMG_SHAPE", "192,192,48").split(",")
     )
+    mode = os.environ.get("SPARK_GRAFT_IMG_MODE", "uniform")
     spark = get_spark("bench-imaging")
     spark.sparkContext.setLogLevel("ERROR")
 
     cfg = PipelineConfig(crop_hr=128, step_hr=64, scales=(2, 4), preset="3tFlash")
     vols = synthetic_volumes(spark, n_vols, shape, seed=3)
+    n_slices = _slices_for(n_vols, shape)
+    big_shape: tuple[int, int, int] | None = None
+    slabs = None
+    if mode == "skew":
+        from etl_mri_scripts_spark.sources.volumes import synthetic_volume_slabs
+
+        big_shape = tuple(
+            int(x)
+            for x in os.environ.get("SPARK_GRAFT_IMG_BIG_SHAPE", "960,840,640").split(",")
+        )
+        slabs = synthetic_volume_slabs(
+            spark, 1, big_shape, seed=11, pmin=cfg.pmin, pmax=cfg.pmax
+        )
+        n_slices += _slices_for(1, big_shape)
 
     t0 = time.time()
-    out = run_pipeline(spark, vols, cfg)
+    out = run_pipeline(spark, vols, cfg, slabs=slabs)
     stats = (
         out.groupBy("resolution")
         .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("value")).alias("bytes"))
@@ -46,28 +86,26 @@ def main() -> None:
     )
     wall = time.time() - t0
 
-    sx, sy, sz = shape
-    n_slices = n_vols * (sz + sz + sy)  # axial + coronal (sz quirk) + sagittal
     n_patches = sum(r["n"] for r in stats)
     by_res = {r["resolution"]: r["n"] for r in stats}
     parity_ok = len(set(by_res.values())) == 1  # J4: equal counts per resolution
-    print(
-        json.dumps(
-            {
-                "metric": "imaging_pipeline_throughput",
-                "value": round(n_slices / wall, 2),
-                "unit": "slices/sec",
-                "wall_sec": round(wall, 2),
-                "n_volumes": n_vols,
-                "shape": list(shape),
-                "n_slices": n_slices,
-                "n_patches": n_patches,
-                "patches_per_sec": round(n_patches / wall, 2),
-                "payload_mb": round(sum(r["bytes"] for r in stats) / 1e6, 1),
-                "key_parity_ok": parity_ok,
-            }
-        )
-    )
+    result = {
+        "metric": "imaging_pipeline_throughput",
+        "value": round(n_slices / wall, 2),
+        "unit": "slices/sec",
+        "wall_sec": round(wall, 2),
+        "mode": mode,
+        "n_volumes": n_vols + (1 if big_shape else 0),
+        "shape": list(shape),
+        "n_slices": n_slices,
+        "n_patches": n_patches,
+        "patches_per_sec": round(n_patches / wall, 2),
+        "payload_mb": round(sum(r["bytes"] for r in stats) / 1e6, 1),
+        "key_parity_ok": parity_ok,
+    }
+    if big_shape:
+        result["big_shape"] = list(big_shape)
+    print(json.dumps(result))
     spark.stop()
 
 

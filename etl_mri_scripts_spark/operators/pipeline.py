@@ -83,10 +83,17 @@ def explode_slices(volumes: DataFrame, config: PipelineConfig = PipelineConfig()
     iterates sy.
     """
     pmin, pmax = config.pmin, config.pmax
+    # Yield slices in bounded chunks instead of one frame per input
+    # batch: a (960, 840, 640) volume fans out into ~2,100 slices of
+    # ~3.2 MB — accumulating a whole batch's slices before yielding
+    # would hold gigabytes in one task (the §4 fan-out skew). Flushing
+    # at ~128 MB keeps executor memory flat regardless of volume shape.
+    flush_bytes = 128 * 1024 * 1024
 
     def gen(batches):
         for pdf in batches:
-            rows = []
+            rows: list[dict] = []
+            pending = 0
             for r in pdf.itertuples(index=False):
                 vol = npy_bytes_to_np(r.voxels).astype(np.float32)
                 pcts = np.nanpercentile(vol, [pmin, pmax])  # one pass, both tails
@@ -106,6 +113,7 @@ def explode_slices(volumes: DataFrame, config: PipelineConfig = PipelineConfig()
                     n = min(counts[orient], ov.shape[2])
                     for i in range(n):
                         sl = np.ascontiguousarray(ov[:, :, i], dtype=np.float32)
+                        payload = np_to_npy_bytes(sl)
                         rows.append(
                             {
                                 "base": r.base,
@@ -116,12 +124,85 @@ def explode_slices(volumes: DataFrame, config: PipelineConfig = PipelineConfig()
                                 "w": sl.shape[1],
                                 "vmin": vmin,
                                 "vmax": vmax,
-                                "pixels": np_to_npy_bytes(sl),
+                                "pixels": payload,
                             }
                         )
-            yield pd.DataFrame(rows)
+                        pending += len(payload)
+                        if pending >= flush_bytes:
+                            yield pd.DataFrame(rows)
+                            rows, pending = [], 0
+            if rows:
+                yield pd.DataFrame(rows)
 
     return volumes.mapInPandas(gen, schema=SLICE_SCHEMA)
+
+
+def explode_slab_slices(slabs: DataFrame, config: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """Slab-wise twin of explode_slices for volumes ingested through
+    SLAB_SCHEMA (sources.volumes.decode_nifti_slabs /
+    synthetic_volume_slabs — volumes too large for one Arrow cell).
+
+    Emits bit-identical slice rows: normalization uses the per-VOLUME
+    vmin/vmax carried on every slab (computed file-locally at ingest), and
+    the per-orientation slice extraction reproduces explode_slices'
+    transposes exactly — axial slice i = vol[:, :, i], coronal slice
+    i = vol[:, :, i].T (the sz quirk: coronal iterates z like axial,
+    ref v2/nii_to_lmdb.py:77-79), sagittal slice i = vol[:, i, :].T.
+    z-slabs serve axial+coronal, y-slabs serve sagittal; each family
+    tiles its index range exactly once, so the union over slabs equals
+    the monolithic explode (equivalence pinned in tests).
+
+    The repartition spreads slab rows across the cluster BEFORE slice
+    extraction: a (960,840,640) volume arrives as ~280 slabs that fan out
+    in parallel, where the monolithic path serializes one 2 GB cell into
+    a single straggler task (and past 1 GiB trips Spark's O(n^2)
+    python-runner buffer growth — see sources.volumes.MAX_ARROW_CELL_BYTES).
+    """
+    pmin_denom = 1e-12
+    flush_bytes = 128 * 1024 * 1024
+    slabs = slabs.repartition(F.col("base"), F.col("slab_axis"), F.col("lo"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            pending = 0
+            for r in pdf.itertuples(index=False):
+                slab = npy_bytes_to_np(r.voxels).astype(np.float32)
+                vmin, vmax = float(r.vmin), float(r.vmax)
+                norm = np.clip((slab - vmin) / max(vmax - vmin, pmin_denom), 0.0, 1.0)
+                if r.slab_axis == "z":
+                    # slab = vol[:, :, lo:hi]; axial + coronal both iterate z
+                    emits = [
+                        ("axial", lambda i: norm[:, :, i - r.lo]),
+                        ("coronal", lambda i: norm[:, :, i - r.lo].T),
+                    ]
+                else:  # "y": slab = vol[:, lo:hi, :]; sagittal iterates y
+                    emits = [("sagittal", lambda i: norm[:, i - r.lo, :].T)]
+                for orient, pick in emits:
+                    for i in range(int(r.lo), int(r.hi)):
+                        sl = np.ascontiguousarray(pick(i), dtype=np.float32)
+                        payload = np_to_npy_bytes(sl)
+                        rows.append(
+                            {
+                                "base": r.base,
+                                "orient": orient,
+                                "slice_i": i,
+                                "slice_id": slice_key(r.base, orient, i),
+                                "h": sl.shape[0],
+                                "w": sl.shape[1],
+                                "vmin": vmin,
+                                "vmax": vmax,
+                                "pixels": payload,
+                            }
+                        )
+                        pending += len(payload)
+                        if pending >= flush_bytes:
+                            yield pd.DataFrame(rows)
+                            rows, pending = [], 0
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return slabs.mapInPandas(gen, schema=SLICE_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -157,10 +238,19 @@ def degrade_and_patch(
         F.xxhash64(F.lit(config.seed), "slice_id").bitwiseAND(F.lit(0x7FFFFFFF)),
     ).repartition(F.col("slice_id"))
 
+    # Same bounded-flush rule as explode_slices: a big slice (960x840)
+    # yields ~170 patches x 3 resolutions (~14 MB) — an input batch of
+    # such slices would otherwise accumulate gigabytes per task before
+    # the single yield.
+    flush_bytes = 128 * 1024 * 1024
+
     def gen(batches):
+        cols = [f.split(" ")[0] for f in PATCH_SCHEMA.split(", ")]
         for pdf in batches:
             rows = []
+            pending = 0
             for r in pdf.itertuples(index=False):
+                n_before = len(rows)
                 hr = npy_bytes_to_np(r.pixels).astype(np.float32)
                 h_space, w_space = make_crop_spaces(r.h, r.w, crop, step, thresh)
                 idx = 0
@@ -217,8 +307,12 @@ def degrade_and_patch(
                                 "value": np_to_npy_bytes(tile_lr, dtype_out),
                             }
                         )
-            cols = [f.split(" ")[0] for f in PATCH_SCHEMA.split(", ")]
-            yield pd.DataFrame(rows, columns=cols)
+                pending += sum(len(row["value"]) for row in rows[n_before:])
+                if pending >= flush_bytes:
+                    yield pd.DataFrame(rows, columns=cols)
+                    rows, pending = [], 0
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
 
     return slices.mapInPandas(gen, schema=PATCH_SCHEMA)
 
@@ -370,17 +464,33 @@ ARROW_VOLUME_BATCH = 16
 
 def run_pipeline(
     spark: SparkSession,
-    volumes: DataFrame,
+    volumes: DataFrame | None,
     config: PipelineConfig = PipelineConfig(),
+    *,
+    slabs: DataFrame | None = None,
 ) -> DataFrame:
     """Full lineage: volumes -> gated, split patch records (not yet written).
 
     Uses the fused in-UDF gate (see degrade_and_patch): one degradation pass,
     no recompute of the UDF across HR/approved/LR plan branches.
+
+    ``volumes`` takes VOLUME_SCHEMA rows (whole-volume cells, capped at
+    MAX_ARROW_CELL_BYTES); ``slabs`` takes SLAB_SCHEMA rows for volumes
+    too large for one cell. Either may be None; both given, their slices
+    union into one lineage (schemas are identical after explode).
     """
     # Volume rows are huge; keep Arrow batches tiny for the explode stage.
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_VOLUME_BATCH))
-    slices = explode_slices(volumes, config)
+    parts = []
+    if volumes is not None:
+        parts.append(explode_slices(volumes, config))
+    if slabs is not None:
+        parts.append(explode_slab_slices(slabs, config))
+    if not parts:
+        raise ValueError("run_pipeline needs volumes and/or slabs")
+    slices = parts[0]
+    for p in parts[1:]:
+        slices = slices.unionByName(p)
     gated = degrade_and_patch(slices, config, gated=True)
     return assign_split(gated, config)
 

@@ -42,6 +42,124 @@ VOLUME_SCHEMA = StructType(
     ]
 )
 
+# Hard ceiling for a single whole-volume binary cell. Spark's python-runner
+# stream buffer (DirectByteBufferOutputStream) grows by capacity-doubling;
+# past 1 GiB `capacity << 1` overflows int and every subsequent chunk write
+# reallocates + copies the entire buffer — O(n^2) memcpy that turns a
+# 2 GB cell into hours of serializer CPU (observed live: a (960,840,640)
+# float32 volume pinned one executor thread in ...OutputStream.grow for
+# 400+ s with zero progress). Cells past 2^31-1 bytes fail outright
+# (int32 Arrow offsets). Volumes near or over this limit must ingest
+# slab-wise: decode_nifti_slabs / synthetic_volume_slabs below.
+MAX_ARROW_CELL_BYTES = 768 * 1024 * 1024
+
+# Default slab payload bound. 32 MB keeps a 16-row Arrow batch
+# (operators/pipeline.py ARROW_VOLUME_BATCH) at ~512 MB — two doublings
+# under the 1 GiB transport cliff — and splits a (960,840,640) volume
+# into ~280 slabs, so the big-volume explode parallelizes across the
+# cluster instead of running as one straggler task.
+DEFAULT_SLAB_BYTES = 32 * 1024 * 1024
+
+SLAB_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("base", StringType()),
+        StructField("sx", IntegerType()),
+        StructField("sy", IntegerType()),
+        StructField("sz", IntegerType()),
+        StructField("zoom_x", DoubleType()),
+        StructField("zoom_y", DoubleType()),
+        StructField("zoom_z", DoubleType()),
+        # slab addressing: axis "z" serves axial+coronal slice indices
+        # [lo, hi); axis "y" serves sagittal indices [lo, hi)
+        StructField("slab_axis", StringType()),
+        StructField("lo", IntegerType()),
+        StructField("hi", IntegerType()),
+        # per-VOLUME robust percentiles, computed file-locally at ingest
+        # (a volume lives in one file, so its stats never need a
+        # distributed pass) and carried on every slab so downstream
+        # normalization is identical to the whole-volume path
+        StructField("vmin", DoubleType()),
+        StructField("vmax", DoubleType()),
+        StructField("voxels", BinaryType()),
+    ]
+)
+
+
+def _check_cell_size(payload: bytes, base: str) -> bytes:
+    if len(payload) > MAX_ARROW_CELL_BYTES:
+        raise ValueError(
+            f"volume {base!r} is {len(payload) / 1e9:.2f} GB as a single binary "
+            f"cell (limit {MAX_ARROW_CELL_BYTES / 1e9:.2f} GB). Spark's "
+            "python-runner transport degenerates to O(n^2) buffer copies past "
+            "1 GiB per Arrow batch; ingest this volume slab-wise instead "
+            "(decode_nifti_slabs / synthetic_volume_slabs)."
+        )
+    return payload
+
+
+def volume_to_slab_rows(
+    vol: np.ndarray,
+    *,
+    base: str,
+    path: str,
+    zooms: tuple[float, float, float],
+    pmin: float = 1.0,
+    pmax: float = 99.0,
+    max_slab_bytes: int = DEFAULT_SLAB_BYTES,
+):
+    """Split one decoded (sx, sy, sz) float32 volume into bounded slab rows.
+
+    Yields z-axis slabs ``vol[:, :, lo:hi]`` (source of axial AND coronal
+    slices — both iterate z, the reference's coronal quirk,
+    v2/nii_to_lmdb.py:77-79) and y-axis slabs ``vol[:, lo:hi, :]`` (source
+    of sagittal slices). The two families each cover the volume exactly
+    once; the 2x payload vs a monolithic cell is the price of bounded
+    rows — the real S5 lazy reader pays it as two file-read passes, never
+    as resident memory.
+
+    Percentile stats are computed here, over the WHOLE volume, before
+    splitting — so slab-wise normalization downstream is bit-identical to
+    explode_slices' in-UDF normalization.
+    """
+    sx, sy, sz = vol.shape
+    pcts = np.nanpercentile(vol, [pmin, pmax])
+    vmin, vmax = float(pcts[0]), float(pcts[1])
+    meta = {
+        "path": path,
+        "base": base,
+        "sx": sx,
+        "sy": sy,
+        "sz": sz,
+        "zoom_x": zooms[0],
+        "zoom_y": zooms[1],
+        "zoom_z": zooms[2],
+        "vmin": vmin,
+        "vmax": vmax,
+    }
+    z_bytes = sx * sy * 4  # one z-slice, float32
+    y_bytes = sx * sz * 4  # one y-slice, float32
+    z_step = max(1, max_slab_bytes // max(z_bytes, 1))
+    y_step = max(1, max_slab_bytes // max(y_bytes, 1))
+    for lo in range(0, sz, z_step):
+        hi = min(lo + z_step, sz)
+        yield {
+            **meta,
+            "slab_axis": "z",
+            "lo": lo,
+            "hi": hi,
+            "voxels": np_to_npy_bytes(np.ascontiguousarray(vol[:, :, lo:hi])),
+        }
+    for lo in range(0, sy, y_step):
+        hi = min(lo + y_step, sy)
+        yield {
+            **meta,
+            "slab_axis": "y",
+            "lo": lo,
+            "hi": hi,
+            "voxels": np_to_npy_bytes(np.ascontiguousarray(vol[:, lo:hi, :])),
+        }
+
 
 def np_to_npy_bytes(arr: np.ndarray, dtype_out: str = "float32") -> bytes:
     """Serialize an array as .npy bytes (ref semantics: v2/lmdb_npy.py:10-22;
@@ -135,12 +253,63 @@ def decode_nifti(scanned: DataFrame) -> DataFrame:
                         "zoom_x": zooms[0],
                         "zoom_y": zooms[1],
                         "zoom_z": zooms[2],
-                        "voxels": np_to_npy_bytes(vol),
+                        "voxels": _check_cell_size(np_to_npy_bytes(vol), base),
                     }
                 )
             yield pd.DataFrame(rows)
 
     return scanned.mapInPandas(decode, schema=VOLUME_SCHEMA)
+
+
+def decode_nifti_slabs(
+    scanned: DataFrame,
+    *,
+    pmin: float = 1.0,
+    pmax: float = 99.0,
+    max_slab_bytes: int = DEFAULT_SLAB_BYTES,
+) -> DataFrame:
+    """S4/S5 slab-wise ingest for volumes too large for a single binary cell
+    (see MAX_ARROW_CELL_BYTES). One file -> many bounded SLAB_SCHEMA rows;
+    per-volume percentile stats are computed file-locally and carried on
+    every slab. Feed to operators.pipeline.explode_slab_slices — its output
+    is bit-identical to decode_nifti + explode_slices, but no Arrow batch
+    ever exceeds ~max_slab_bytes per row and the slice explode of ONE huge
+    volume spreads across the cluster instead of one straggler task."""
+
+    def decode(batches):
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                vol, zooms = _decode_one_nifti(bytes(content))
+                base = (
+                    str(path).rsplit("/", 1)[-1].replace(".nii.gz", "").replace(".nii", "")
+                )
+                yield from _slab_frames(
+                    volume_to_slab_rows(
+                        vol,
+                        base=base,
+                        path=str(path),
+                        zooms=zooms,
+                        pmin=pmin,
+                        pmax=pmax,
+                        max_slab_bytes=max_slab_bytes,
+                    )
+                )
+
+    return scanned.mapInPandas(decode, schema=SLAB_SCHEMA)
+
+
+def _slab_frames(slab_rows, flush_bytes: int = 128 * 1024 * 1024):
+    """Group slab row dicts into bounded pandas frames: peak task memory
+    stays ~(one volume + one flush buffer) however large the volume is."""
+    rows, pending = [], 0
+    for row in slab_rows:
+        rows.append(row)
+        pending += len(row["voxels"])
+        if pending >= flush_bytes:
+            yield pd.DataFrame(rows)
+            rows, pending = [], 0
+    if rows:
+        yield pd.DataFrame(rows)
 
 
 def synthetic_volumes(
@@ -153,27 +322,13 @@ def synthetic_volumes(
     background + texture, generated ON EXECUTORS (the driver only ships
     (base, seed) rows) so the pattern scales to any volume count."""
     sx, sy, sz = shape
-    meta = spark.createDataFrame(
-        [(f"sub-{i:03d}_T1w", seed ^ (i * 0x9E3779B1)) for i in range(n_volumes)],
-        "base string, vseed long",
-    ).repartition(max(n_volumes // 2, 1), "base")
+    meta = _synth_meta(spark, n_volumes, seed)
 
     def gen(batches):
         for pdf in batches:
             rows = []
             for base, vseed in zip(pdf["base"], pdf["vseed"]):
-                rng = np.random.default_rng(int(vseed) & 0x7FFFFFFF)
-                zz, yy, xx = np.meshgrid(
-                    np.linspace(-1, 1, sz), np.linspace(-1, 1, sy), np.linspace(-1, 1, sx),
-                    indexing="ij",
-                )
-                # ellipsoid "brain" with per-volume eccentricity + texture
-                a, b, c = 0.62 + 0.1 * rng.random(3)
-                r2 = (xx / a) ** 2 + (yy / b) ** 2 + (zz / c) ** 2
-                brain = np.clip(1.0 - r2, 0.0, None)
-                tex = rng.standard_normal((sz, sy, sx)) * 0.05
-                vol = (brain * (0.6 + tex) + rng.random((sz, sy, sx)) * 0.01) * 1000.0
-                vol = np.transpose(vol, (2, 1, 0)).astype(np.float32)  # (sx, sy, sz)
+                vol = _synth_vol(int(vseed), (sx, sy, sz))
                 rows.append(
                     {
                         "path": f"/synthetic/anat/{base}.nii.gz",
@@ -184,9 +339,70 @@ def synthetic_volumes(
                         "zoom_x": 0.2,
                         "zoom_y": 0.2,
                         "zoom_z": 0.2,
-                        "voxels": np_to_npy_bytes(vol),
+                        "voxels": _check_cell_size(np_to_npy_bytes(vol), str(base)),
                     }
                 )
             yield pd.DataFrame(rows)
 
     return meta.mapInPandas(gen, schema=VOLUME_SCHEMA)
+
+
+def _synth_meta(spark: SparkSession, n_volumes: int, seed: int) -> DataFrame:
+    return spark.createDataFrame(
+        [(f"sub-{i:03d}_T1w", seed ^ (i * 0x9E3779B1)) for i in range(n_volumes)],
+        "base string, vseed long",
+    ).repartition(max(n_volumes // 2, 1), "base")
+
+
+def _synth_vol(vseed: int, shape: tuple[int, int, int]) -> np.ndarray:
+    """Deterministic brain-like (sx, sy, sz) float32 volume for one seed."""
+    sx, sy, sz = shape
+    rng = np.random.default_rng(vseed & 0x7FFFFFFF)
+    zz, yy, xx = np.meshgrid(
+        np.linspace(-1, 1, sz), np.linspace(-1, 1, sy), np.linspace(-1, 1, sx),
+        indexing="ij",
+    )
+    # ellipsoid "brain" with per-volume eccentricity + texture
+    a, b, c = 0.62 + 0.1 * rng.random(3)
+    r2 = (xx / a) ** 2 + (yy / b) ** 2 + (zz / c) ** 2
+    brain = np.clip(1.0 - r2, 0.0, None)
+    tex = rng.standard_normal((sz, sy, sx)) * 0.05
+    vol = (brain * (0.6 + tex) + rng.random((sz, sy, sx)) * 0.01) * 1000.0
+    return np.transpose(vol, (2, 1, 0)).astype(np.float32)  # (sx, sy, sz)
+
+
+def synthetic_volume_slabs(
+    spark: SparkSession,
+    n_volumes: int = 1,
+    shape: tuple[int, int, int] = (48, 48, 10),
+    seed: int = 7,
+    *,
+    pmin: float = 1.0,
+    pmax: float = 99.0,
+    max_slab_bytes: int = DEFAULT_SLAB_BYTES,
+) -> DataFrame:
+    """Slab-wise twin of synthetic_volumes: same deterministic volumes (same
+    seeds, same voxel values), emitted as bounded SLAB_SCHEMA rows — the
+    generator holds one whole volume in task-local numpy memory (exactly as
+    the lazy NIfTI reader holds the mmap'd file) but never ships a cell
+    larger than max_slab_bytes through Arrow."""
+    sx, sy, sz = shape
+    meta = _synth_meta(spark, n_volumes, seed)
+
+    def gen(batches):
+        for pdf in batches:
+            for base, vseed in zip(pdf["base"], pdf["vseed"]):
+                vol = _synth_vol(int(vseed), (sx, sy, sz))
+                yield from _slab_frames(
+                    volume_to_slab_rows(
+                        vol,
+                        base=str(base),
+                        path=f"/synthetic/anat/{base}.nii.gz",
+                        zooms=(0.2, 0.2, 0.2),
+                        pmin=pmin,
+                        pmax=pmax,
+                        max_slab_bytes=max_slab_bytes,
+                    )
+                )
+
+    return meta.mapInPandas(gen, schema=SLAB_SCHEMA)
