@@ -57,6 +57,8 @@ def main() -> None:
         int(x) for x in os.environ.get("SPARK_GRAFT_IMG_SHAPE", "192,192,48").split(",")
     )
     mode = os.environ.get("SPARK_GRAFT_IMG_MODE", "uniform")
+    if mode not in ("uniform", "skew"):
+        raise SystemExit(f"SPARK_GRAFT_IMG_MODE must be 'uniform' or 'skew', got {mode!r}")
     spark = get_spark("bench-imaging")
     spark.sparkContext.setLogLevel("ERROR")
 

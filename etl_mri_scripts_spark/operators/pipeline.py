@@ -160,6 +160,15 @@ def explode_slab_slices(slabs: DataFrame, config: PipelineConfig = PipelineConfi
     """
     pmin_denom = 1e-12
     flush_bytes = 128 * 1024 * 1024
+    # Bound the INPUT Arrow batch here, not just in run_pipeline: at
+    # Spark's default maxRecordsPerBatch=10000, a partition holding ~32
+    # slabs of 32 MB would arrive as one >1 GiB batch and hit the very
+    # transport cliff the slab path exists to avoid. The cap belongs to
+    # the operator so the documented decode_nifti_slabs ->
+    # explode_slab_slices pairing is safe on its own.
+    slabs.sparkSession.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_VOLUME_BATCH)
+    )
     slabs = slabs.repartition(F.col("base"), F.col("slab_axis"), F.col("lo"))
 
     def gen(batches):

@@ -86,7 +86,19 @@ def _pin_boundaries(ordered: DataFrame) -> DataFrame:
                 f"{_CHECKPOINT_MODE_KEY}=reliable requires "
                 "spark.sparkContext.setCheckpointDir(<fault-tolerant path>)"
             )
-        return ordered.checkpoint(eager=False)
+        # RDD checkpointing writes its files in a SECOND job after the
+        # first action, re-executing the whole lineage unless the data is
+        # cached (classic RDD.checkpoint semantics). Persist first so the
+        # checkpoint write replays cached partitions — the counts job and
+        # the durable copy then observe the SAME computation (the
+        # boundary-consistency guarantee this function exists for, which
+        # an uncached recompute would break under nondeterministic
+        # upstream lineage) — and the expensive range-sort never runs
+        # twice. Blocks are GC-reclaimed by the ContextCleaner once
+        # callers drop the frame.
+        from pyspark import StorageLevel
+
+        return ordered.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(eager=False)
     raise ValueError(f"{_CHECKPOINT_MODE_KEY} must be 'local' or 'reliable', got {mode!r}")
 
 

@@ -189,6 +189,45 @@ def scan_nifti(spark: SparkSession, root: str, path_regex: str = r".*/anat/.*\.n
     )
 
 
+def scan_nifti_paths(
+    spark: SparkSession, root: str, path_regex: str = r".*/anat/.*\.nii(\.gz)?$"
+) -> DataFrame:
+    """Path-only scan for the slab ingest of LARGE files: selects only the
+    binaryFile source's metadata columns, so file CONTENT never enters a
+    row (binaryFile supports column pruning — the scan reads directory
+    listings, not bytes). A >1 GiB file shipped as a `content` cell would
+    hit the same transport cliff MAX_ARROW_CELL_BYTES documents before
+    any slab could be cut; with this scan the bytes are first read
+    INSIDE the slab decoder's executor task, where file I/O is
+    task-local and never crosses Arrow whole."""
+    return (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.nii*")
+        .load(root)
+        .filter(F.col("path").rlike(path_regex))
+        .select("path", "length")
+    )
+
+
+def _local_path(uri: str) -> str:
+    """binaryFile yields file URIs; the in-task reader needs an OS path.
+    Non-file schemes need a mounted path or an fsspec-style reader —
+    refuse loudly rather than mis-read."""
+    if uri.startswith("file:"):
+        path = uri[5:]
+        while path.startswith("//"):
+            path = path[1:]
+        return path
+    if "://" in uri:
+        raise NotImplementedError(
+            f"decode_nifti_slabs reads by path on the executor; scheme of "
+            f"{uri!r} is not a local filesystem. Mount the store or extend "
+            "_local_path with the appropriate reader."
+        )
+    return uri
+
+
 def _decode_one_nifti(content: bytes) -> tuple[np.ndarray, tuple[float, float, float]]:
     """Decode one NIfTI blob: nibabel when installed (full format coverage),
     else the engine's spec-compliant pure-numpy NIfTI-1 reader
@@ -274,11 +313,22 @@ def decode_nifti_slabs(
     every slab. Feed to operators.pipeline.explode_slab_slices — its output
     is bit-identical to decode_nifti + explode_slices, but no Arrow batch
     ever exceeds ~max_slab_bytes per row and the slice explode of ONE huge
-    volume spreads across the cluster instead of one straggler task."""
+    volume spreads across the cluster instead of one straggler task.
+
+    ``scanned`` should come from scan_nifti_paths (path-only rows): the
+    file bytes are then read INSIDE this task, task-locally, so even a
+    2 GB source file never crosses the Arrow transport whole. Rows that
+    do carry a ``content`` column (scan_nifti) are also accepted for
+    small-file compatibility — but such cells were already subject to
+    the transport cliff upstream, which is the reason this path exists."""
 
     def decode(batches):
         for pdf in batches:
-            for path, content in zip(pdf["path"], pdf["content"]):
+            contents = pdf["content"] if "content" in pdf.columns else [None] * len(pdf)
+            for path, content in zip(pdf["path"], contents):
+                if content is None:
+                    with open(_local_path(str(path)), "rb") as f:
+                        content = f.read()
                 vol, zooms = _decode_one_nifti(bytes(content))
                 base = (
                     str(path).rsplit("/", 1)[-1].replace(".nii.gz", "").replace(".nii", "")

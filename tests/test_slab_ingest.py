@@ -121,6 +121,40 @@ def test_oversize_cell_guard(monkeypatch):
         V._check_cell_size(b"x" * 1001, "too-big")
 
 
+def test_decode_nifti_slabs_by_path_matches_content(spark, tmp_path):
+    # the LARGE-file path: path-only scan, bytes read inside the task —
+    # must produce identical slab rows to the content-carrying scan
+    from etl_mri_scripts_spark.sources.codecs import encode_nifti1
+
+    vol = V._synth_vol(77, (10, 8, 6))
+    (tmp_path / "anat").mkdir()
+    (tmp_path / "anat" / "sub-x_T1w.nii").write_bytes(
+        encode_nifti1(vol, zooms=(0.2, 0.2, 1.0))
+    )
+    by_path_scan = V.scan_nifti_paths(spark, str(tmp_path))
+    assert by_path_scan.columns == ["path", "length"]  # content pruned out
+    key = lambda r: (r["slab_axis"], r["lo"])
+    by_path = sorted(
+        V.decode_nifti_slabs(by_path_scan, max_slab_bytes=700).collect(), key=key
+    )
+    by_content = sorted(
+        V.decode_nifti_slabs(
+            V.scan_nifti(spark, str(tmp_path)), max_slab_bytes=700
+        ).collect(),
+        key=key,
+    )
+    assert len(by_path) > 2
+    assert [r.asDict() for r in by_path] == [r.asDict() for r in by_content]
+
+
+def test_local_path_uri_handling():
+    assert V._local_path("file:/a/b.nii") == "/a/b.nii"
+    assert V._local_path("file:///a/b.nii") == "/a/b.nii"
+    assert V._local_path("/a/b.nii") == "/a/b.nii"
+    with pytest.raises(NotImplementedError, match="local filesystem"):
+        V._local_path("s3://bucket/b.nii")
+
+
 def test_volume_to_slab_rows_values_roundtrip():
     # slab bytes reassemble to the exact source volume (both families)
     vol = V._synth_vol(123, SHAPE)
