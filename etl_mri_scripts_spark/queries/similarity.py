@@ -307,7 +307,17 @@ def kmeans_clustered(spark: SparkSession, v: DataFrame) -> DataFrame:
     re-shuffled the whole corpus every iteration — the groupBy cannot see
     that the join's candidate rows are already co-located.)
     Determinism: init = lowest-K vec_ids, centroid coordinates rounded to
-    6 dp each iteration so retries reproduce bit-identical clusters."""
+    6 dp each iteration so retries reproduce bit-identical clusters.
+
+    Negative result, do not retry (A/B-measured at sf0.1, round 6): an
+    Arrow-batched numpy kernel here — the rewrite that took PQ
+    assignment from 4.2 to 2.2 s — made THIS loop slower
+    (ann_ivf_kmeans_topk ~1.0-1.1 s JVM form vs ~1.6-1.9 s full-numpy vs
+    ~2.4-2.7 s numpy-train hybrid). At K=8 full-dim the interpreted
+    argmin is only ~512 flops/row, while the numpy path ships the whole
+    corpus (64 doubles/row) JVM->Python per job; PQ wins because its
+    8x32-centroid grid is ~16x the arithmetic and its outputs are narrow
+    codes/partials, never the vectors themselves."""
     from pyspark import StorageLevel
 
     # v (scan + norm/bucket projections) feeds KMEANS_ITERS assign jobs,
