@@ -25,16 +25,33 @@ def summarize(plan: str) -> dict:
         if ("DataFilters: [" in l and "DataFilters: []" not in l)
         or ("PushedFilters: [" in l and "PushedFilters: []" not in l)
     )
-    # Single-partition WindowExec: a Window operator fed (within its
-    # child subtree, printed in the next few lines) by an Exchange
-    # SinglePartition — the unpartitioned-window scale-killer. Windows
-    # over bounded post-aggregation frames are whitelisted explicitly.
+    # Single-partition WindowExec: a Window operator whose input chain is
+    # fed by an Exchange SinglePartition — the unpartitioned-window
+    # scale-killer. Windows over bounded post-aggregation frames are
+    # whitelisted explicitly. Detection is subtree-bounded by tree
+    # indentation (not a fixed 3-line peek, which both missed AQE's
+    # interposed ShuffleQueryStage/AQEShuffleRead lines and could read a
+    # sibling subtree's exchange): walk the Window's child subtree in
+    # print order and let the FIRST Exchange encountered decide — it is
+    # the nearest shuffle on the spine that determines the window's input
+    # partitioning; a hashpartitioning exchange there means the window is
+    # properly partitioned regardless of what sits below it.
+    def indent(s: str) -> int:
+        i = 0
+        while i < len(s) and s[i] in " :+-":
+            i += 1
+        return i
+
     sp_windows = 0
     for i, l in enumerate(lines):
         if "Window" in l and "WindowGroupLimit" not in l:
-            for j in range(i + 1, min(i + 4, len(lines))):
-                if "SinglePartition" in lines[j]:
-                    sp_windows += 1
+            p = indent(l)
+            for j in range(i + 1, len(lines)):
+                if indent(lines[j]) <= p:
+                    break
+                if "Exchange" in lines[j]:
+                    if "SinglePartition" in lines[j]:
+                        sp_windows += 1
                     break
     return {
         "sp_windows": sp_windows,

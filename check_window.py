@@ -39,6 +39,11 @@ def main() -> int:
 
     if args.names:
         names = [n.strip() for n in args.names.split(",") if n.strip()]
+        # usage errors must not masquerade as query FAILs in the summary
+        unknown = [n for n in names if n not in QUERIES]
+        if unknown:
+            print(f"unknown --names (not in QUERIES): {unknown}", file=sys.stderr)
+            return 2
     else:
         names = list(QUERIES) if args.all else list(QUERIES)[: args.n]
 

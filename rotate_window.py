@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import glob
 import json
+import re
 import sys
 
 SENTINELS = [
@@ -38,28 +39,58 @@ def main() -> int:
     sys.path.insert(0, ".")
     from etl_mri_scripts_spark.queries import QUERIES
 
-    verified: set[str] = set()
-    last_round: dict[str, str] = {}  # query -> newest CORRECTNESS file containing it
-    for fn in sorted(glob.glob("CORRECTNESS_r*.json")):
-        with open(fn) as f:
-            names = set(json.load(f))
-        verified |= names
-        for n in names:
-            last_round[n] = fn
+    def row_passed(row: dict) -> bool:
+        # Mirrors the driver's verdict shapes: oracled rows pass on the
+        # value hash (or rows for the weaker check); rows-only queries
+        # (err == "no_oracle", by design — pixel/sketch/BPE outputs) pass
+        # when the Spark side produced a row count (their values are
+        # golden-pinned in pytest). Everything else — real errs, matched
+        # = false — is a FAIL and must not count as a verified row.
+        if row.get("hash_match") or row.get("rows_match"):
+            return True
+        return row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) >= 0
 
-    rechecks = [n for n in args.recheck.split(",") if n]
+    # Numeric round order: lexicographic filename sort would break
+    # newest-wins at r100 (sorts between r10 and r11).
+    def round_num(fn: str) -> int:
+        m = re.search(r"_r(\d+)\.json$", fn)
+        return int(m.group(1)) if m else -1
+
+    last_round: dict[str, str] = {}  # query -> newest CORRECTNESS file containing it
+    last_passed: dict[str, bool] = {}  # verdict of that newest row
+    for fn in sorted(glob.glob("CORRECTNESS_r*.json"), key=round_num):
+        with open(fn) as f:
+            rows = json.load(f)
+        for n, row in rows.items():
+            last_round[n] = fn
+            last_passed[n] = row_passed(row)
+    verified = {n for n, ok in last_passed.items() if ok}
+
+    rechecks = [n.strip() for n in args.recheck.split(",") if n.strip()]
     missing = [n for n in rechecks if n not in QUERIES]
     if missing:
         print(f"unknown --recheck names: {missing}", file=sys.stderr)
         return 1
 
+    # Queries whose LATEST driver row failed outrank everything: they go
+    # in the head right after the sentinels, loudly labeled, so a failing
+    # query can never ride a stale green row out of the window.
+    failing = [
+        n for n in QUERIES
+        if n in last_passed and not last_passed[n]
+        and n not in SENTINELS and n not in rechecks
+    ]
+
     # Re-check names are already placed in the head block; listing a
     # never-verified re-check again in the rotation would waste a slot.
+    # Dedupe the head (a sentinel passed via --recheck must not burn a
+    # second slot) while preserving order.
     unverified = [
         n for n in QUERIES
-        if n not in verified and n not in SENTINELS and n not in rechecks
+        if n not in verified and n not in last_passed
+        and n not in SENTINELS and n not in rechecks
     ]
-    head = SENTINELS + rechecks
+    head = list(dict.fromkeys(SENTINELS + failing + rechecks))
     slots = max(0, args.window - len(head))
     rotation, queue = unverified[:slots], unverified[slots:]
 
@@ -72,18 +103,23 @@ def main() -> int:
         taken = set(head) | set(rotation)
         stalest = sorted(
             (n for n in QUERIES if n not in taken),
-            key=lambda n: (last_round.get(n, ""), n),
+            key=lambda n: (round_num(last_round.get(n, "")), n),
         )
         freshness = [(n, last_round.get(n, "?")) for n in stalest[:spare]]
 
     print(f"# window={args.window}: {len(SENTINELS)} sentinels + "
+          f"{len(failing)} FAILING-latest-row + "
           f"{len(rechecks)} re-checks + {len(rotation)} rotation + "
           f"{len(freshness)} freshness; "
           f"{len(queue)} queued for the round after")
     print("_DRIVER_ORDER = [")
     for n in SENTINELS:
         print(f'    "{n}",  # sentinel')
+    for n in failing:
+        print(f'    "{n}",  # FAILING latest driver row ({last_round[n]}) — investigate')
     for n in rechecks:
+        if n in SENTINELS or n in failing:
+            continue  # already emitted; a dup would silently burn a window slot
         print(f'    "{n}",  # re-check: implementation changed')
     for n in rotation:
         print(f'    "{n}",')

@@ -16,6 +16,17 @@ import pandas as pd
 def _norm_cell(v):
     if v is None:
         return ("none",)
+    # ORDER MATTERS in the next three branches (r6 review findings):
+    # bool is a subclass of int — an int check first would normalize
+    # Python True to ('i', 1) while np.bool_ goes to ('b', True), so a
+    # nullable (object-dtype) bool column would falsely mismatch its
+    # non-null twin. NaT is a datetime subclass — the datetime branch
+    # would stringify it to ('t', 'NaT') instead of the null shape the
+    # driver's pandas factorization uses.
+    if isinstance(v, bool) or type(v).__name__ == "bool_":
+        return ("b", bool(v))
+    if v is pd.NaT:
+        return ("none",)
     if isinstance(v, float):
         if math.isnan(v):
             return ("nan",)
@@ -38,24 +49,35 @@ def _norm_cell(v):
             f"non-scalar cell {type(v).__name__} in oracled query output; "
             "encode arrays as strings or explode to long form"
         )
-    if isinstance(v, (int,)) or type(v).__name__ in ("int64", "int32", "uint64"):
+    if isinstance(v, (int,)) or type(v).__name__ in (
+        "int64", "int32", "int16", "int8", "uint64", "uint32", "uint16", "uint8"
+    ):
         return ("i", int(v))
-    if type(v).__name__ in ("float64", "float32"):
+    if type(v).__name__ in ("float64", "float32", "float16"):
         f = float(v)
         return ("nan",) if math.isnan(f) else ("f", f)
-    if isinstance(v, bool) or type(v).__name__ == "bool_":
-        return ("b", bool(v))
     if isinstance(v, (bytes, bytearray)):
         return ("y", bytes(v))
-    if isinstance(v, type(pd.NaT)):
-        return ("none",)
     return ("s", str(v))
+
+
+def _sort_key_cell(c):
+    # Sort floats by their 6-dp rounding so two sides whose values differ
+    # only inside the 1e-9 compare tolerance still align to the same row
+    # order (exact-repr sorting could order them differently and misalign
+    # rows BEFORE the tolerant per-cell compare ever ran — r6 review
+    # finding). 6 dp is the repo's engineered output granularity, so
+    # tolerance-equal values round identically except vanishingly near a
+    # half-ulp-of-1e-6 boundary.
+    if c[0] == "f":
+        return ("f", round(c[1], 6))
+    return c
 
 
 def _rows(df: pd.DataFrame):
     df = df.reindex(sorted(df.columns), axis=1)
     rows = [tuple(_norm_cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
-    return sorted(rows, key=repr), list(df.columns)
+    return sorted(rows, key=lambda r: repr(tuple(_sort_key_cell(c) for c in r))), list(df.columns)
 
 
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str = "?"):
