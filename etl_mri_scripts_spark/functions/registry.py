@@ -48,14 +48,19 @@ def register_all(spark: SparkSession) -> list[str]:
         # SQL-text twin of the Catalyst regexp_replace builder
         # (operators/patches.py normalize_key_col) — prefer the builder in
         # DataFrame code; this exists for SELECT-string callers.
-        return key.map(normalize_key)
+        # na_action='ignore' propagates NULL like the Catalyst twin;
+        # without it NaN reaches re.sub and the whole task dies.
+        return key.map(normalize_key, na_action="ignore")
 
     @pandas_udf("double")
     def p98_udaf(v: pd.Series) -> float:
         # pandas UDAF (GROUPED_AGG): the robust-rescale highlight percentile
         # (D11, v2/degradation_function_v2.py:266-283) as a SQL aggregate —
-        # usable as p98(x) ... GROUP BY g.
-        return float(np.percentile(v.to_numpy(dtype=np.float64), 98))
+        # usable as p98(x) ... GROUP BY g. NULLs are skipped like every
+        # built-in SQL aggregate (a NaN-poisoned percentile would return
+        # NaN for the whole group); an all-NULL group returns NULL.
+        arr = v.dropna().to_numpy(dtype=np.float64)
+        return float(np.percentile(arr, 98)) if arr.size else None
 
     spark.udf.register("snr_target_from_field", snr_target_from_field_udf)
     spark.udf.register("parse_field_target", parse_field_target_udf)

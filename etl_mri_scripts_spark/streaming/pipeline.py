@@ -13,6 +13,8 @@ queries (queries/windows.py) — one definition, two execution modes.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,9 +32,22 @@ def _cents_half_up(v: float) -> int:
     matches ``Double.toString``'s value exactly, so quantizing its
     Decimal HALF_UP reproduces the JVM result bit-for-bit (including
     negatives: HALF_UP rounds away from zero on both sides)."""
-    from decimal import ROUND_HALF_UP, Decimal
-
     return int(Decimal(repr(v * 100)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+
+def _duration_ms(d: str | int) -> int:
+    """'10 minutes' / '1 hour' / raw ms int -> milliseconds."""
+    if isinstance(d, int):
+        return d
+    n, unit = d.split()
+    mult = {
+        "millisecond": 1,
+        "second": 1000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+    }[unit.rstrip("s")]
+    return int(float(n) * mult)
 
 
 def stream_events(spark: SparkSession, in_dir: str, fmt: str = "json") -> DataFrame:
@@ -87,20 +102,37 @@ def running_counters_stream(events: DataFrame, gap_timeout: str | None = None) -
     (v2/nii_to_lmdb_paralel.py:338-369, A9), where the driver keeps running
     totals as slice jobs finish. State per key is one (count, sum) pair, so
     state size is O(|event types|), independent of stream length.
+
+    ``gap_timeout`` (e.g. "1 hour") arms a PROCESSING-time timeout per
+    key: a key idle that long has its counters evicted (and a final
+    zero-delta row is NOT emitted — eviction is silent). Use on
+    high-cardinality or churning key sets where retaining dead keys
+    forever would grow state without bound; omit for the reference's
+    fixed small key set.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = "event_type string, n_total long, value_total double, n_batches long"
     state_schema = "n long, v double, b long"
+    out_cols = ["event_type", "n_total", "value_total", "n_batches"]
+    # pyspark's GroupState.setTimeoutDuration accepts int ms only (the
+    # Scala duration-string form is not exposed) — parse up front
+    timeout_ms = _duration_ms(gap_timeout) if gap_timeout else None
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=out_cols)
+            return
         n, v = 0, 0.0
         for pdf in pdfs:
             n += len(pdf)
             v += float(pdf["value"].sum())
         tot_n, tot_v, tot_b = state.get if state.exists else (0, 0.0, 0)
         state.update((tot_n + n, tot_v + v, tot_b + 1))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             [
                 {
@@ -117,7 +149,11 @@ def running_counters_stream(events: DataFrame, gap_timeout: str | None = None) -
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if gap_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -130,9 +166,25 @@ def run_incremental_pipeline(
 ):
     """Incremental imaging ingest: watch a directory of volume parquet
     drops; each micro-batch runs the full batch pipeline (explode ->
-    degrade -> patch -> gate -> split) and appends to the partitioned sink.
-    Exactly-once per input file via the checkpoint — the streaming-native
-    form of the reference's --force/skip-if-exists logic.
+    degrade -> patch -> gate -> split) into the partitioned sink —
+    the streaming-native form of the reference's --force/skip-if-exists
+    logic.
+
+    Effectively-exactly-once per input file: the checkpoint prevents
+    re-reading processed files, and the sink write is IDEMPOTENT under
+    micro-batch replay — foreachBatch alone is only at-least-once (a
+    crash between the batch's file commit and the checkpoint offset
+    commit replays the batch), so each batch dynamically OVERWRITES its
+    own ``batch_id=N`` partition instead of blind-appending: the replay
+    rewrites the same rows rather than duplicating them (Spark's
+    documented foreachBatch idempotency recipe). Readers use
+    read_dataset(out_dir) as usual; batch_id is just an extra partition
+    column.
+
+    ``config`` defaults to the SAME PipelineConfig() as the batch
+    run_pipeline — a pipeline that silently produced different patch
+    geometry depending on which ingest path ran would corrupt a mixed
+    dataset.
     """
     from ..operators.pipeline import (
         ARROW_VOLUME_BATCH,
@@ -143,7 +195,7 @@ def run_incremental_pipeline(
     )
     from ..sources.volumes import VOLUME_SCHEMA
 
-    cfg = config or PipelineConfig(crop_hr=16, step_hr=8, scales=(2,))
+    cfg = config or PipelineConfig()
     # Same row-size guard as run_pipeline: volume rows are huge, and
     # without this the Arrow default (10k records/batch) would
     # materialize a whole micro-batch of volumes in one pandas batch.
@@ -162,8 +214,9 @@ def run_incremental_pipeline(
         )
         (
             patches.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .partitionBy("resolution", "split")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "resolution", "split")
             .parquet(out_dir)
         )
 

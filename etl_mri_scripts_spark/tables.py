@@ -81,7 +81,17 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # NANOS file: the conf must STAY set — the scan re-checks it when the
         # lazy plan executes. This is the only case with a session-wide
         # side effect, and it is required for the read to work at all.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # FLOOR division, not `div`: `div` truncates toward zero, so a
+        # pre-epoch timestamp with sub-microsecond residue (-1500 ns)
+        # would land on -1 us where a NS->US coercion floors to -2 us —
+        # a 1-us disagreement with the oracle on every such row. Spark's
+        # % follows the dividend's sign, so adjust when it is negative.
+        return df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")
+            ),
+        )
     # Non-NANOS file: restore the caller's conf so the catalog does not
     # change how other parquet reads in this session interpret NANOS.
     if prev is None:

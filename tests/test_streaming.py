@@ -99,29 +99,34 @@ def test_stateful_counters_accumulate_across_batches(spark, tmp_path, sf_dir):
 
 
 def test_incremental_pipeline_exactly_once(spark, tmp_path):
+    from etl_mri_scripts_spark.operators.pipeline import PipelineConfig
     from etl_mri_scripts_spark.sources.volumes import synthetic_volumes
 
     vols_dir = str(tmp_path / "vols")
     out_dir = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
+    # the production default geometry (batch-aligned crop 32/16) gates
+    # out every patch of these tiny fixture volumes as dark -> pass an
+    # explicit small-crop config, as a real small-volume deployment would
+    cfg = PipelineConfig(crop_hr=16, step_hr=8, scales=(2,))
 
     v1 = synthetic_volumes(spark, 1, (24, 24, 4), seed=3)
     v1.write.mode("overwrite").parquet(vols_dir)
 
-    q = run_incremental_pipeline(spark, vols_dir, out_dir, ckpt)
+    q = run_incremental_pipeline(spark, vols_dir, out_dir, ckpt, config=cfg)
     _wait(q)
     n1 = spark.read.parquet(out_dir).count()
     assert n1 > 0
 
     # restart with NO new data: checkpoint must prevent reprocessing
-    q2 = run_incremental_pipeline(spark, vols_dir, out_dir, ckpt)
+    q2 = run_incremental_pipeline(spark, vols_dir, out_dir, ckpt, config=cfg)
     _wait(q2)
     assert spark.read.parquet(out_dir).count() == n1
 
     # drop one new volume file -> only its patches are appended
     v2 = synthetic_volumes(spark, 2, (24, 24, 4), seed=9).filter(F.col("base") == "sub-001_T1w")
     v2.write.mode("append").parquet(vols_dir)
-    q3 = run_incremental_pipeline(spark, vols_dir, out_dir, ckpt)
+    q3 = run_incremental_pipeline(spark, vols_dir, out_dir, ckpt, config=cfg)
     _wait(q3)
     n3 = spark.read.parquet(out_dir).count()
     assert n3 > n1
