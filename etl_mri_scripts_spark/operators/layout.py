@@ -24,8 +24,14 @@ ZBITS = 21  # bits per dimension for 2-3 dims packed into one signed long
 
 def _normalize_to_bits(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     """Rank-free normalization: map [lo, hi] linearly onto [0, 2^bits).
-    Monotonic per dimension, which is all Morton clustering needs."""
-    span = F.greatest(hi - lo, F.lit(1))
+    Monotonic per dimension, which is all Morton clustering needs.
+
+    The span guard protects ONLY the degenerate hi == lo case (constant
+    dimension -> div by zero). It must not floor sub-unit spans to 1: a
+    double dimension spanning [0, 0.001] would then scale to ~2k of the
+    2^21 codes (~11 of 21 bits) and a tighter span to a handful — no
+    clustering at all on the dimension (r6 review finding)."""
+    span = F.when(hi > lo, hi - lo).otherwise(F.lit(1))
     scaled = ((col - lo).cast("double") / span.cast("double")) * float((1 << bits) - 1)
     return F.least(
         F.greatest(F.round(scaled).cast("long"), F.lit(0)),
@@ -91,7 +97,11 @@ def row_groups_matching(parquet_dir: str, predicates: dict[str, tuple]) -> tuple
             group = md.row_group(rg)
             hit = True
             for col, (lo, hi) in predicates.items():
-                stats = group.column(names[col]).statistics
+                idx = names.get(col)
+                if idx is None:
+                    continue  # column absent in this file (schema drift)
+                    # -> no stats -> cannot skip, same as below
+                stats = group.column(idx).statistics
                 if stats is None or not stats.has_min_max:
                     continue  # no stats -> cannot skip
                 if stats.max < lo or stats.min > hi:

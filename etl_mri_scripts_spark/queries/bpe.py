@@ -48,8 +48,14 @@ def word_counts(docs: DataFrame) -> DataFrame:
     shuffle carries |V| rows per task, not corpus tokens."""
     return (
         docs.select(
+            # (?U): Java's \s is ASCII-only by default while Python's re
+            # (pretokenize, the apply side) treats \s as Unicode — without
+            # the flag a U+00A0 in web text is a "symbol" at train time
+            # but whitespace at apply time, so the two halves of the
+            # tokenizer disagree (r6 review finding). UNICODE_CHARACTER
+            # _CLASS aligns the JVM side with Python.
             F.explode(
-                F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]', 0)")
+                F.expr(r"regexp_extract_all(lower(text), '(?U)[a-z0-9]+|[^a-z0-9\\s]', 0)")
             ).alias("word")
         )
         .groupBy("word")
@@ -164,7 +170,10 @@ def bpe_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_tokens = []
             n_words = []
             for text in pdf["text"]:
-                words = pretokenize(str(text))
+                # NULL text contributes zero tokens, matching the train
+                # side where lower(NULL) rows vanish at explode —
+                # str(None) would tokenize the literal 'None' (r6 review)
+                words = pretokenize(text) if text is not None else []
                 n_words.append(len(words))
                 n_tokens.append(sum(encode_word(w) for w in words))
             yield pd.DataFrame(

@@ -16,8 +16,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
+from ..operators.rank import global_row_number
 from ..sources.textual import (
     read_documents_csv,
     read_documents_jsonl,
@@ -66,11 +66,26 @@ def _sweep_stale_exports(keep: str) -> None:
         entries = os.listdir(_EXPORT_ROOT)
     except OSError:
         return
+    def deepest_mtime(root: str) -> float:
+        # Staleness must consider the WHOLE tree: the app dir's own mtime
+        # only changes when fmt subdirs are created, so a session alive
+        # for >24h but still rewriting files inside them would look stale
+        # by the top-level mtime and get swept mid-read (r6 review).
+        newest = 0.0
+        for dirpath, _dirs, files in os.walk(root):
+            try:
+                newest = max(newest, os.path.getmtime(dirpath))
+                for f in files:
+                    newest = max(newest, os.path.getmtime(os.path.join(dirpath, f)))
+            except OSError:
+                continue
+        return newest
+
     cutoff = time.time() - _STALE_EXPORT_SECS
     for name in entries:
         path = os.path.join(_EXPORT_ROOT, name)
         try:
-            if name != keep and os.path.isdir(path) and os.path.getmtime(path) < cutoff:
+            if name != keep and os.path.isdir(path) and deepest_mtime(path) < cutoff:
                 shutil.rmtree(path, ignore_errors=True)
         except OSError:
             continue
@@ -127,13 +142,19 @@ def source_jsonl_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFra
     7th line deterministically truncated mid-JSON, read PERMISSIVE, count
     quarantined vs clean rows. The oracle computes the expected split by
     arithmetic on the parquet row count."""
-    docs = table(spark, sf_dir, "documents").orderBy("doc_id")
+    docs = table(spark, sf_dir, "documents")
     out = _export_dir(spark, sf_dir, "jsonl_corrupt")
 
     # deterministic corruption: rank rows by doc_id, truncate every 7th
-    # (1-indexed multiples of 7) JSON line so it no longer parses
-    jsonl = docs.select(
-        F.row_number().over(Window.orderBy("doc_id")).alias("rn"),
+    # (1-indexed multiples of 7) JSON line so it no longer parses.
+    # Two-phase rank (operators/rank.py), NOT Window.orderBy row_number:
+    # this export executes EAGERLY below, so its plan is invisible to the
+    # sp-window audit — it was the one single-partition global sort in
+    # the fleet hiding inside a write (r6 review finding). The preceding
+    # global orderBy was equally redundant (rn depends only on doc_id).
+    ranked, _total = global_row_number(docs, ["doc_id"], rank_col="rn")
+    jsonl = ranked.select(
+        "rn",
         F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars")).alias("line"),
     ).select(
         F.when(

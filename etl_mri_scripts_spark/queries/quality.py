@@ -161,9 +161,19 @@ def dq_uniqueness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     a struct count-distinct (one shuffle of the key columns only)."""
 
     def dup(df, key_cols, name):
+        # Composite keys count distinct STRUCTS, as the docstring says and
+        # the oracle computes: multi-argument count_distinct(a, b) skips
+        # any row where EITHER column is NULL — exactly the rows a
+        # uniqueness audit must see — while a struct with a NULL field is
+        # itself non-NULL and counts (r6 review finding). Single-column
+        # keys keep the plain form (both engines skip NULL scalars).
+        key = (
+            F.col(key_cols[0])
+            if len(key_cols) == 1
+            else F.struct(*[F.col(c) for c in key_cols])
+        )
         return df.agg(
-            (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in key_cols]))
-            .alias("duplicates")
+            (F.count(F.lit(1)) - F.count_distinct(key)).alias("duplicates")
         ).select(F.lit(name).alias("key_name"), "duplicates")
 
     cust = table(spark, sf_dir, "customer")
