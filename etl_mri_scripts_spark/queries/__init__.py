@@ -50,7 +50,7 @@ from . import relational  # noqa: E402,F401
 # changed in round 6 after its last driver row (the numpy PQ
 # assign/encode rewrite; the chunked explode_slices flush; the rank
 # _pin_boundaries refactor — default behavior identical, re-checked as
-# insurance), then the 39 stalest rows (all r1) fill the window. All
+# insurance), then 37 stalest rows (all r1) + 2 late-round re-checks (the formats rank rewrite and the uniqueness struct-distinct) fill the window. All
 # re-checks passed the local oracle gate at sf0.01 (PQ also at sf0.1)
 # before this rotation landed.
 _DRIVER_ORDER = [
@@ -102,8 +102,8 @@ _DRIVER_ORDER = [
     "set_union_distinct_keys",  # freshness: last driver row CORRECTNESS_r01.json
     "shipping_delay_distribution",  # freshness: last driver row CORRECTNESS_r01.json
     "sql_scalar_subquery_decorrelated",  # freshness: last driver row CORRECTNESS_r01.json
-    "topk_customers_by_revenue",  # freshness: last driver row CORRECTNESS_r01.json
-    "topk_per_group_window",  # freshness: last driver row CORRECTNESS_r01.json
+    "source_jsonl_corrupt_quarantine",  # re-check: rank rewrite (r6 late)
+    "dq_uniqueness_report",  # re-check: struct count-distinct (r6 late)
 ]
 
 
