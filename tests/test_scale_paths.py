@@ -422,3 +422,42 @@ def test_hll_sketch_rollup_tracks_exact(spark, sf_dir):
     assert set(approx) == set(exact)
     for k in exact:
         assert abs(approx[k] - exact[k]) <= max(0.05 * exact[k], 3), (k, approx[k], exact[k])
+
+
+def test_no_unlisted_unpartitioned_window_in_source():
+    """Static guard for the eager-write blind spot: the runtime plan
+    audits (above, and audit_plans.py) only see plans of RETURNED
+    DataFrames — a query that executes a write at build time (the
+    formats exports) runs its plan before anyone can inspect it, which
+    is exactly how an unpartitioned Window.orderBy row_number hid in
+    source_jsonl_corrupt_quarantine until round 6. This test bans the
+    construct at the SOURCE level: every unpartitioned ``Window.orderBy``
+    in the query/operator modules must be on the explicit allowlist
+    below (each entry individually adjudicated as bounded), or be
+    rewritten through operators/rank.py."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "etl_mri_scripts_spark"
+    # file -> adjudication for the allowed occurrence count
+    allowed = {
+        "queries/relational.py": 1,  # month-grain lag AFTER aggregation (~80 rows)
+        "queries/sampling.py": 1,  # rank<=K filter -> WindowGroupLimit/TakeOrdered
+        "queries/text.py": 1,  # zipf top-100 rank; TakeOrderedAndProject-bounded
+    }
+    pat = re.compile(r"Window\s*(\(\s*\))?\.orderBy\(")
+    offenders: dict[str, int] = {}
+    for sub in ("queries", "operators", "streaming", "sources"):
+        for f in sorted((pkg / sub).glob("*.py")):
+            src = f.read_text()
+            # strip comments and docstrings so prose mentions don't count
+            src = re.sub(r'"""(?:.|\n)*?"""', "", src)
+            src = "\n".join(line.split("#")[0] for line in src.splitlines())
+            n = len(pat.findall(src))
+            if n:
+                offenders[f"{sub}/{f.name}"] = n
+    assert offenders == allowed, (
+        f"unpartitioned Window.orderBy drift: found {offenders}, allowed "
+        f"{allowed}. New global windows must use operators/rank.py (or be "
+        "adjudicated + allowlisted here AND in audit_plans.py)"
+    )
