@@ -22,6 +22,25 @@ from .registry import query
 from .sampling import FRACTION_PCT
 
 
+# The shared document quality gate (length / word count / lexical
+# diversity) used by BOTH curation_funnel and crossmodal_quality_topk —
+# one definition per engine so retuning a threshold cannot desynchronize
+# the funnel's quality stage from the crossmodal candidate universe.
+QUALITY_GATE_SQL = """length(text) >= 80
+        AND len(string_split(text, ' ')) >= 12
+        AND len(list_distinct(string_split(text, ' '))) * 1.0
+            / len(string_split(text, ' ')) >= 0.3"""
+
+
+def quality_gate_col():
+    ws = F.split("text", " ")
+    return (
+        (F.length("text") >= 80)
+        & (F.size(ws) >= 12)
+        & (F.size(F.array_distinct(ws)) * 1.0 / F.size(ws) >= 0.3)
+    )
+
+
 @query(
     "curation_funnel",
     oracle=f"""
@@ -32,10 +51,7 @@ from .sampling import FRACTION_PCT
     WITH {_VERIFIED_PAIRS_DUCK},
     q AS (
       SELECT doc_id, lang FROM documents
-      WHERE length(text) >= 80
-        AND len(string_split(text, ' ')) >= 12
-        AND len(list_distinct(string_split(text, ' '))) * 1.0
-            / len(string_split(text, ' ')) >= 0.3
+      WHERE {QUALITY_GATE_SQL}
     ),
     e AS (
       SELECT doc_id, lang FROM (
@@ -81,12 +97,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     d = table(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
-    quality = (
-        (F.length("text") >= 80)
-        & (F.size(ws) >= 12)
-        & (F.size(F.array_distinct(ws)) * 1.0 / F.size(ws) >= 0.3)
-    )
+    quality = quality_gate_col()
     q = d.filter(quality).select("doc_id", "lang")
 
     w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
@@ -138,17 +149,14 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "crossmodal_quality_topk",
-    oracle="""
+    oracle=f"""
     -- Cross-modal composition: text quality gates choose the candidate
     -- universe, the embedding index answers similarity inside it — the
     -- "find near-neighbors among the docs worth keeping" query a curation
     -- pipeline runs before semantic dedup or domain balancing.
     WITH q AS (
       SELECT doc_id, lang FROM documents
-      WHERE length(text) >= 80
-        AND len(string_split(text, ' ')) >= 12
-        AND len(list_distinct(string_split(text, ' '))) * 1.0
-            / len(string_split(text, ' ')) >= 0.3
+      WHERE {QUALITY_GATE_SQL}
     ),
     v AS (
       SELECT e.vec_id, q.lang, CAST(e.embedding AS DOUBLE[]) AS e,
@@ -189,12 +197,7 @@ def crossmodal_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _cosine, _vectors
 
     d = table(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
-    quality = (
-        (F.length("text") >= 80)
-        & (F.size(ws) >= 12)
-        & (F.size(F.array_distinct(ws)) * 1.0 / F.size(ws) >= 0.3)
-    )
+    quality = quality_gate_col()
     gated = d.filter(quality).select(F.col("doc_id").alias("vec_id"), "lang")
 
     emb = table(spark, sf_dir, "embeddings").join(gated, "vec_id")
@@ -491,8 +494,12 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ts") < cut, 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(F.col("ts") >= cut, 1).otherwise(0)).alias("n_b"),
     )
+    # enumerate types from the AGGREGATED frame, not a second corpus
+    # scan: every event row lands in c (NULL-bucket rows included), and
+    # a distinct over a few hundred (type, bucket) rows is free where a
+    # distinct over the events table re-scans and re-shuffles it
     grid = (
-        ev.select("event_type")
+        c.select("event_type")
         .distinct()
         .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(PSI_BUCKETS - 1))).alias("bucket"))
     )
@@ -630,7 +637,9 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_docs", "total_chars",
         F.round("p_raw", 6).alias("raw_share"),
         F.round(mix, 6).alias("mix_share"),
-        F.round(mix / F.col("p_raw"), 6).alias("boost"),
+        # try_divide: a source of only empty docs has p_raw = 0; the
+        # boost must be NULL like the oracle's 0/0, not an ANSI crash
+        F.round(F.try_divide(mix, F.col("p_raw")), 6).alias("boost"),
         F.round(mix * MIX_BUDGET).cast("long").alias("target_docs"),
     ).orderBy("source")
 
@@ -663,30 +672,37 @@ def pack_sequences_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
         lang = pdf["lang"].iloc[0]
         docs = sorted(
             zip(pdf["doc_id"], pdf["n_tokens"]),
             key=lambda t: (-t[1], t[0]),  # decreasing size, id tiebreak
         )
         bins: list[int] = []  # remaining capacity per bin
+        # best-fit via a bisect-maintained sorted (rem, idx) list: the
+        # former linear scan over all open bins was O(n^2) python per
+        # shard; bisect finds the same bin — smallest rem >= n, lowest
+        # idx on ties, exactly the old scan's strict-< selection — in
+        # O(log n) comparisons (insort/pop shifts are C-speed memmove).
+        srt: list[tuple[int, int]] = []  # sorted (rem, bin idx)
         rows = []
         for doc_id, n in docs:
             n = int(n)
             if n > BFD_CAP:  # strictly longer than capacity; an exact-fit
                 # doc (n == BFD_CAP) occupies a normal full bin below
                 bins.append(0)
+                bisect.insort(srt, (0, len(bins) - 1))
                 rows.append((lang, int(doc_id), n, len(bins) - 1, n, True))
                 continue
-            # best fit: fullest bin that still takes n
-            best, best_rem = -1, BFD_CAP + 1
-            for i, rem in enumerate(bins):
-                if n <= rem < best_rem:
-                    best, best_rem = i, rem
-            if best < 0:
+            pos = bisect.bisect_left(srt, (n, -1))
+            if pos == len(srt):  # no open bin takes n -> new bin
                 bins.append(BFD_CAP - n)
                 best = len(bins) - 1
             else:
-                bins[best] -= n
+                rem, best = srt.pop(pos)
+                bins[best] = rem - n
+            bisect.insort(srt, (bins[best], best))
             rows.append((lang, int(doc_id), n, best, BFD_CAP - bins[best], False))
         out = pd.DataFrame(
             rows,

@@ -150,7 +150,10 @@ def agg_trimmed_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             n_below.alias("n_below"),
             n_above.alias("n_above"),
-            F.round(sum_in / 100.0 / n_in, 6).alias("trimmed_mean"),
+            # try_divide: a 2-distinct-value group has an empty interior
+            # (both percentiles interpolate strictly between the values);
+            # NULL like the oracle, not an ANSI DIVIDE_BY_ZERO
+            F.round(F.try_divide(sum_in / 100.0, n_in), 6).alias("trimmed_mean"),
             F.round(
                 (sum_in / 100.0 + n_below * F.any_value("p05") + n_above * F.any_value("p95"))
                 / F.count(F.lit(1)),
@@ -607,8 +610,15 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.groupBy("nation_key")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
+            # rank-weighted sum in decimal(38,0): the int64 form overflows
+            # once sum(i*r) crosses 2^63 (~27k customers/nation at these
+            # fixed-point magnitudes — far below the 100-TB framing);
+            # decimal matches the oracle's HUGEINT accumulation exactly
+            # instead of throwing under ANSI (r6 review)
             F.round(
-                2.0 * F.sum(F.col("i") * F.col("r")) / (F.count(F.lit(1)) * F.sum("r").cast("double"))
+                2.0
+                * F.sum(F.col("i").cast("decimal(38,0)") * F.col("r"))
+                / (F.count(F.lit(1)) * F.sum("r").cast("double"))
                 - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
                 6,
             ).alias("gini"),

@@ -825,22 +825,19 @@ def events_sessionize_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_no",
         F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    w2 = (
-        Window.partitionBy("user_id", "session_no")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    bounds = numbered.withColumn(
-        "first_event_id", F.first("event_id").over(w2)
-    ).withColumn("last_event_id", F.last("event_id").over(w2))
+    # first/last event ids straight in the aggregate: min_by/max_by over
+    # (ts, event_id) equals the former second Window pass (orderBy ts,
+    # event_id; first/last over the full frame) without the extra
+    # per-session sort + Window operator over every event row (r6 review)
+    order_key = F.struct("ts", "event_id")
     return (
-        bounds.groupBy("user_id", "session_no")
+        numbered.groupBy("user_id", "session_no")
         .agg(
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.any_value("first_event_id").cast("long").alias("first_event_id"),
-            F.any_value("last_event_id").cast("long").alias("last_event_id"),
+            F.min_by("event_id", order_key).cast("long").alias("first_event_id"),
+            F.max_by("event_id", order_key).cast("long").alias("last_event_id"),
         )
         .drop("session_no")
         .orderBy("user_id", "session_start", "first_event_id")
@@ -919,11 +916,15 @@ def events_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_viewed",
             "n_clicked_after",
             "n_purchased_after",
-            F.round(F.col("n_clicked_after") * 1.0 / F.col("n_viewed"), 6).alias(
-                "click_rate"
-            ),
+            # try_divide: an empty funnel stage must yield a NULL rate
+            # like the oracle's 0/0, not an ANSI DIVIDE_BY_ZERO crash
+            # (Spark 4 throws even for double division; r6 review)
             F.round(
-                F.col("n_purchased_after") * 1.0 / F.col("n_clicked_after"), 6
+                F.try_divide(F.col("n_clicked_after") * 1.0, F.col("n_viewed")), 6
+            ).alias("click_rate"),
+            F.round(
+                F.try_divide(F.col("n_purchased_after") * 1.0, F.col("n_clicked_after")),
+                6,
             ).alias("purchase_rate"),
         )
     )
