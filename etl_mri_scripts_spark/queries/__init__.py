@@ -100,8 +100,8 @@ _DRIVER_ORDER = [
     "set_except_keys",  # freshness: last driver row CORRECTNESS_r01.json
     "set_intersect_keys",  # freshness: last driver row CORRECTNESS_r01.json
     "set_union_distinct_keys",  # freshness: last driver row CORRECTNESS_r01.json
-    "shipping_delay_distribution",  # freshness: last driver row CORRECTNESS_r01.json
-    "sql_scalar_subquery_decorrelated",  # freshness: last driver row CORRECTNESS_r01.json
+    "ann_ivf_kmeans_topk",  # re-check: half-up init rounding (r6 late)
+    "dedup_semantic_keep",  # re-check: half-up init rounding (r6 late)
     "source_jsonl_corrupt_quarantine",  # re-check: rank rewrite (r6 late)
     "dq_uniqueness_report",  # re-check: struct count-distinct (r6 late)
 ]

@@ -981,6 +981,10 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(digests.filter(~is_new).alias("b"), F.col("n.h") == F.col("b.h"))
         .groupBy(F.col("n.doc_id").alias("doc_id"))
         .agg(F.min(F.col("b.doc_id")).alias("match_doc_id"))
+        # consumed twice (the near-side anti-join and the final union):
+        # unpersisted, the documents-scan + digest join lineage would
+        # execute twice — same convention as bands/sh above (r6 review)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     sigs = _minhash_signature_df(spark, sf_dir)
@@ -1291,6 +1295,12 @@ def pagerank_ranks(
             )
             .localCheckpoint(eager=True)
         )
+    # the eager checkpoint above materialized the final ranks, so the
+    # edge/node caches are dead weight — release them here instead of
+    # pinning one pair per call until session end (r6 review; the CC
+    # sibling already does this)
+    edges.unpersist()
+    nodes.unpersist()
     return ranks
 
 

@@ -209,6 +209,20 @@ def ann_ivf_by_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _round6(x: float) -> float:
+    """Half-away-from-zero 6-dp rounding via the shortest repr — matches
+    DuckDB ``round(x, 6)`` and Spark ``F.round`` exactly. Python's builtin
+    ``round()`` is bankers' (half-even), which diverges from both engines
+    at exact 1e-6 midpoints — the one cross-engine rounding mode the
+    driver-side constants (k-means/PQ codebook inits, ADC LUTs) must not
+    use (r6 review)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
 N_CENTROIDS = 8
 KMEANS_ITERS = 2  # enough to move centroids off init; each iter is 2 jobs
 EMB_DIM = 64
@@ -326,7 +340,11 @@ def kmeans_clustered(spark: SparkSession, v: DataFrame) -> DataFrame:
 
     # deterministic init: the K lowest vec_ids
     init = v.orderBy("vec_id").limit(N_CENTROIDS).select("e").collect()
-    centroids = [[round(float(x), 6) for x in r["e"]] for r in init]
+    if len(init) < N_CENTROIDS:
+        raise ValueError(
+            f"k-means needs >= {N_CENTROIDS} vectors, got {len(init)}"
+        )
+    centroids = [[_round6(float(x)) for x in r["e"]] for r in init]
 
     def assign(vdf, cents):
         # per-vector argmin centroid as a map-side projection; the
@@ -812,12 +830,17 @@ def _pq_train(spark: SparkSession, v: DataFrame) -> list[list[list[float]]]:
     import numpy as np
     import pandas as pd
 
-    init = (
-        v.filter(F.col("vec_id") < PQ_KS).select("vec_id", "e").orderBy("vec_id").collect()
-    )
+    # POSITIONAL init codes (the Ks lowest vec_ids by rank, like the
+    # k-means init) — the former filter(vec_id < Ks) assumed ids are
+    # contiguous from 0: any gap under-filled the codebook and crashed
+    # the update loop, and non-zero-based ids silently disagreed with
+    # positional codes (r6 review). The oracle's cb0 ranks identically.
+    init = v.select("vec_id", "e").orderBy("vec_id").limit(PQ_KS).collect()
+    if len(init) < PQ_KS:
+        raise ValueError(f"PQ needs >= {PQ_KS} vectors, got {len(init)}")
     books: list[list[list[float]]] = [
         [
-            [round(float(x), 6) for x in r["e"][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]]
+            [_round6(float(x)) for x in r["e"][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]]
             for r in init
         ]
         for m in range(PQ_M)
@@ -919,9 +942,15 @@ def _pq_adc_duck(coarse: bool = False) -> str:
       FROM v, (SELECT unnest(range(0, {PQ_M})) AS m)
     ),
     cb0 AS (
-      SELECT sub_id, CAST(vec_id AS INT) AS code,
+      -- positional codes over the Ks lowest vec_ids (rank, not literal
+      -- id): robust to id gaps, mirroring the engine's init exactly
+      SELECT sub_id,
+             CAST(row_number() OVER (PARTITION BY sub_id ORDER BY vec_id) - 1 AS INT) AS code,
              list_transform(sub_e, x -> round(x, 6)) AS ce
-      FROM subs WHERE vec_id < {PQ_KS}
+      FROM (
+        SELECT sub_id, vec_id, sub_e FROM subs
+        QUALIFY row_number() OVER (PARTITION BY sub_id ORDER BY vec_id) <= {PQ_KS}
+      )
     ),
     {chain},
     codes AS (SELECT vec_id, sub_id, code FROM a{enc}),
@@ -933,7 +962,10 @@ def _pq_adc_duck(coarse: bool = False) -> str:
     ),
     lab AS (SELECT vec_id, label FROM embeddings),
     approx AS (
-      SELECT l.query_id, k.vec_id, sum(l.qd2) AS adc_d2
+      -- fixed-point micro-units: exact, order-independent sum (the
+      -- engine side accumulates the identical longs)
+      SELECT l.query_id, k.vec_id,
+             sum(CAST(round(l.qd2 * 1000000) AS BIGINT)) AS adc_fx
       FROM codes k JOIN lut l ON l.sub_id = k.sub_id AND l.code = k.code
       {"JOIN lab vq ON vq.vec_id = l.query_id JOIN lab vk ON vk.vec_id = k.vec_id AND vk.label = vq.label" if coarse else ""}
       WHERE k.vec_id <> l.query_id
@@ -943,7 +975,7 @@ def _pq_adc_duck(coarse: bool = False) -> str:
       SELECT query_id, vec_id FROM (
         SELECT query_id, vec_id,
                row_number() OVER (PARTITION BY query_id
-                                  ORDER BY adc_d2 ASC, vec_id ASC) AS srank
+                                  ORDER BY adc_fx ASC, vec_id ASC) AS srank
         FROM approx
       ) WHERE srank <= {PQ_RERANK * TOP_K}
     ),
@@ -1010,7 +1042,7 @@ def _pq_search(spark: SparkSession, sf_dir: str, coarse: bool) -> DataFrame:
                         int(qr["label"]),
                         m,
                         k,
-                        round(sum((a - b) * (a - b) for a, b in zip(qs, c)), 6),
+                        _round6(sum((a - b) * (a - b) for a, b in zip(qs, c))),
                     )
                 )
     lut_df = spark.createDataFrame(
@@ -1022,8 +1054,15 @@ def _pq_search(spark: SparkSession, sf_dir: str, coarse: bool) -> DataFrame:
     )
     if coarse:
         approx = approx.filter(F.col("label") == F.col("qlabel"))
-    approx = approx.groupBy("query_id", "vec_id").agg(F.sum("qd2").alias("adc_d2"))
-    w_short = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    # FIXED-POINT ADC accumulation (micro-units): each qd2 is a 6-dp
+    # value, so summing round(qd2 * 1e6) longs is exact and ORDER-
+    # INDEPENDENT — a float sum's partial-aggregation order is not
+    # deterministic, and an ulp difference at the srank boundary could
+    # flip which candidate enters the shortlist across engines/retries
+    # (r6 review; same convention as queries/exact.py cents).
+    adc_fx = F.sum(F.round(F.col("qd2") * 1e6).cast("long")).alias("adc_fx")
+    approx = approx.groupBy("query_id", "vec_id").agg(adc_fx)
+    w_short = Window.partitionBy("query_id").orderBy(F.asc("adc_fx"), F.asc("vec_id"))
     shortlist = (
         approx.withColumn("srank", F.row_number().over(w_short))
         .filter(F.col("srank") <= PQ_RERANK * TOP_K)
