@@ -166,6 +166,14 @@ def explode_slab_slices(slabs: DataFrame, config: PipelineConfig = PipelineConfi
     # transport cliff the slab path exists to avoid. The cap belongs to
     # the operator so the documented decode_nifti_slabs ->
     # explode_slab_slices pairing is safe on its own.
+    # SESSION-WIDE SIDE EFFECT (documented per r6 ADVICE, like tables.py's
+    # NANOS conf): the setting persists after this call and shrinks Arrow
+    # batches for every later pandas-UDF query in the session. It cannot
+    # be save/restored here — mapInPandas is lazy, the conf is read at
+    # EXECUTION time, so restoring at plan-construction time would undo
+    # the guard before it ever applied. Callers running mixed workloads
+    # should reset spark.sql.execution.arrow.maxRecordsPerBatch after the
+    # imaging action completes.
     slabs.sparkSession.conf.set(
         "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_VOLUME_BATCH)
     )

@@ -211,11 +211,16 @@ def ann_ivf_by_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _round6(x: float) -> float:
     """Half-away-from-zero 6-dp rounding via the shortest repr — matches
-    DuckDB ``round(x, 6)`` and Spark ``F.round`` exactly. Python's builtin
-    ``round()`` is bankers' (half-even), which diverges from both engines
-    at exact 1e-6 midpoints — the one cross-engine rounding mode the
-    driver-side constants (k-means/PQ codebook inits, ADC LUTs) must not
-    use (r6 review)."""
+    Spark ``F.round``; agrees with DuckDB ``round(x, 6)`` except at exact
+    binary midpoints (DuckDB rounds the binary double via
+    multiply+nearbyint, while this rounds the decimal shortest repr
+    HALF_UP — at values where ``x*1e6`` lands midpoint-adjacent in binary
+    the two can differ by 1e-6; none of the driver-side constants fed
+    through here have hit one across six rounds of oracle gates). Python's
+    builtin ``round()`` is bankers' (half-even), which diverges from both
+    engines at every 1e-6 midpoint — the one rounding mode the driver-side
+    constants (k-means/PQ codebook inits, ADC LUTs) must not use
+    (r6 review; softened per r6 ADVICE)."""
     from decimal import ROUND_HALF_UP, Decimal
 
     return float(

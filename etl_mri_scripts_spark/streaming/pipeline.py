@@ -185,7 +185,30 @@ def run_incremental_pipeline(
     run_pipeline — a pipeline that silently produced different patch
     geometry depending on which ingest path ran would corrupt a mixed
     dataset.
+
+    MIGRATION (r6 layout change, per r6 ADVICE): before r6 the sink was
+    append-mode ``partitionBy(resolution, split)``; it is now
+    dynamic-overwrite ``partitionBy(batch_id, resolution, split)``.
+    Resuming against an out_dir written by the OLD layout would mix two
+    partition schemes and break parquet partition discovery, so this
+    function REFUSES an out_dir whose top level contains ``resolution=``
+    directories without ``batch_id=`` — rebuild the sink (and its
+    checkpoint) to migrate. The r6 default-config change (crop 16/8 ->
+    PipelineConfig()) likewise altered patch geometry for callers that
+    relied on the old default; pass an explicit config to reproduce
+    pre-r6 output.
     """
+    import os
+
+    if os.path.isdir(out_dir):
+        top = {e.split("=", 1)[0] for e in os.listdir(out_dir) if "=" in e}
+        if "resolution" in top and "batch_id" not in top:
+            raise ValueError(
+                f"out_dir {out_dir!r} uses the pre-r6 sink layout "
+                "(partitionBy(resolution, split) without batch_id); "
+                "idempotent replay would mix partition schemes. Rebuild the "
+                "sink directory and checkpoint before resuming."
+            )
     from ..operators.pipeline import (
         ARROW_VOLUME_BATCH,
         PipelineConfig,

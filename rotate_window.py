@@ -48,7 +48,10 @@ def main() -> int:
         # = false — is a FAIL and must not count as a verified row.
         if row.get("hash_match") or row.get("rows_match"):
             return True
-        return row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) >= 0
+        # `is not None` — not `(x or 0) >= 0`, which is vacuously true and
+        # would count a rows-only row whose Spark side never produced a
+        # count as verified (r6 ADVICE).
+        return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
 
     # Numeric round order: lexicographic filename sort would break
     # newest-wins at r100 (sorts between r10 and r11).

@@ -134,6 +134,18 @@ def test_incremental_pipeline_exactly_once(spark, tmp_path):
     assert bases == {"sub-000_T1w", "sub-001_T1w"}
 
 
+def test_incremental_pipeline_refuses_pre_r6_sink_layout(spark, tmp_path):
+    """Resuming against an out_dir written by the pre-r6 append layout
+    (partitionBy(resolution, split) — no batch_id level) must refuse
+    loudly instead of mixing two partition schemes (r6 ADVICE)."""
+    out_dir = tmp_path / "out"
+    (out_dir / "resolution=hr" / "split=train").mkdir(parents=True)
+    with pytest.raises(ValueError, match="pre-r6 sink layout"):
+        run_incremental_pipeline(
+            spark, str(tmp_path / "vols"), str(out_dir), str(tmp_path / "ckpt")
+        )
+
+
 def test_streaming_dedup_across_batches(spark, tmp_path):
     # cross-batch exact dedup: a duplicate text arriving in a LATER
     # micro-batch must be dropped by retained state
