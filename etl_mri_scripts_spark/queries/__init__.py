@@ -44,14 +44,16 @@ from . import tpch_shapes  # noqa: E402,F401
 from . import pipeline_analytics  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 
-# Round-6 window layout (freshness rotation). All 200 queries now have a
-# driver CORRECTNESS row; this round's job is keeping rows FRESH: after
-# the sentinels, 6 re-checks cover everything whose implementation
-# changed in round 6 after its last driver row (the numpy PQ
-# assign/encode rewrite; the chunked explode_slices flush; the rank
-# _pin_boundaries refactor — default behavior identical, re-checked as
-# insurance), then 37 stalest rows (all r1) + 2 late-round re-checks (the formats rank rewrite and the uniqueness struct-distinct) fill the window. All
-# re-checks passed the local oracle gate at sf0.01 (PQ also at sf0.1)
+# Round-7 window layout (freshness rotation, verdict demand #1). After the
+# sentinels, 9 re-checks cover every query whose implementation changed in
+# the late-r6 ANSI/rounding commits (b09494e/793bbd8) AFTER its last driver
+# row (try_divide for double/0 funnels + temperature boost + trimmed mean;
+# gini decimal(38,0) rank-weighted sum; drift-PSI single-scan grid;
+# sessionize min_by/max_by; bestfit bisect; crossmodal rounding), then the
+# 36 stalest rows (all 6 remaining r1 + 30 of the 37 r2 — the whole text_*
+# and dedup_* r2 families) fill the window. The 7 r2 rows left over
+# (events_windowed_dedup and 6 window_* rows per rotate_window.py) rotate
+# in round 8. All rows verified against the local oracle gate at sf0.01
 # before this rotation landed.
 _DRIVER_ORDER = [
     "window_tumbling_hourly",  # sentinel
@@ -59,51 +61,51 @@ _DRIVER_ORDER = [
     "text_token_counts",  # sentinel
     "ann_bruteforce_topk",  # sentinel
     "pricing_summary",  # sentinel
-    "ann_pq_adc_topk",  # re-check: implementation changed
-    "ann_ivf_pq_topk",  # re-check: implementation changed
-    "imaging_pipeline_manifest",  # re-check: implementation changed
-    "imaging_pipeline_patches",  # re-check: implementation changed
-    "split_exact_count_rank",  # re-check: implementation changed
-    "revenue_pareto_share",  # re-check: implementation changed
-    "agg_argmax_max_by",  # freshness: last driver row CORRECTNESS_r01.json
-    "agg_count_distinct_rollup",  # freshness: last driver row CORRECTNESS_r01.json
-    "agg_grouping_sets",  # freshness: last driver row CORRECTNESS_r01.json
-    "agg_histogram_width_bucket",  # freshness: last driver row CORRECTNESS_r01.json
-    "agg_minmax_per_group",  # freshness: last driver row CORRECTNESS_r01.json
-    "agg_percentiles_exact",  # freshness: last driver row CORRECTNESS_r01.json
-    "agg_skew_salted_two_stage",  # freshness: last driver row CORRECTNESS_r01.json
-    "agg_stats_moments",  # freshness: last driver row CORRECTNESS_r01.json
-    "cdc_upsert_latest_wins",  # freshness: last driver row CORRECTNESS_r01.json
-    "conditional_agg_counters",  # freshness: last driver row CORRECTNESS_r01.json
-    "cube_status_priority",  # freshness: last driver row CORRECTNESS_r01.json
-    "data_profile_summary",  # freshness: last driver row CORRECTNESS_r01.json
-    "date_format_monthly_rollup",  # freshness: last driver row CORRECTNESS_r01.json
-    "distinct_sorted_dimension",  # freshness: last driver row CORRECTNESS_r01.json
-    "field_target_parse",  # freshness: last driver row CORRECTNESS_r01.json
-    "filter_project_arith",  # freshness: last driver row CORRECTNESS_r01.json
-    "flagship_revenue_by_region_priority",  # freshness: last driver row CORRECTNESS_r01.json
-    "join_anti_customers_without_orders",  # freshness: last driver row CORRECTNESS_r01.json
-    "join_broadcast_supplier_geo",  # freshness: last driver row CORRECTNESS_r01.json
-    "join_inner_orders_customer",  # freshness: last driver row CORRECTNESS_r01.json
-    "join_left_customer_order_counts",  # freshness: last driver row CORRECTNESS_r01.json
-    "join_semi_customers_with_urgent_orders",  # freshness: last driver row CORRECTNESS_r01.json
-    "join_skew_salted_replicated",  # freshness: last driver row CORRECTNESS_r01.json
-    "join_symmetric_difference_validation",  # freshness: last driver row CORRECTNESS_r01.json
-    "key_build_and_normalize",  # freshness: last driver row CORRECTNESS_r01.json
-    "math_scalar_functions",  # freshness: last driver row CORRECTNESS_r01.json
-    "nation_revenue_share",  # freshness: last driver row CORRECTNESS_r01.json
-    "orders_monthly_growth",  # freshness: last driver row CORRECTNESS_r01.json
-    "path_basename_extract",  # freshness: last driver row CORRECTNESS_r01.json
-    "pivot_event_type_counts",  # freshness: last driver row CORRECTNESS_r01.json
-    "report_unpivot_long",  # freshness: last driver row CORRECTNESS_r01.json
-    "semi_structured_json_extract",  # freshness: last driver row CORRECTNESS_r01.json
-    "set_except_keys",  # freshness: last driver row CORRECTNESS_r01.json
-    "set_intersect_keys",  # freshness: last driver row CORRECTNESS_r01.json
-    "set_union_distinct_keys",  # freshness: last driver row CORRECTNESS_r01.json
-    "ann_ivf_kmeans_topk",  # re-check: half-up init rounding (r6 late)
-    "dedup_semantic_keep",  # re-check: half-up init rounding (r6 late)
-    "source_jsonl_corrupt_quarantine",  # re-check: rank rewrite (r6 late)
-    "dq_uniqueness_report",  # re-check: struct count-distinct (r6 late)
+    "curation_funnel",  # re-check: implementation changed (late-r6 b09494e/793bbd8)
+    "events_step_funnel",  # re-check: implementation changed (late-r6 b09494e/793bbd8)
+    "events_sessionize_custom",  # re-check: implementation changed (late-r6 b09494e/793bbd8)
+    "agg_trimmed_winsorized_stats",  # re-check: implementation changed (late-r6 b09494e/793bbd8)
+    "corpus_drift_psi",  # re-check: implementation changed (late-r6 b09494e/793bbd8)
+    "pack_sequences_bestfit",  # re-check: implementation changed (late-r6 b09494e/793bbd8)
+    "customer_revenue_gini",  # re-check: implementation changed (late-r6 b09494e/793bbd8)
+    "corpus_temperature_mix",  # re-check: implementation changed (late-r6 b09494e/793bbd8)
+    "crossmodal_quality_topk",  # re-check: implementation changed (late-r6 b09494e/793bbd8)
+    "shipping_delay_distribution",  # freshness: last driver row r1
+    "sql_scalar_subquery_decorrelated",  # freshness: last driver row r1
+    "topk_customers_by_revenue",  # freshness: last driver row r1
+    "topk_per_group_window",  # freshness: last driver row r1
+    "topk_unshipped_orders",  # freshness: last driver row r1
+    "two_phase_robust_normalize",  # freshness: last driver row r1
+    "ann_bucketed_signbit_topk",  # freshness: last driver row r2
+    "ann_ivf_by_label_topk",  # freshness: last driver row r2
+    "cohort_retention_weekly",  # freshness: last driver row r2
+    "dedup_cluster_representatives",  # freshness: last driver row r2
+    "dedup_edit_distance_verified",  # freshness: last driver row r2
+    "dedup_embedding_cosine_pairs",  # freshness: last driver row r2
+    "dedup_incremental_delta",  # freshness: last driver row r2
+    "dedup_interdoc_segments",  # freshness: last driver row r2
+    "dedup_jaccard_dfcap",  # freshness: last driver row r2
+    "dedup_keep_canonical",  # freshness: last driver row r2
+    "dedup_lsh_verified_pairs",  # freshness: last driver row r2
+    "dedup_minhash_lsh_candidates",  # freshness: last driver row r2
+    "dedup_ngram_jaccard_pairs_diagnostic",  # freshness: last driver row r2
+    "dedup_simhash_16bit",  # freshness: last driver row r2
+    "embedding_norm_stats_by_label",  # freshness: last driver row r2
+    "events_debounce_collapse",  # freshness: last driver row r2
+    "events_funnel_depth",  # freshness: last driver row r2
+    "events_gap_fill_forward",  # freshness: last driver row r2
+    "events_transition_matrix",  # freshness: last driver row r2
+    "scd2_user_state_intervals",  # freshness: last driver row r2
+    "text_chunk_overlapping",  # freshness: last driver row r2
+    "text_corpus_stats_by_lang",  # freshness: last driver row r2
+    "text_fingerprint_minshingle",  # freshness: last driver row r2
+    "text_language_id",  # freshness: last driver row r2
+    "text_perplexity_proxy",  # freshness: last driver row r2
+    "text_pii_scrub",  # freshness: last driver row r2
+    "text_quality_filter",  # freshness: last driver row r2
+    "text_quality_scores",  # freshness: last driver row r2
+    "text_repetition_signals",  # freshness: last driver row r2
+    "text_tfidf_top_terms",  # freshness: last driver row r2
 ]
 
 
