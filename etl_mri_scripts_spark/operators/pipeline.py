@@ -222,6 +222,80 @@ def explode_slab_slices(slabs: DataFrame, config: PipelineConfig = PipelineConfi
     return slabs.mapInPandas(gen, schema=SLICE_SCHEMA)
 
 
+# Worst-case decoded-bytes expansion of a NIfTI file: ~4x gzip on typical
+# imaging payloads x 4x dtype widening (uint8/int16-with-scale -> float32).
+# Used to derive the auto-routing threshold on FILE length — the one
+# number the listing knows before any byte is read.
+ROUTE_EXPANSION_WORST = 16
+
+
+def ingest_nifti(
+    spark: SparkSession,
+    root: str,
+    path_regex: str = r".*/anat/.*\.nii(\.gz)?$",
+    config: PipelineConfig = PipelineConfig(),
+    *,
+    route_threshold_bytes: int | None = None,
+    max_slab_bytes: int | None = None,
+) -> DataFrame:
+    """S1-S5 auto-routed NIfTI ingest -> normalized slice rows (SLICE_SCHEMA).
+
+    One entry point that partitions the path-only listing by file
+    ``length`` and unions the two ingest branches (r6 verdict demand #4;
+    reference analog: the v2 lazy reader picks slice-wise access
+    unconditionally, v2/nii_to_lmdb_paralel.py:97-112):
+
+    - files with ``length <= threshold`` take the monolithic path
+      (scan content -> decode_nifti -> explode_slices);
+    - larger files take the slab path (path-only listing ->
+      decode_nifti_slabs, bytes read task-locally -> explode_slab_slices),
+      whose output is bit-identical (tests/test_slab_ingest.py) and whose
+      Arrow rows stay bounded regardless of volume shape.
+
+    The default threshold is MAX_ARROW_CELL_BYTES / ROUTE_EXPANSION_WORST
+    (48 MB of file bytes): even a 4x-gzipped uint8 file under it decodes
+    to <= MAX_ARROW_CELL_BYTES of float32, so the monolithic branch cannot
+    hit the >1 GiB Arrow transport cliff. A deliberately plain
+    ``length <= N`` predicate is used so Spark's binaryFile source pushes
+    it down and never READS the big files' bytes on this branch (the
+    pushdown exists in binaryFile precisely for this skip-large-files
+    case). A pathological >16x-compressed file that mis-routes monolithic
+    still fails loudly at _check_cell_size, never silently.
+    """
+    from ..sources.volumes import (
+        DEFAULT_SLAB_BYTES,
+        MAX_ARROW_CELL_BYTES,
+        decode_nifti,
+        decode_nifti_slabs,
+        scan_nifti_paths,
+    )
+
+    thr = (
+        route_threshold_bytes
+        if route_threshold_bytes is not None
+        else MAX_ARROW_CELL_BYTES // ROUTE_EXPANSION_WORST
+    )
+    slab_bytes = max_slab_bytes if max_slab_bytes is not None else DEFAULT_SLAB_BYTES
+    small = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.nii*")
+        .load(root)
+        .filter(F.col("path").rlike(path_regex))
+        .filter(F.col("length") <= F.lit(thr))  # pushed to the source scan
+        .select("path", "content")
+    )
+    big = scan_nifti_paths(spark, root, path_regex).filter(F.col("length") > F.lit(thr))
+    mono_slices = explode_slices(decode_nifti(small), config)
+    slab_slices = explode_slab_slices(
+        decode_nifti_slabs(
+            big, pmin=config.pmin, pmax=config.pmax, max_slab_bytes=slab_bytes
+        ),
+        config,
+    )
+    return mono_slices.unionByName(slab_slices)
+
+
 # --------------------------------------------------------------------------
 # Stage 2: slice -> degraded HR/LR patch rows
 # --------------------------------------------------------------------------

@@ -139,6 +139,19 @@ def volume_to_slab_rows(
     }
     z_bytes = sx * sy * 4  # one z-slice, float32
     y_bytes = sx * sz * 4  # one y-slice, float32
+    # The step floors at 1 slice, so a pathological in-plane shape (e.g.
+    # 16k x 16k = 1 GiB per slice) would emit single-slice slabs that
+    # re-enter the very Arrow transport cliff slabs exist to avoid —
+    # and slab rows never pass through _check_cell_size. Fail loudly
+    # instead of silently degrading (r6 verdict demand #7).
+    worst = max(z_bytes, y_bytes)
+    if worst > MAX_ARROW_CELL_BYTES:
+        raise ValueError(
+            f"volume {base!r} has a single slice of {worst / 1e9:.2f} GB "
+            f"(shape {vol.shape}); even a 1-slice slab exceeds the Arrow "
+            f"cell limit ({MAX_ARROW_CELL_BYTES / 1e9:.2f} GB). Split the "
+            "in-plane dimensions upstream before slab ingest."
+        )
     z_step = max(1, max_slab_bytes // max(z_bytes, 1))
     y_step = max(1, max_slab_bytes // max(y_bytes, 1))
     for lo in range(0, sz, z_step):

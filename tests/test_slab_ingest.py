@@ -121,6 +121,28 @@ def test_oversize_cell_guard(monkeypatch):
         V._check_cell_size(b"x" * 1001, "too-big")
 
 
+def test_slab_rows_refuse_oversize_single_slice(monkeypatch):
+    # the step floors at 1 slice, and slab rows bypass _check_cell_size —
+    # a giant in-plane shape must fail loudly, not silently re-enter the
+    # Arrow transport cliff (r6 verdict demand #7)
+    import numpy as np
+
+    monkeypatch.setattr(V, "MAX_ARROW_CELL_BYTES", 4 * 40 * 40 - 1)
+    vol = np.zeros((40, 40, 3), dtype=np.float32)  # z-slice = 6400 B > limit
+    with pytest.raises(ValueError, match="even a 1-slice slab"):
+        list(
+            V.volume_to_slab_rows(
+                vol, base="b", path="p", zooms=(1.0, 1.0, 1.0)
+            )
+        )
+    # just under the limit is fine
+    monkeypatch.setattr(V, "MAX_ARROW_CELL_BYTES", 4 * 40 * 40)
+    rows = list(
+        V.volume_to_slab_rows(vol, base="b", path="p", zooms=(1.0, 1.0, 1.0))
+    )
+    assert rows
+
+
 def test_decode_nifti_slabs_by_path_matches_content(spark, tmp_path):
     # the LARGE-file path: path-only scan, bytes read inside the task —
     # must produce identical slab rows to the content-carrying scan
@@ -145,6 +167,52 @@ def test_decode_nifti_slabs_by_path_matches_content(spark, tmp_path):
     )
     assert len(by_path) > 2
     assert [r.asDict() for r in by_path] == [r.asDict() for r in by_content]
+
+
+def test_ingest_nifti_auto_routes_by_length(spark, tmp_path):
+    """Auto-routing (r6 verdict demand #4): with a synthetic threshold
+    between two file sizes, one file takes the monolithic branch and one
+    the slab branch, and the union is bit-identical to running EITHER
+    single path over all files."""
+    from etl_mri_scripts_spark.operators.pipeline import ingest_nifti
+    from etl_mri_scripts_spark.sources.codecs import encode_nifti1
+
+    (tmp_path / "anat").mkdir()
+    small_vol = V._synth_vol(7, (8, 6, 4))
+    big_vol = V._synth_vol(9, (16, 12, 8))
+    small_b = encode_nifti1(small_vol, zooms=(1.0, 1.0, 1.0))
+    big_b = encode_nifti1(big_vol, zooms=(1.0, 1.0, 1.0))
+    (tmp_path / "anat" / "sub-a_T1w.nii").write_bytes(small_b)
+    (tmp_path / "anat" / "sub-b_T1w.nii").write_bytes(big_b)
+    assert len(small_b) < len(big_b)
+    thr = (len(small_b) + len(big_b)) // 2
+
+    cfg = CFG
+    routed = ingest_nifti(
+        spark, str(tmp_path), config=cfg, route_threshold_bytes=thr,
+        max_slab_bytes=700,
+    )
+    # both branches actually taken: the routing predicate splits 1/1
+    listing = V.scan_nifti_paths(spark, str(tmp_path))
+    assert listing.filter(f"length <= {thr}").count() == 1
+    assert listing.filter(f"length > {thr}").count() == 1
+    # the monolithic branch's length filter reaches the binaryFile scan
+    plan = routed._sc._jvm.PythonSQLUtils.explainString(
+        routed._jdf.queryExecution(), "formatted"
+    )
+    assert f"LessThanOrEqual(length,{thr})" in plan  # mono branch scan
+    assert f"GreaterThan(length,{thr})" in plan  # slab branch scan
+
+    all_mono = explode_slices(V.decode_nifti(V.scan_nifti(spark, str(tmp_path))), cfg)
+    all_slab = explode_slab_slices(
+        V.decode_nifti_slabs(
+            V.scan_nifti_paths(spark, str(tmp_path)), max_slab_bytes=700
+        ),
+        cfg,
+    )
+    got = _collect_slices(routed)
+    assert got == _collect_slices(all_mono)
+    assert got == _collect_slices(all_slab)
 
 
 def test_local_path_uri_handling():
