@@ -49,12 +49,14 @@ from . import relational  # noqa: E402,F401
 # the late-r6 ANSI/rounding commits (b09494e/793bbd8) AFTER its last driver
 # row (try_divide for double/0 funnels + temperature boost + trimmed mean;
 # gini decimal(38,0) rank-weighted sum; drift-PSI single-scan grid;
-# sessionize min_by/max_by; bestfit bisect; crossmodal rounding), then the
-# 36 stalest rows (all 6 remaining r1 + 30 of the 37 r2 — the whole text_*
-# and dedup_* r2 families) fill the window. The 7 r2 rows left over
-# (events_windowed_dedup and 6 window_* rows per rotate_window.py) rotate
-# in round 8. All rows verified against the local oracle gate at sf0.01
-# before this rotation landed.
+# sessionize min_by/max_by; bestfit bisect; crossmodal rounding) plus the
+# r7 dedup_semantic_keep pairwise-kernel rewrite (a changed
+# implementation must never ride a stale green row — the r6 lesson), then
+# the 35 stalest rows (all 6 remaining r1 + 29 of the 37 r2) fill the
+# window. The 8 r2 rows left over (text_tfidf_top_terms displaced by the
+# semantic-dedup re-check, plus events_windowed_dedup and 6 window_* rows
+# per rotate_window.py) rotate in round 8. All rows verified against the
+# local oracle gate at sf0.01 before this rotation landed.
 _DRIVER_ORDER = [
     "window_tumbling_hourly",  # sentinel
     "dedup_exact_hash",  # sentinel
@@ -70,6 +72,7 @@ _DRIVER_ORDER = [
     "customer_revenue_gini",  # re-check: implementation changed (late-r6 b09494e/793bbd8)
     "corpus_temperature_mix",  # re-check: implementation changed (late-r6 b09494e/793bbd8)
     "crossmodal_quality_topk",  # re-check: implementation changed (late-r6 b09494e/793bbd8)
+    "dedup_semantic_keep",  # re-check: r7 numpy pairwise-kernel rewrite (verdict demand #3)
     "shipping_delay_distribution",  # freshness: last driver row r1
     "sql_scalar_subquery_decorrelated",  # freshness: last driver row r1
     "topk_customers_by_revenue",  # freshness: last driver row r1
@@ -105,7 +108,6 @@ _DRIVER_ORDER = [
     "text_quality_filter",  # freshness: last driver row r2
     "text_quality_scores",  # freshness: last driver row r2
     "text_repetition_signals",  # freshness: last driver row r2
-    "text_tfidf_top_terms",  # freshness: last driver row r2
 ]
 
 
