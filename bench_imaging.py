@@ -91,6 +91,7 @@ def main() -> None:
     n_patches = sum(r["n"] for r in stats)
     by_res = {r["resolution"]: r["n"] for r in stats}
     parity_ok = len(set(by_res.values())) == 1  # J4: equal counts per resolution
+    payload_mb = round(sum(r["bytes"] for r in stats) / 1e6, 1)
     result = {
         "metric": "imaging_pipeline_throughput",
         "value": round(n_slices / wall, 2),
@@ -102,13 +103,50 @@ def main() -> None:
         "n_slices": n_slices,
         "n_patches": n_patches,
         "patches_per_sec": round(n_patches / wall, 2),
-        "payload_mb": round(sum(r["bytes"] for r in stats) / 1e6, 1),
+        "payload_mb": payload_mb,
+        "payload_mb_per_sec": round(payload_mb / wall, 2),
         "key_parity_ok": parity_ok,
     }
     if big_shape:
         result["big_shape"] = list(big_shape)
+    result["drift_gate"] = _drift_gate(mode, result)
     print(json.dumps(result))
     spark.stop()
+
+
+# slices/sec is NOT shape-neutral (a 960x840 slice is ~22x the pixels of a
+# 192x192 one) — the drift gate compares only the shape-neutral rates.
+DRIFT_GATE_METRICS = ("patches_per_sec", "payload_mb_per_sec")
+DRIFT_GATE_MAX = 2.0
+PIN_FILES = {
+    "uniform": "BENCH_IMAGING_SELF_BASELINE.json",
+    "skew": "BENCH_IMAGING_SKEW_SELF_BASELINE.json",
+}
+
+
+def _drift_gate(mode: str, result: dict) -> dict:
+    """2x throughput-drift gate against the mode-matched self-pin (r6
+    verdict demand #2): ratio = pinned/observed on the shape-neutral
+    rates; ok iff every pinned metric is within DRIFT_GATE_MAX. A missing
+    pin file reports pinned=None (first pin bootstraps the gate)."""
+    pin_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), PIN_FILES[mode])
+    try:
+        with open(pin_path) as f:
+            pin = json.load(f)
+    except (OSError, ValueError):
+        return {"pin_file": PIN_FILES[mode], "pinned": None,
+                "note": "no pin recorded for this mode yet"}
+    ratios = {}
+    for m in DRIFT_GATE_METRICS:
+        if pin.get(m) and result.get(m):
+            ratios[m] = round(pin[m] / result[m], 3)
+    return {
+        "pin_file": PIN_FILES[mode],
+        "pinned": {m: pin.get(m) for m in DRIFT_GATE_METRICS},
+        "ratio_pin_over_observed": ratios,
+        "max_allowed": DRIFT_GATE_MAX,
+        "ok": bool(ratios) and all(r <= DRIFT_GATE_MAX for r in ratios.values()),
+    }
 
 
 if __name__ == "__main__":

@@ -44,14 +44,15 @@ def _write_store_partition(rows, store_dir: str, map_size_gb: float) -> None:
     # just without the wheel); else the pure-Python writer of the same
     # on-disk format (sources/pylmdb.py). All three produce real
     # data.mdb bytes; the directory-KV layout is the last resort.
-    # Tier caveat: the pure-Python pylmdb tier is NOT commit-durable —
-    # Transaction.commit() only stages entries in memory and bytes reach
-    # disk at Environment.close(), and a non-readonly open reloads the
-    # whole existing store into RAM (memory is O(store)). That matches
-    # this sink's usage (single writer, one close per task, stores sized
-    # to one partition), but the tier must never be pointed at a store
-    # larger than executor RAM; the wheel/ctypes tiers have real
-    # per-commit durability.
+    # Tier caveat (narrowed in r7): the pure-Python pylmdb tier now
+    # fsyncs every Transaction.commit() to a CRC-framed sidecar WAL and
+    # replays it on the next open, so committed puts survive a crash
+    # before close(); writer memory is O(commit batch) + a key index,
+    # and the close-time rebuild streams (old store mmap + WAL merge ->
+    # tmp file -> atomic replace). The remaining difference from the
+    # wheel/ctypes tiers: the lmdb-FORMAT B-tree itself is still written
+    # whole at close, so a reader of the store mid-write sees the
+    # previous close's tree, not per-commit snapshots.
     lmdb = None
     try:
         import lmdb

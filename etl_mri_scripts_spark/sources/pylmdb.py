@@ -6,7 +6,9 @@ LMDB stores: lmdb_util.py:9-133, v2/lmdb_npy.py:24-57). This module
 implements the byte layout of ``data.mdb`` from the public liblmdb
 sources (mdb.c / lmdb.h, OpenLDAP) for the subset the sink needs:
 
-* single bulk-build write transaction (sorted puts, then close)
+* bulk-build writes (batched commits, tree written at close) with a
+  CRC-framed sidecar WAL (``data.mdb-wal``) making every commit()
+  crash-recoverable — see Environment's docstring for the model
 * point reads (``txn.get``) against the finished store
 
 Layout written (4096-byte pages, little-endian, 64-bit):
@@ -39,8 +41,10 @@ through it (tests/test_sinks.py cross-checks when importable).
 from __future__ import annotations
 
 import builtins
+import mmap
 import os
 import struct
+import zlib
 
 PAGESIZE = 4096
 PAGEHDRSZ = 16
@@ -56,6 +60,11 @@ F_BIGDATA = 0x01
 MAGIC = 0xBEEFC0DE
 VERSION = 1
 P_INVALID = 0xFFFFFFFFFFFFFFFF
+
+# sidecar write-ahead log (pylmdb-specific, NOT part of the lmdb format;
+# removed on clean close): <u32 klen><u32 vlen><key><value><u32 crc>
+_WALHDR = struct.Struct("<II")
+_WALCRC = struct.Struct("<I")
 
 # mdb.c: me_nodemax = (((psize - PAGEHDRSZ) / MDB_MINKEYS) & -2)
 #                     - sizeof(indx_t),  MINKEYS=2
@@ -160,45 +169,32 @@ def _branch_node(key: bytes, child_pgno: int) -> bytes:
     return hdr + key
 
 
-def _build_tree(items: list[tuple[bytes, bytes]]) -> tuple[bytes, dict[str, int]]:
-    """Bulk-build the MAIN db B-tree from sorted (key, value) pairs.
+def _emit_tree(items, emit) -> dict[str, int]:
+    """Bulk-build the MAIN db B-tree from an iterator of SORTED (key,
+    value) pairs, calling ``emit(page_bytes)`` for every rendered page in
+    pgno order. Returns the stats for the meta MDB_db.
 
-    Returns (all data pages concatenated, stats for the meta MDB_db).
-    Page numbers start at 2 (after the two metas)."""
+    Streaming core of :func:`_build_tree` (r7): page layout and numbering
+    are IDENTICAL to the historical list form (byte pins in
+    tests/test_round5_additions.py hold) — only the residency changes.
+    Memory is O(page) plus O(#leaf pages) for the branch-level key list:
+    a leaf group is rendered and emitted as soon as the NEXT-next group
+    starts (the last TWO groups stay buffered because _rebalance_tail may
+    move one node between them at end-of-stream), so values never
+    accumulate. Page numbers start at 2 (after the two metas)."""
     next_pgno = 2
-    pages: list[bytes] = []  # rendered in pgno order
-
-    # ---- group items into leaves by size, then render + number pages
-    # (overflow pages land right after their owning leaf, as mdb_put
-    # would allocate them) ----
-    groups: list[list[tuple[bytes, bytes, bool]]] = []
-    cur: list[tuple[bytes, bytes, bool]] = []
-    used = 0
-    for key, value in items:
-        inline = _NODEHDR.size + len(key) + len(value) <= NODEMAX
-        node_size = _NODEHDR.size + len(key) + (len(value) if inline else 8)
-        need = _node_need(node_size)
-        if cur and used + need > USABLE:
-            groups.append(cur)
-            cur, used = [], 0
-        cur.append((key, value, inline))
-        used += need
-    if cur:
-        groups.append(cur)
-    _rebalance_tail(
-        groups,
-        lambda it: _node_need(
-            _NODEHDR.size + len(it[0]) + (len(it[1]) if it[2] else 8)
-        ),
-    )
-
     leaves: list[tuple[bytes, int]] = []  # (first_key, pgno)
     n_leaf = n_ovf = 0
-    for group in groups:
+    n_items = 0
+
+    def render_group(group: list[tuple[bytes, bytes, bool]]) -> None:
+        nonlocal next_pgno, n_leaf, n_ovf
         leaf_pgno = next_pgno
         next_pgno += 1
         page = _Page(P_LEAF)
         ovf_chunks: list[bytes] = []
+        # overflow pages land right after their owning leaf, as mdb_put
+        # would allocate them
         for key, value, inline in group:
             if inline:
                 page.add(_leaf_node(key, value, None))
@@ -211,13 +207,44 @@ def _build_tree(items: list[tuple[bytes, bytes]]) -> tuple[bytes, dict[str, int]
                 page.add(_leaf_node(key, value, next_pgno))
                 next_pgno += npg
                 n_ovf += npg
-        pages.append(page.render(leaf_pgno))
-        pages.extend(ovf_chunks)
+        emit(page.render(leaf_pgno))
+        for ch in ovf_chunks:
+            emit(ch)
         leaves.append((group[0][0], leaf_pgno))
         n_leaf += 1
 
+    # ---- group items into leaves by size; keep only the trailing two
+    # groups unrendered (the _rebalance_tail window) ----
+    pending: list[list[tuple[bytes, bytes, bool]]] = []
+    cur: list[tuple[bytes, bytes, bool]] = []
+    used = 0
+    for key, value in items:
+        n_items += 1
+        inline = _NODEHDR.size + len(key) + len(value) <= NODEMAX
+        node_size = _NODEHDR.size + len(key) + (len(value) if inline else 8)
+        need = _node_need(node_size)
+        if cur and used + need > USABLE:
+            pending.append(cur)
+            if len(pending) > 2:
+                render_group(pending.pop(0))
+            cur, used = [], 0
+        cur.append((key, value, inline))
+        used += need
+    if cur:
+        pending.append(cur)
+        if len(pending) > 2:
+            render_group(pending.pop(0))
+    _rebalance_tail(
+        pending,
+        lambda it: _node_need(
+            _NODEHDR.size + len(it[0]) + (len(it[1]) if it[2] else 8)
+        ),
+    )
+    for group in pending:
+        render_group(group)
+
     # ---- branch levels, bottom-up ----
-    depth = 1 if items else 0
+    depth = 1 if n_items else 0
     n_branch = 0
     level = leaves
     while len(level) > 1:
@@ -243,24 +270,31 @@ def _build_tree(items: list[tuple[bytes, bytes]]) -> tuple[bytes, dict[str, int]
             page = _Page(P_BRANCH)
             for i, (k, child) in enumerate(bgroup):
                 page.add(_branch_node(b"" if i == 0 else k, child))
-            pages.append(page.render(next_pgno))
+            emit(page.render(next_pgno))
             nxt.append((bgroup[0][0], next_pgno))
             next_pgno += 1
             n_branch += 1
         level = nxt
 
     root = level[0][1] if level else P_INVALID
-    if not items:
+    if not n_items:
         depth = 0
-    stats = {
+    return {
         "depth": depth,
         "branch_pages": n_branch,
         "leaf_pages": n_leaf,
         "overflow_pages": n_ovf,
-        "entries": len(items),
+        "entries": n_items,
         "root": root,
         "last_pg": next_pgno - 1,
     }
+
+
+def _build_tree(items: list[tuple[bytes, bytes]]) -> tuple[bytes, dict[str, int]]:
+    """List-in/bytes-out wrapper over :func:`_emit_tree` (kept for the
+    byte-pin tests and any small-store caller that wants the body whole)."""
+    pages: list[bytes] = []
+    stats = _emit_tree(iter(items), pages.append)
     return b"".join(pages), stats
 
 
@@ -330,15 +364,15 @@ class Transaction:
     def get(self, key: bytes, default: bytes | None = None) -> bytes | None:
         if key in self._staged:
             return self._staged[key]
-        if key in self._env._committed:
-            return self._env._committed[key]
+        got = self._env._read_from_wal(bytes(key))
+        if got is not None:
+            return got
         got = self._env._read_from_file(bytes(key))
         return got if got is not None else default
 
     def commit(self) -> None:
         if self._write and self._staged:
-            self._env._committed.update(self._staged)
-            self._env._dirty = True
+            self._env._commit_entries(self._staged)
         self._staged = {}
 
     def abort(self) -> None:
@@ -348,17 +382,23 @@ class Transaction:
 class Environment:
     """Subset of ``lmdb.Environment``: bulk-build writes, point reads.
 
-    Durability model — DIFFERENT from real liblmdb, by design:
-    ``Transaction.commit()`` is NOT durable. Committed puts accumulate in
-    memory and the whole store is (re)built as one B-tree on ``close()``
-    — a crash between commit and close loses every staged entry, and a
-    non-readonly open of an existing store reloads ALL of it into RAM,
-    so memory is O(store size). The sink's usage fits exactly (single
-    writer, batched commits, one close per task, stores sized to one
-    partition), and bulk-building writes the compact tree layout instead
-    of replaying COW page churn — but never point this tier at a store
-    larger than available RAM; the wheel/ctypes tiers keep liblmdb's
-    real per-commit durability."""
+    Durability model (r7, WAL tier — closes the r6 'commit is not
+    durable / memory is O(store)' caveat): ``Transaction.commit()``
+    appends the staged entries to a sidecar write-ahead log
+    (``data.mdb-wal``: CRC-framed records, flushed + fsync'd per commit)
+    and keeps only a key -> (offset, length) index in memory — committed
+    VALUES never reside in RAM, so writer memory is O(commit batch) +
+    O(keys). A crash between commit and close loses nothing: the next
+    non-readonly open replays every intact WAL frame (truncating a torn
+    tail at the first bad CRC) and close() then merges WAL + any
+    pre-existing store. ``close()`` streams the merge through
+    :func:`_emit_tree` into ``data.mdb.tmp`` and atomically
+    ``os.replace``s it over the store before deleting the WAL, so a
+    crash DURING close leaves the old store + WAL intact and recovery
+    still holds. The final file is the same compact bulk-built layout
+    as before (byte pins hold); liblmdb's COW page format is still only
+    written whole-at-close — the wheel/ctypes tiers keep real per-commit
+    B-tree durability."""
 
     def __init__(self, path: str, map_size: int, readonly: bool, subdir: bool) -> None:
         self.readonly = readonly
@@ -368,19 +408,104 @@ class Environment:
             self.datafile = os.path.join(path, "data.mdb")
         else:
             self.datafile = path
-        self._committed: dict[bytes, bytes] = {}
+        self.walfile = self.datafile + "-wal"
+        self._index: dict[bytes, tuple[int, int]] = {}  # key -> (val off, len)
+        self._wal = None  # append handle, opened on first commit/replay
+        self._wal_read = None  # seek/read handle for gets
         self._dirty = False
-        self._buf: bytes | None = None
+        self._buf = None  # mmap (or bytes) of datafile for reads
         self._closed = False
-        if not readonly and os.path.exists(self.datafile):
-            # rewrite-on-close semantics need existing content loaded
-            for k, v in self._iter_file():
-                self._committed[k] = v
+        if not readonly and os.path.exists(self.walfile):
+            # crash recovery: a previous writer committed but never
+            # closed — replay every intact frame so close() merges them
+            self._replay_wal()
+            self._dirty = bool(self._index)
 
     def begin(self, write: bool = False, **_kw) -> Transaction:
         if self._closed:
             raise EnvironmentError("environment closed")
         return Transaction(self, write)
+
+    # ------------------------------ WAL ---------------------------------
+    # Frame: <u32 klen><u32 vlen><key><value><u32 crc32(key+value)>.
+    # Append-only; fsync per commit. The index maps each key to its
+    # NEWEST value's (offset, length); older frames become dead bytes.
+
+    def _commit_entries(self, staged: dict[bytes, bytes]) -> None:
+        if self._wal is None:
+            self._wal = builtins.open(self.walfile, "ab")
+        pos = self._wal.tell()
+        for k, v in staged.items():
+            rec = _WALHDR.pack(len(k), len(v)) + k + v
+            rec += _WALCRC.pack(zlib.crc32(k + v) & 0xFFFFFFFF)
+            self._wal.write(rec)
+            self._index[k] = (pos + _WALHDR.size + len(k), len(v))
+            pos += len(rec)
+        self._wal.flush()
+        os.fsync(self._wal.fileno())
+        self._dirty = True
+
+    def _read_from_wal(self, key: bytes) -> bytes | None:
+        loc = self._index.get(key)
+        if loc is None:
+            return None
+        if self._wal_read is None:
+            self._wal_read = builtins.open(self.walfile, "rb")
+        self._wal_read.seek(loc[0])
+        return self._wal_read.read(loc[1])
+
+    def _replay_wal(self) -> None:
+        """Index every intact frame; truncate at the first torn/corrupt
+        one (a crash mid-write leaves at most one partial tail frame —
+        everything fsync'd by a completed commit() is before it)."""
+        good_end = 0
+        with builtins.open(self.walfile, "rb") as f:
+            size = os.fstat(f.fileno()).st_size
+            while good_end + _WALHDR.size <= size:
+                hdr = f.read(_WALHDR.size)
+                if len(hdr) < _WALHDR.size:
+                    break
+                klen, vlen = _WALHDR.unpack(hdr)
+                frame_len = _WALHDR.size + klen + vlen + _WALCRC.size
+                if good_end + frame_len > size:
+                    break
+                key = f.read(klen)
+                crc = zlib.crc32(key)
+                # stream the value so replay memory stays O(chunk)
+                remaining = vlen
+                while remaining:
+                    chunk = f.read(min(remaining, 1 << 20))
+                    if not chunk:
+                        break
+                    crc = zlib.crc32(chunk, crc)
+                    remaining -= len(chunk)
+                (want,) = _WALCRC.unpack(f.read(_WALCRC.size))
+                if remaining or (crc & 0xFFFFFFFF) != want:
+                    break
+                self._index[key] = (good_end + _WALHDR.size + klen, vlen)
+                good_end += frame_len
+        if good_end < os.path.getsize(self.walfile):
+            with builtins.open(self.walfile, "r+b") as f:
+                f.truncate(good_end)
+
+    def _merged_items(self):
+        """Two-pointer merge of the existing store's ascending key stream
+        with the (sorted) WAL index — WAL wins on ties (newer write).
+        Yields (key, value) ascending; values are fetched lazily (file
+        pages via mmap, WAL via seek/read), so the merge holds O(1)
+        values."""
+        wal_keys = sorted(self._index)
+        wi = 0
+        for fk, fv in self._iter_file():
+            while wi < len(wal_keys) and wal_keys[wi] < fk:
+                yield wal_keys[wi], self._read_from_wal(wal_keys[wi])
+                wi += 1
+            if wi < len(wal_keys) and wal_keys[wi] == fk:
+                continue  # overwritten by the WAL; emitted on its turn
+            yield fk, fv
+        while wi < len(wal_keys):
+            yield wal_keys[wi], self._read_from_wal(wal_keys[wi])
+            wi += 1
 
     def close(self) -> None:
         if self._closed:
@@ -391,21 +516,47 @@ class Environment:
         # store that readers cannot open.
         must_create = not self.readonly and not os.path.exists(self.datafile)
         if (self._dirty or must_create) and not self.readonly:
-            items = sorted(self._committed.items())
-            body, stats = _build_tree(items)
-            meta0 = _meta_page(0, 0, self.map_size, None)
-            meta1 = _meta_page(1, 1, self.map_size, stats)
-            with builtins.open(self.datafile, "wb") as f:
-                f.write(meta0 + meta1 + body)
+            tmp = self.datafile + ".tmp"
+            with builtins.open(tmp, "wb") as f:
+                f.write(b"\x00" * (2 * PAGESIZE))  # meta placeholders
+                stats = _emit_tree(self._merged_items(), f.write)
+                f.seek(0)
+                f.write(_meta_page(0, 0, self.map_size, None))
+                f.write(_meta_page(1, 1, self.map_size, stats))
+                f.flush()
+                os.fsync(f.fileno())
+            self._drop_buf()  # release the mmap of the old file first
+            os.replace(tmp, self.datafile)
+        for h in (self._wal, self._wal_read):
+            if h is not None:
+                h.close()
+        self._wal = self._wal_read = None
+        if not self.readonly and self._dirty and os.path.exists(self.walfile):
+            # only after the merged store is durable is the WAL redundant
+            os.remove(self.walfile)
         self._closed = True
+        self._drop_buf()
+
+    def _drop_buf(self) -> None:
+        if self._buf is not None and hasattr(self._buf, "close"):
+            self._buf.close()
         self._buf = None
 
     # ------------------------------ reader ------------------------------
-    def _load(self) -> bytes | None:
+    def _load(self):
+        """mmap of the datafile (r7: disk-backed, so reading or merging a
+        big store no longer costs O(store) resident memory; slicing an
+        mmap returns bytes and struct.unpack_from accepts it directly).
+        Falls back to a whole read only for files mmap refuses."""
         if self._buf is None:
             try:
                 with builtins.open(self.datafile, "rb") as f:
-                    self._buf = f.read()
+                    try:
+                        self._buf = mmap.mmap(
+                            f.fileno(), 0, access=mmap.ACCESS_READ
+                        )
+                    except (ValueError, OSError):  # zero-length or no-mmap fs
+                        self._buf = f.read()
             except OSError:
                 return None
         return self._buf
@@ -466,7 +617,10 @@ class Environment:
                 raise EnvironmentError(f"{self.datafile}: bad page flags {flags:#x}")
 
     def _iter_file(self):
-        """Yield every (key, value) — used to load pre-existing stores."""
+        """Yield every (key, value) in ASCENDING key order (r7: the
+        close-time WAL merge is a sorted two-pointer stream, so the tree
+        walk must come out in key order — children push reversed onto the
+        LIFO stack)."""
         buf = self._load()
         if not buf:
             return
@@ -481,7 +635,7 @@ class Environment:
             _pg, _pad, flags, lower, _upper = _PAGEHDR.unpack_from(buf, base)
             nkeys = (lower - PAGEHDRSZ) >> 1
             if flags & P_BRANCH:
-                for i in range(nkeys):
+                for i in reversed(range(nkeys)):
                     _k, size48, nflags, _doff = self._node(buf, base, i)
                     stack.append(size48 | (nflags << 32))
             else:

@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Re-pin BENCH_SELF_BASELINE.json from N fresh bench.py runs (default 5).
+
+Encodes the pin protocol that was previously ad hoc (r5/r6 pins were
+assembled by hand), so every statistic in the baseline is derived by the
+same code path a reviewer can re-run:
+
+- ``value``                 elementwise best: sum over queries of the
+                            per-query MIN across runs (diagnostic only —
+                            unattainable in any single run)
+- ``value_median_of_runs``  median of the runs' raw totals
+- ``sentinel_probe_pin``    median over runs of each run's
+                            median(probes_start_mid_end) — the exact
+                            statistic a live bench run reports
+- ``value_median_of_runs_normalized``
+                            median of the runs' POSITIONALLY normalized
+                            totals, computed by bench.positional_normalize
+                            with the final sentinel_probe_pin — the
+                            statistic-matched yardstick for a live run's
+                            ``value_positional_normalized`` (r7: within-run
+                            warmup drift makes a scalar factor misattribute
+                            early-sweep slowness; see bench.py
+                            NOISE_PROBE_RUNS / positional_factors notes)
+
+Usage: python pin_bench_baseline.py [--runs 5] [--note "..."]
+Writes BENCH_SELF_BASELINE.json; the previous pin's headline numbers are
+preserved under ``history``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+from statistics import median
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--note", default="")
+    ap.add_argument("--out", default=os.path.join(HERE, "BENCH_SELF_BASELINE.json"))
+    args = ap.parse_args()
+
+    sys.path.insert(0, HERE)
+    from bench import HEADLINE, positional_normalize
+
+    runs: list[dict] = []
+    for i in range(args.runs):
+        print(f"pin run {i + 1}/{args.runs} ...", file=sys.stderr, flush=True)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(HERE, "bench.py")],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=HERE,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        run = json.loads(line)
+        if run.get("errors"):
+            print(f"run {i + 1} had errors: {run['errors']}", file=sys.stderr)
+            return 1
+        runs.append(run)
+        print(f"  total={run['value']}s probes={run['noise']['probes_start_mid_end']}",
+              file=sys.stderr, flush=True)
+
+    sf = runs[0]["sf"]
+    names = sorted({n for r in runs for n in r["queries"]})
+    best = {n: round(min(r["queries"][n] for r in runs if n in r["queries"]), 4)
+            for n in names}
+    totals = [r["value"] for r in runs]
+    probe_medians = [
+        round(median(p for p in r["noise"]["probes_start_mid_end"] if p is not None), 4)
+        for r in runs
+    ]
+    sentinel_pin = round(median(probe_medians), 4)
+    normalized_totals = [
+        positional_normalize(
+            r["queries"], HEADLINE, r["noise"]["probes_start_mid_end"], sentinel_pin
+        )
+        for r in runs
+    ]
+    if any(v is None for v in normalized_totals):
+        print("a run lacked probes; cannot pin the normalized statistic", file=sys.stderr)
+        return 1
+
+    prev_history = {}
+    try:
+        with open(args.out) as f:
+            prev = json.load(f)
+        prev_history = {
+            "previous_pin_value": prev.get("value"),
+            "previous_value_median_of_runs": prev.get("value_median_of_runs"),
+            "previous_sentinel_probe_pin": prev.get("sentinel_probe_pin"),
+            "previous_note": (prev.get("history") or {}).get("note"),
+        }
+    except (OSError, ValueError):
+        pass
+
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(best.values()), 4),
+        "unit": "sec",
+        "sf": sf,
+        "pin_method": (
+            f"elementwise best of {args.runs} runs (each query the median of 5 "
+            "in-run samples), idle host, pinned by pin_bench_baseline.py "
+            "(7-sample probes, double sentinel warmup — bench.py r7 protocol)"
+        ),
+        "value_median_of_runs": round(median(totals), 4),
+        "value_median_of_runs_method": (
+            "median of the pin runs' raw totals - yardstick for a live run's "
+            "scalar value_noise_normalized"
+        ),
+        "value_median_of_runs_normalized": round(median(normalized_totals), 4),
+        "value_median_of_runs_normalized_method": (
+            "median of the pin runs' positionally-normalized totals "
+            "(bench.positional_normalize, this file's sentinel_probe_pin) - "
+            "the statistic-matched yardstick for a live run's "
+            "value_positional_normalized"
+        ),
+        "run_totals": totals,
+        "run_totals_normalized": normalized_totals,
+        "noise_at_pin": [r["noise"] for r in runs],
+        "sentinel_probe_pin": sentinel_pin,
+        "sentinel_probe_pin_method": (
+            "median over pin runs of each run's median(probes_start_mid_end) - "
+            "the exact statistic a single bench run reports as its probe "
+            "median; probes are median-of-7 single-run times under the r7 "
+            "double-warmup protocol"
+        ),
+        "history": {**prev_history, "note": args.note},
+        "queries": best,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: out[k] for k in (
+        "value", "value_median_of_runs", "value_median_of_runs_normalized",
+        "sentinel_probe_pin")}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
