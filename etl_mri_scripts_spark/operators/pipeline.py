@@ -267,6 +267,7 @@ def ingest_nifti(
         MAX_ARROW_CELL_BYTES,
         decode_nifti,
         decode_nifti_slabs,
+        scan_nifti,
         scan_nifti_paths,
     )
 
@@ -276,15 +277,10 @@ def ingest_nifti(
         else MAX_ARROW_CELL_BYTES // ROUTE_EXPANSION_WORST
     )
     slab_bytes = max_slab_bytes if max_slab_bytes is not None else DEFAULT_SLAB_BYTES
-    small = (
-        spark.read.format("binaryFile")
-        .option("recursiveFileLookup", "true")
-        .option("pathGlobFilter", "*.nii*")
-        .load(root)
-        .filter(F.col("path").rlike(path_regex))
-        .filter(F.col("length") <= F.lit(thr))  # pushed to the source scan
-        .select("path", "content")
-    )
+    # both branches reuse the canonical scans (one glob/regex definition);
+    # scan_nifti's max_length filter lands before the content select and
+    # is pushed down, so big files' bytes are never read on this branch
+    small = scan_nifti(spark, root, path_regex, max_length=thr)
     big = scan_nifti_paths(spark, root, path_regex).filter(F.col("length") > F.lit(thr))
     mono_slices = explode_slices(decode_nifti(small), config)
     slab_slices = explode_slab_slices(

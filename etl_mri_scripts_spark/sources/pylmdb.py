@@ -66,6 +66,22 @@ P_INVALID = 0xFFFFFFFFFFFFFFFF
 _WALHDR = struct.Struct("<II")
 _WALCRC = struct.Struct("<I")
 
+
+def _fsync_dir(path: str) -> None:
+    """Durability for directory-entry mutations (create/rename/unlink):
+    fsync the directory fd, best-effort on platforms without O_DIRECTORY
+    semantics (the data-file fsyncs still hold there)."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
 # mdb.c: me_nodemax = (((psize - PAGEHDRSZ) / MDB_MINKEYS) & -2)
 #                     - sizeof(indx_t),  MINKEYS=2
 # = 2038 for 4096-byte pages. The trailing indx_t subtraction matters:
@@ -433,7 +449,14 @@ class Environment:
 
     def _commit_entries(self, staged: dict[bytes, bytes]) -> None:
         if self._wal is None:
+            created = not os.path.exists(self.walfile)
             self._wal = builtins.open(self.walfile, "ab")
+            if created:
+                # fsync the DIRECTORY too: without it a power failure can
+                # drop the brand-new dirent on ext4/xfs even though the
+                # file's own bytes were fsync'd — losing every committed
+                # entry while the docstring promises durability.
+                _fsync_dir(os.path.dirname(self.walfile) or ".")
         pos = self._wal.tell()
         for k, v in staged.items():
             rec = _WALHDR.pack(len(k), len(v)) + k + v
@@ -527,6 +550,10 @@ class Environment:
                 os.fsync(f.fileno())
             self._drop_buf()  # release the mmap of the old file first
             os.replace(tmp, self.datafile)
+            # make the rename durable BEFORE unlinking the WAL: on a
+            # non-ordered filesystem the unlink could persist while the
+            # rename did not, leaving the OLD store with NO WAL.
+            _fsync_dir(os.path.dirname(self.datafile) or ".")
         for h in (self._wal, self._wal_read):
             if h is not None:
                 h.close()
@@ -534,6 +561,7 @@ class Environment:
         if not self.readonly and self._dirty and os.path.exists(self.walfile):
             # only after the merged store is durable is the WAL redundant
             os.remove(self.walfile)
+            _fsync_dir(os.path.dirname(self.walfile) or ".")
         self._closed = True
         self._drop_buf()
 

@@ -188,18 +188,31 @@ def npy_bytes_to_np(b: bytes) -> np.ndarray:
     return np.load(io.BytesIO(b), allow_pickle=False)
 
 
-def scan_nifti(spark: SparkSession, root: str, path_regex: str = r".*/anat/.*\.nii(\.gz)?$") -> DataFrame:
+def scan_nifti(
+    spark: SparkSession,
+    root: str,
+    path_regex: str = r".*/anat/.*\.nii(\.gz)?$",
+    max_length: int | None = None,
+) -> DataFrame:
     """S1: recursive binary scan with the reference's path-regex predicate
     (ref: slice_generator.py:208-213). Returns (path, content) rows; feed
-    to decode_nifti."""
-    return (
+    to decode_nifti.
+
+    ``max_length`` (optional) filters on the file-size metadata column
+    BEFORE content is selected — a plain comparison binaryFile pushes down
+    to the source, so larger files' bytes are never read. Used by
+    ingest_nifti's monolithic branch, and kept HERE so the glob/regex/scan
+    definition exists in exactly one place per column shape."""
+    scanned = (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.nii*")
         .load(root)
         .filter(F.col("path").rlike(path_regex))
-        .select("path", "content")
     )
+    if max_length is not None:
+        scanned = scanned.filter(F.col("length") <= F.lit(max_length))
+    return scanned.select("path", "content")
 
 
 def scan_nifti_paths(

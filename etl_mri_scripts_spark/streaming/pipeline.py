@@ -202,12 +202,17 @@ def run_incremental_pipeline(
 
     if os.path.isdir(out_dir):
         top = {e.split("=", 1)[0] for e in os.listdir(out_dir) if "=" in e}
-        if "resolution" in top and "batch_id" not in top:
+        # The current layout never writes top-level resolution= dirs, so
+        # ANY such entry means pre-r6 data — whether pure-old or already
+        # mixed with batch_id= dirs (the worst case: partition discovery
+        # is broken either way, so refuse both).
+        if "resolution" in top:
             raise ValueError(
-                f"out_dir {out_dir!r} uses the pre-r6 sink layout "
-                "(partitionBy(resolution, split) without batch_id); "
-                "idempotent replay would mix partition schemes. Rebuild the "
-                "sink directory and checkpoint before resuming."
+                f"out_dir {out_dir!r} contains top-level resolution= "
+                "partitions from the pre-r6 sink layout"
+                + (" (mixed with batch_id= partitions)" if "batch_id" in top else "")
+                + "; idempotent replay would mix partition schemes. Rebuild "
+                "the sink directory and checkpoint before resuming."
             )
     from ..operators.pipeline import (
         ARROW_VOLUME_BATCH,

@@ -25,10 +25,10 @@ import sys
 from statistics import median
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-PIN_FILES = {
-    "uniform": "BENCH_IMAGING_SELF_BASELINE.json",
-    "skew": "BENCH_IMAGING_SKEW_SELF_BASELINE.json",
-}
+sys.path.insert(0, HERE)
+from bench_imaging import PIN_FILES  # noqa: E402 — single source of truth
+# for the pin filenames the drift gate reads; a rename that touched only
+# one copy would leave the gate permanently reporting "no pin recorded"
 
 
 def main() -> int:

@@ -234,6 +234,31 @@ def test_pylmdb_iter_file_is_ascending(tmp_path):
     env.close()
 
 
+# --------------------------- imaging drift gate ----------------------------
+
+
+def test_imaging_drift_gate_math(tmp_path, monkeypatch):
+    import bench_imaging as bi
+
+    # point the gate at a synthetic pin
+    monkeypatch.setattr(
+        bi.os.path, "dirname", lambda _p: str(tmp_path), raising=True
+    )
+    (tmp_path / bi.PIN_FILES["skew"]).write_text(
+        '{"patches_per_sec": 300.0, "payload_mb_per_sec": 9.0}'
+    )
+    ok = bi._drift_gate("skew", {"patches_per_sec": 200.0, "payload_mb_per_sec": 6.0})
+    assert ok["ok"] and ok["ratio_pin_over_observed"] == {
+        "patches_per_sec": 1.5, "payload_mb_per_sec": 1.5,
+    }
+    # 2x+ regression on either rate fails the gate
+    bad = bi._drift_gate("skew", {"patches_per_sec": 140.0, "payload_mb_per_sec": 6.0})
+    assert not bad["ok"]
+    # missing pin bootstraps instead of failing
+    none = bi._drift_gate("uniform", {"patches_per_sec": 1.0, "payload_mb_per_sec": 1.0})
+    assert none["pinned"] is None
+
+
 # --------------------------- bench positional ------------------------------
 
 

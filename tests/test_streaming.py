@@ -144,6 +144,13 @@ def test_incremental_pipeline_refuses_pre_r6_sink_layout(spark, tmp_path):
         run_incremental_pipeline(
             spark, str(tmp_path / "vols"), str(out_dir), str(tmp_path / "ckpt")
         )
+    # the MIXED state (old resolution= beside new batch_id=) is just as
+    # broken for partition discovery and must refuse too
+    (out_dir / "batch_id=0" / "resolution=hr" / "split=train").mkdir(parents=True)
+    with pytest.raises(ValueError, match="mixed with batch_id"):
+        run_incremental_pipeline(
+            spark, str(tmp_path / "vols"), str(out_dir), str(tmp_path / "ckpt")
+        )
 
 
 def test_streaming_dedup_across_batches(spark, tmp_path):
