@@ -99,6 +99,17 @@ def main() -> int:
         results[name] = {"status": status, "sec": round(dt, 2), "err": err}
         print(f"{status:>14}  {dt:6.2f}s  {name}", flush=True)
 
+    # localCheckpoint blocks are reclaimed by the ContextCleaner only
+    # after BOTH Python and JVM GCs drop the frame references — pure
+    # timing, so an unforced storage_end reads whatever the collectors
+    # happened to leave (r7: 57 MB after a fast 200-query sweep, 1.2 MB
+    # after forcing GC on the same session). Force both so the end
+    # figure measures LEAKS, not collector lag.
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(3)
     print(
         json.dumps(
             {
