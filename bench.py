@@ -147,8 +147,8 @@ def positional_normalize(
     """Sum of per-query times, each divided by its position-local noise
     factor (interpolated sentinel estimate / pin). The same function
     normalizes both a live bench run and the pin runs themselves
-    (tools/pin_bench_baseline.py), so the comparison statistic is
-    identical on both sides — the r5/r6 statistic-match rule."""
+    (pin_bench_baseline.py at the repo root), so the comparison statistic
+    is identical on both sides — the r5/r6 statistic-match rule."""
     est = positional_factors(probes, len(order))
     if est is None or not sentinel_pin:
         return None
@@ -288,7 +288,11 @@ def main() -> None:
     if noise_factor:
         normalized = round(total / noise_factor, 4)
         out["value_noise_normalized"] = normalized
-        if median_run_pin:
+        # vs-pin ratios only when every headline query produced a time:
+        # the pin totals cover ALL queries, so a crashed heavy query would
+        # shrink the live total and make the ratio read as an IMPROVEMENT
+        # — a green signal masking a broken query (r7 review).
+        if median_run_pin and not errors:
             out["noise"]["median_run_pin"] = median_run_pin
             out["value_noise_normalized_vs_median_pin"] = round(
                 normalized / median_run_pin, 4
@@ -301,7 +305,7 @@ def main() -> None:
         pos_normalized = positional_normalize(times, HEADLINE, probes, sentinel_pin)
         if pos_normalized is not None:
             out["value_positional_normalized"] = pos_normalized
-            if median_norm_pin:
+            if median_norm_pin and not errors:
                 out["noise"]["median_norm_pin"] = median_norm_pin
                 out["value_positional_normalized_vs_pin"] = round(
                     pos_normalized / median_norm_pin, 4

@@ -124,29 +124,37 @@ PIN_FILES = {
 }
 
 
-def _drift_gate(mode: str, result: dict) -> dict:
+def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
     """2x throughput-drift gate against the mode-matched self-pin (r6
     verdict demand #2): ratio = pinned/observed on the shape-neutral
-    rates; ok iff every pinned metric is within DRIFT_GATE_MAX. A missing
-    pin file reports pinned=None (first pin bootstraps the gate)."""
-    pin_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), PIN_FILES[mode])
+    rates; ok iff every comparable metric is within DRIFT_GATE_MAX. A
+    missing pin file — or a pin with no comparable rate fields — reports
+    ok=None (bootstrap/indeterminate), NEVER ok=False: an absent number
+    is not evidence of a regression. ``pin_dir`` overrides the pin
+    location (tests)."""
+    pin_path = os.path.join(
+        pin_dir or os.path.dirname(os.path.abspath(__file__)), PIN_FILES[mode]
+    )
     try:
         with open(pin_path) as f:
             pin = json.load(f)
     except (OSError, ValueError):
-        return {"pin_file": PIN_FILES[mode], "pinned": None,
+        return {"pin_file": PIN_FILES[mode], "pinned": None, "ok": None,
                 "note": "no pin recorded for this mode yet"}
     ratios = {}
     for m in DRIFT_GATE_METRICS:
         if pin.get(m) and result.get(m):
             ratios[m] = round(pin[m] / result[m], 3)
-    return {
+    out = {
         "pin_file": PIN_FILES[mode],
         "pinned": {m: pin.get(m) for m in DRIFT_GATE_METRICS},
         "ratio_pin_over_observed": ratios,
         "max_allowed": DRIFT_GATE_MAX,
-        "ok": bool(ratios) and all(r <= DRIFT_GATE_MAX for r in ratios.values()),
+        "ok": all(r <= DRIFT_GATE_MAX for r in ratios.values()) if ratios else None,
     }
+    if not ratios:
+        out["note"] = "pin exists but has no comparable rate fields"
+    return out
 
 
 if __name__ == "__main__":

@@ -489,6 +489,11 @@ class Environment:
                 if len(hdr) < _WALHDR.size:
                     break
                 klen, vlen = _WALHDR.unpack(hdr)
+                if not 0 < klen <= MAXKEYSIZE:
+                    # put() bounds keys at MAXKEYSIZE, so an out-of-range
+                    # klen is a corrupt header — reject BEFORE f.read(klen)
+                    # can allocate a near-WAL-size buffer for a fake key
+                    break
                 frame_len = _WALHDR.size + klen + vlen + _WALCRC.size
                 if good_end + frame_len > size:
                     break
@@ -558,8 +563,13 @@ class Environment:
             if h is not None:
                 h.close()
         self._wal = self._wal_read = None
-        if not self.readonly and self._dirty and os.path.exists(self.walfile):
-            # only after the merged store is durable is the WAL redundant
+        # Remove the WAL on every clean writer close, not just dirty ones:
+        # a replay that salvaged ZERO frames (torn/corrupt first frame)
+        # leaves _dirty False but a truncated data.mdb-wal behind, which
+        # would read as false crash evidence forever. A non-empty replay
+        # always sets _dirty, so the merged store is durable before any
+        # WAL with content is removed.
+        if not self.readonly and os.path.exists(self.walfile):
             os.remove(self.walfile)
             _fsync_dir(os.path.dirname(self.walfile) or ".")
         self._closed = True

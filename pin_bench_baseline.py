@@ -73,6 +73,12 @@ def main() -> int:
     best = {n: round(min(r["queries"][n] for r in runs if n in r["queries"]), 4)
             for n in names}
     totals = [r["value"] for r in runs]
+    if any(
+        all(p is None for p in r["noise"]["probes_start_mid_end"]) for r in runs
+    ):
+        print("a run lacked probes entirely; cannot pin the probe statistic",
+              file=sys.stderr)
+        return 1
     probe_medians = [
         round(median(p for p in r["noise"]["probes_start_mid_end"] if p is not None), 4)
         for r in runs

@@ -125,6 +125,27 @@ def test_pylmdb_corrupt_wal_frame_stops_replay(tmp_path):
         assert txn.get(b"aa") is None  # corrupt frame rejected
         assert txn.get(b"bb") is None  # and everything after it
     env2.close()
+    # zero frames survived (empty replay index, _dirty False) — the clean
+    # close must STILL retire the truncated WAL, or it reads as false
+    # crash evidence forever (r7 review)
+    assert not os.path.exists(wal)
+
+
+def test_pylmdb_replay_rejects_oversize_klen_header(tmp_path):
+    """A corrupt header whose klen ~ file size must be rejected before
+    read(klen) can allocate a giant fake key (r7 review)."""
+    env = pylmdb.open(str(tmp_path / "s"))
+    txn = env.begin(write=True)
+    txn.put(b"good", b"value")
+    txn.commit()
+    wal = env.walfile
+    del env
+    with open(wal, "ab") as f:  # append a frame claiming a 1 GB key
+        f.write(pylmdb._WALHDR.pack(1 << 30, 4) + b"junk")
+    env2 = pylmdb.open(str(tmp_path / "s"))
+    with env2.begin() as txn:
+        assert txn.get(b"good") == b"value"  # intact frames kept
+    env2.close()
 
 
 def test_pylmdb_crash_during_close_keeps_old_store_and_wal(tmp_path):
@@ -237,26 +258,37 @@ def test_pylmdb_iter_file_is_ascending(tmp_path):
 # --------------------------- imaging drift gate ----------------------------
 
 
-def test_imaging_drift_gate_math(tmp_path, monkeypatch):
+def test_imaging_drift_gate_math(tmp_path):
     import bench_imaging as bi
 
-    # point the gate at a synthetic pin
-    monkeypatch.setattr(
-        bi.os.path, "dirname", lambda _p: str(tmp_path), raising=True
-    )
+    pin_dir = str(tmp_path)  # scoped via the gate's own parameter — no
+    # global os.path monkeypatching (process-wide dirname patching broke
+    # any mid-test path resolution, r7 review)
     (tmp_path / bi.PIN_FILES["skew"]).write_text(
         '{"patches_per_sec": 300.0, "payload_mb_per_sec": 9.0}'
     )
-    ok = bi._drift_gate("skew", {"patches_per_sec": 200.0, "payload_mb_per_sec": 6.0})
+    ok = bi._drift_gate(
+        "skew", {"patches_per_sec": 200.0, "payload_mb_per_sec": 6.0}, pin_dir
+    )
     assert ok["ok"] and ok["ratio_pin_over_observed"] == {
         "patches_per_sec": 1.5, "payload_mb_per_sec": 1.5,
     }
     # 2x+ regression on either rate fails the gate
-    bad = bi._drift_gate("skew", {"patches_per_sec": 140.0, "payload_mb_per_sec": 6.0})
-    assert not bad["ok"]
-    # missing pin bootstraps instead of failing
-    none = bi._drift_gate("uniform", {"patches_per_sec": 1.0, "payload_mb_per_sec": 1.0})
-    assert none["pinned"] is None
+    bad = bi._drift_gate(
+        "skew", {"patches_per_sec": 140.0, "payload_mb_per_sec": 6.0}, pin_dir
+    )
+    assert bad["ok"] is False
+    # missing pin bootstraps (indeterminate), never a regression verdict
+    none = bi._drift_gate(
+        "uniform", {"patches_per_sec": 1.0, "payload_mb_per_sec": 1.0}, pin_dir
+    )
+    assert none["pinned"] is None and none["ok"] is None
+    # pin present but without comparable rates: also indeterminate
+    (tmp_path / bi.PIN_FILES["uniform"]).write_text('{"slices_per_sec": 5.0}')
+    empty = bi._drift_gate(
+        "uniform", {"patches_per_sec": 1.0, "payload_mb_per_sec": 1.0}, pin_dir
+    )
+    assert empty["ok"] is None and "no comparable" in empty["note"]
 
 
 # --------------------------- bench positional ------------------------------
