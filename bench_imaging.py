@@ -79,13 +79,19 @@ def main() -> None:
         )
         n_slices += _slices_for(1, big_shape)
 
+    from etl_mri_scripts_spark.operators.pipeline import volume_batch_scope
+
     t0 = time.time()
-    out = run_pipeline(spark, vols, cfg, slabs=slabs)
-    stats = (
-        out.groupBy("resolution")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("value")).alias("bytes"))
-        .collect()
-    )
+    # volume_batch_scope: the Arrow batch shrink is live while the collect
+    # executes the imaging plan and restored when the job completes, so a
+    # session reused after this driver sees the default batch size.
+    with volume_batch_scope(spark):
+        out = run_pipeline(spark, vols, cfg, slabs=slabs)
+        stats = (
+            out.groupBy("resolution")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("value")).alias("bytes"))
+            .collect()
+        )
     wall = time.time() - t0
 
     n_patches = sum(r["n"] for r in stats)
@@ -127,11 +133,14 @@ PIN_FILES = {
 def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
     """2x throughput-drift gate against the mode-matched self-pin (r6
     verdict demand #2): ratio = pinned/observed on the shape-neutral
-    rates; ok iff every comparable metric is within DRIFT_GATE_MAX. A
+    rates; ok iff every comparable metric is within DRIFT_GATE_MAX. The
+    "absent number is not evidence" rule applies to the PIN side only: a
     missing pin file — or a pin with no comparable rate fields — reports
-    ok=None (bootstrap/indeterminate), NEVER ok=False: an absent number
-    is not evidence of a regression. ``pin_dir`` overrides the pin
-    location (tests)."""
+    ok=None (bootstrap/indeterminate), NEVER ok=False. But a metric the
+    pin DOES carry that the observed run reports as 0/missing is
+    evidence — of a broken measurement — and fails the gate loudly
+    (r7 ADVICE: the old falsy-skip masked a zero observed rate as
+    indeterminate). ``pin_dir`` overrides the pin location (tests)."""
     pin_path = os.path.join(
         pin_dir or os.path.dirname(os.path.abspath(__file__)), PIN_FILES[mode]
     )
@@ -142,17 +151,30 @@ def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
         return {"pin_file": PIN_FILES[mode], "pinned": None, "ok": None,
                 "note": "no pin recorded for this mode yet"}
     ratios = {}
+    broken = []  # pinned metrics whose observed value is 0/missing
     for m in DRIFT_GATE_METRICS:
-        if pin.get(m) and result.get(m):
+        if not pin.get(m):
+            continue  # pin side absent -> not comparable (indeterminate)
+        if result.get(m):
             ratios[m] = round(pin[m] / result[m], 3)
+        else:
+            broken.append(m)
     out = {
         "pin_file": PIN_FILES[mode],
         "pinned": {m: pin.get(m) for m in DRIFT_GATE_METRICS},
         "ratio_pin_over_observed": ratios,
         "max_allowed": DRIFT_GATE_MAX,
-        "ok": all(r <= DRIFT_GATE_MAX for r in ratios.values()) if ratios else None,
+        "ok": (
+            False
+            if broken
+            else all(r <= DRIFT_GATE_MAX for r in ratios.values()) if ratios else None
+        ),
     }
-    if not ratios:
+    if broken:
+        out["note"] = (
+            f"pinned metric(s) {broken} observed as 0/missing — broken run"
+        )
+    elif not ratios:
         out["note"] = "pin exists but has no comparable rate fields"
     return out
 

@@ -64,6 +64,13 @@ def main() -> int:
             sum(i.memSize() + i.diskSize() for i in jsc.getRDDStorageInfo()) / 2**20, 1
         )
 
+    # The imaging query shrinks the Arrow batch size at plan time (volume
+    # row-size guard); restore after each query's action completes so the
+    # rest of the sweep runs with the session default (r8 conf hygiene —
+    # same restore bench.py applies).
+    _ARROW_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    arrow_default = spark.conf.get(_ARROW_KEY, None)
+
     results: dict[str, dict] = {}
     n_pass = n_rows_only = n_fail = 0
     storage_high_water = 0.0
@@ -96,6 +103,11 @@ def main() -> int:
         # machinery's localCheckpoints are NOT in the CacheManager and are
         # reclaimed by the ContextCleaner on their own.
         spark.catalog.clearCache()
+        if spark.conf.get(_ARROW_KEY, None) != arrow_default:
+            if arrow_default is None:
+                spark.conf.unset(_ARROW_KEY)
+            else:
+                spark.conf.set(_ARROW_KEY, arrow_default)
         results[name] = {"status": status, "sec": round(dt, 2), "err": err}
         print(f"{status:>14}  {dt:6.2f}s  {name}", flush=True)
 

@@ -1137,7 +1137,10 @@ def _sem_dedup_cluster_np(pdf):
     by, and the ``F.round(cos, 6) >= SEM_TAU`` filter is reproduced
     exactly: values outside the ±2e-6 band around SEM_TAU cannot change
     side under 6-dp rounding, and the handful inside the band go through
-    the engine's scalar ``_round6`` (Spark F.round semantics).
+    the engine's scalar ``_round6`` (Spark F.round semantics). A NaN
+    cosine (zero-norm embedding, 0/0) is ordered GREATER than the
+    threshold, matching Spark/DuckDB NaN-high comparison semantics —
+    numpy's IEEE comparisons would otherwise diverge by keeping the pair.
 
     Memory is bounded: the pairwise matrix is computed in column BLOCKS
     of 4096, so a task holds O(n_cluster x 4096) doubles, never
@@ -1163,8 +1166,15 @@ def _sem_dedup_cluster_np(pdf):
         dot = np.zeros((n, t - s))
         for j in range(E.shape[1]):  # sequential-j accumulation order
             dot += E[:, j, None] * Eb[None, :, j]
-        cos = dot / (nrm[:, None] * nb[None, :])
-        passed = cos >= hi
+        with np.errstate(invalid="ignore", divide="ignore"):  # NaN intended
+            cos = dot / (nrm[:, None] * nb[None, :])
+        # NaN ordering: a zero-norm embedding yields cos = 0/0 = NaN, and
+        # BOTH comparison semantics this kernel must reproduce — Spark's
+        # and DuckDB's — order NaN greater than every number, so the pair
+        # counts as a duplicate there. numpy comparisons are IEEE (NaN is
+        # False everywhere), which would silently KEEP such a pair, so NaN
+        # is folded into `passed` explicitly.
+        passed = (cos >= hi) | np.isnan(cos)
         band = (cos >= lo) & ~passed
         for a_i, b_i in np.argwhere(band):
             passed[a_i, b_i] = _round6(float(cos[a_i, b_i])) >= SEM_TAU

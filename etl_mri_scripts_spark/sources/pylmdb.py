@@ -431,11 +431,21 @@ class Environment:
         self._dirty = False
         self._buf = None  # mmap (or bytes) of datafile for reads
         self._closed = False
-        if not readonly and os.path.exists(self.walfile):
-            # crash recovery: a previous writer committed but never
-            # closed — replay every intact frame so close() merges them
-            self._replay_wal()
-            self._dirty = bool(self._index)
+        if os.path.exists(self.walfile):
+            if readonly:
+                # A non-empty WAL means a writer committed but never
+                # closed. Those commits ARE durable state (the docstring's
+                # promise), so a readonly reader must serve them too:
+                # replay into the in-memory index only — never truncate or
+                # delete, both of which are writes a readonly open must
+                # not perform (r7 ADVICE: the old behavior silently served
+                # the previous close's tree, missing committed entries).
+                self._replay_wal(truncate=False)
+            else:
+                # crash recovery: replay every intact frame so close()
+                # merges them (truncating any torn tail frame)
+                self._replay_wal()
+                self._dirty = bool(self._index)
 
     def begin(self, write: bool = False, **_kw) -> Transaction:
         if self._closed:
@@ -477,10 +487,13 @@ class Environment:
         self._wal_read.seek(loc[0])
         return self._wal_read.read(loc[1])
 
-    def _replay_wal(self) -> None:
+    def _replay_wal(self, truncate: bool = True) -> None:
         """Index every intact frame; truncate at the first torn/corrupt
         one (a crash mid-write leaves at most one partial tail frame —
-        everything fsync'd by a completed commit() is before it)."""
+        everything fsync'd by a completed commit() is before it).
+        ``truncate=False`` (readonly opens) indexes the intact prefix but
+        leaves the file untouched — the next WRITE open performs the
+        actual repair."""
         good_end = 0
         with builtins.open(self.walfile, "rb") as f:
             size = os.fstat(f.fileno()).st_size
@@ -512,7 +525,7 @@ class Environment:
                     break
                 self._index[key] = (good_end + _WALHDR.size + klen, vlen)
                 good_end += frame_len
-        if good_end < os.path.getsize(self.walfile):
+        if truncate and good_end < os.path.getsize(self.walfile):
             with builtins.open(self.walfile, "r+b") as f:
                 f.truncate(good_end)
 

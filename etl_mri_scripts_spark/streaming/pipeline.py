@@ -215,7 +215,7 @@ def run_incremental_pipeline(
                 "the sink directory and checkpoint before resuming."
             )
     from ..operators.pipeline import (
-        ARROW_VOLUME_BATCH,
+        _shrink_volume_batch,
         PipelineConfig,
         assign_split,
         degrade_and_patch,
@@ -227,9 +227,10 @@ def run_incremental_pipeline(
     # Same row-size guard as run_pipeline: volume rows are huge, and
     # without this the Arrow default (10k records/batch) would
     # materialize a whole micro-batch of volumes in one pandas batch.
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_VOLUME_BATCH)
-    )
+    # A stream holds the shrink for its lifetime (no action-time restore),
+    # but routing through _shrink_volume_batch records the pre-shrink
+    # value so a later volume_batch_scope exit restores the true default.
+    _shrink_volume_batch(spark)
     stream = spark.readStream.schema(VOLUME_SCHEMA).parquet(volumes_in_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:

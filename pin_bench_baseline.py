@@ -21,6 +21,12 @@ same code path a reviewer can re-run:
                             warmup drift makes a scalar factor misattribute
                             early-sweep slowness; see bench.py
                             NOISE_PROBE_RUNS / positional_factors notes)
+- ``query_pins``            per-query median + spread of the positionally-
+                            normalized times across pin runs — feeds
+                            bench.query_verdicts, the per-query drift gate
+                            (r8: machine-adjudicated ok / noise-band /
+                            regressed instead of eyeballing sub-second
+                            host-noise excursions)
 
 Usage: python pin_bench_baseline.py [--runs 5] [--note "..."]
 Writes BENCH_SELF_BASELINE.json; the previous pin's headline numbers are
@@ -47,7 +53,7 @@ def main() -> int:
     args = ap.parse_args()
 
     sys.path.insert(0, HERE)
-    from bench import HEADLINE, positional_normalize
+    from bench import HEADLINE, positional_normalize, positional_normalize_queries
 
     runs: list[dict] = []
     for i in range(args.runs):
@@ -93,6 +99,28 @@ def main() -> int:
     if any(v is None for v in normalized_totals):
         print("a run lacked probes; cannot pin the normalized statistic", file=sys.stderr)
         return 1
+
+    # Per-query pins for bench.py's drift gate (r8, verdict demand #2):
+    # for each query, the median AND spread (max - min) of its
+    # positionally-normalized time across the pin runs — the exact
+    # statistic a live run's queries_normalized reports, so the gate
+    # compares like with like. Spread is same-session; bench.py adds the
+    # documented cross-day noise slack on top (NOISE_REL_BAND /
+    # NOISE_ABS_FLOOR_S).
+    runs_normalized_queries = [
+        positional_normalize_queries(
+            r["queries"], HEADLINE, r["noise"]["probes_start_mid_end"], sentinel_pin
+        )
+        for r in runs
+    ]
+    query_pins = {}
+    for n in names:
+        samples = [rq[n] for rq in runs_normalized_queries if rq and n in rq]
+        if samples:
+            query_pins[n] = {
+                "median": round(median(samples), 4),
+                "spread": round(max(samples) - min(samples), 4),
+            }
 
     prev_history = {}
     try:
@@ -141,6 +169,13 @@ def main() -> int:
         ),
         "history": {**prev_history, "note": args.note},
         "queries": best,
+        "query_pins": query_pins,
+        "query_pins_method": (
+            "per query: median and spread (max-min) of its positionally-"
+            "normalized time across the pin runs - the statistic-matched "
+            "inputs for bench.query_verdicts (ok / noise-band / regressed)"
+        ),
+        "run_queries": [r["queries"] for r in runs],
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)

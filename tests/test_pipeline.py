@@ -159,3 +159,66 @@ def test_skewed_volume_mix_spreads_patch_work(spark):
         .count()
     )
     assert pids >= 8, f"big volume's work on only {pids} partitions"
+
+
+# --------- action-time Arrow batch restore (r7 verdict demand #5) ---------
+
+
+def test_arrow_batch_restored_after_imaging_action(spark, tmp_path):
+    """A relational/pandas-UDF query run AFTER an imaging job in the same
+    session must see the session-default Arrow batch size: run_pipeline
+    shrinks at plan time (load-bearing for big volume rows), and
+    write_dataset — the terminal action — must restore the TRUE pre-shrink
+    value, not the already-shrunk one it observes when it starts."""
+    from etl_mri_scripts_spark.operators.pipeline import (
+        ARROW_VOLUME_BATCH,
+        PipelineConfig,
+        run_pipeline,
+        volume_batch_scope,
+        write_dataset,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    # Earlier tests in this module call run_pipeline without a shipped
+    # terminal action, leaving the session pre-shrunk. An empty scope
+    # cycle repairs exactly that (restores the FIRST recorded pre-shrink
+    # value) — run one so this test starts from the true session default.
+    with volume_batch_scope(spark):
+        pass
+    default = spark.conf.get(key, None)
+    assert default != str(ARROW_VOLUME_BATCH), "test precondition"
+
+    vols = synthetic_volumes(spark, 1, (12, 12, 4), seed=7)
+    patches = run_pipeline(spark, vols, PipelineConfig(crop_hr=8, step_hr=8))
+    # plan time: the shrink is live (it must be — the action reads it)
+    assert spark.conf.get(key) == str(ARROW_VOLUME_BATCH)
+    write_dataset(patches, str(tmp_path / "ds"))
+    # action done: the session is back at its default
+    assert spark.conf.get(key, None) == default
+
+    # the bench_imaging form: explicit scope around plan + collect
+    with volume_batch_scope(spark):
+        out = run_pipeline(spark, vols, PipelineConfig(crop_hr=8, step_hr=8))
+        assert spark.conf.get(key) == str(ARROW_VOLUME_BATCH)
+        assert out.count() > 0
+    assert spark.conf.get(key, None) == default
+
+
+def test_volume_batch_scope_nesting_keeps_outer_guard(spark):
+    """An inner action completing must not strip the shrink from an
+    enclosing scope (depth ref-count), and the outermost exit restores."""
+    from etl_mri_scripts_spark.operators.pipeline import (
+        ARROW_VOLUME_BATCH,
+        volume_batch_scope,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    with volume_batch_scope(spark):  # normalize a possibly pre-shrunk session
+        pass
+    default = spark.conf.get(key, None)
+    with volume_batch_scope(spark):
+        with volume_batch_scope(spark):
+            assert spark.conf.get(key) == str(ARROW_VOLUME_BATCH)
+        # inner exit: guard still live for the outer scope's action
+        assert spark.conf.get(key) == str(ARROW_VOLUME_BATCH)
+    assert spark.conf.get(key, None) == default

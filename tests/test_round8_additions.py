@@ -1,0 +1,279 @@
+"""Round-8 additions (r7 verdict demands + ADVICE):
+
+- per-query bench drift gate (demand #2): pin each query's normalized
+  median AND spread; bench.query_verdicts machine-adjudicates
+  ok / noise-band / regressed instead of eyeballing sub-second drift.
+- partial-run annotation (ADVICE): normalized totals from a run with
+  errored queries are marked partial so they can't be hand-compared
+  against full-coverage pins.
+- imaging drift gate asymmetry (ADVICE): a metric the PIN carries but the
+  observed run reports as 0/missing is a broken measurement -> ok=False;
+  only a missing PIN side stays indeterminate.
+- pylmdb readonly WAL visibility (ADVICE): a readonly open after a crash
+  serves committed-but-unmerged WAL entries (replayed into the in-memory
+  index only — the file is never truncated or deleted by a reader).
+- semantic-dedup NaN ordering (ADVICE): a zero-norm embedding's NaN
+  cosine counts as a duplicate, matching Spark/DuckDB NaN-high
+  comparison semantics (numpy IEEE comparisons would keep the pair).
+
+No Spark session needed — pure-Python kernel/stat/format work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import bench
+from bench_imaging import _drift_gate
+from etl_mri_scripts_spark.sources import pylmdb
+
+
+# ------------------------- per-query drift gate -------------------------
+
+
+def test_query_verdict_bands():
+    pins = {
+        "small": {"median": 0.25, "spread": 0.05},
+        "heavy": {"median": 3.0, "spread": 0.3},
+    }
+    # within pin median+spread -> ok
+    assert bench.query_verdicts({"small": 0.30, "heavy": 3.3}, pins) == {
+        "small": "ok",
+        "heavy": "ok",
+    }
+    # sub-second 2x excursion sits inside the ABSOLUTE noise floor
+    # (0.30 + max(0.125, 0.35) = 0.65) — the r7 eyeball case, now machine
+    v = bench.query_verdicts({"small": 0.55}, pins)
+    assert v == {"small": "noise-band"}
+    # a heavy query 2x out is far past 1.5x+0.35s -> regressed
+    assert bench.query_verdicts({"heavy": 6.2}, pins) == {"heavy": "regressed"}
+    # heavy noise-band edge: bound 3.3 + max(1.5, 0.35) = 4.8
+    assert bench.query_verdicts({"heavy": 4.8}, pins) == {"heavy": "noise-band"}
+    assert bench.query_verdicts({"heavy": 4.81}, pins) == {"heavy": "regressed"}
+
+
+def test_query_verdict_no_pin_is_loud_not_ok():
+    """A query added to HEADLINE after the pin must surface as no-pin,
+    never silently pass."""
+    assert bench.query_verdicts({"newq": 1.0}, {}) == {"newq": "no-pin"}
+    assert bench.query_verdicts({"newq": 1.0}, {"newq": {}}) == {"newq": "no-pin"}
+
+
+def test_positional_normalize_queries_sums_to_total():
+    """The per-query normalization and the total are the same statistic:
+    sum(per-query) == positional_normalize for any probe shape."""
+    order = [f"q{i}" for i in range(7)]
+    times = {n: 0.4 + 0.1 * i for i, n in enumerate(order)}
+    probes = [0.9, 0.55, 0.6]  # non-monotone, like real runs
+    pin = 0.58
+    per_q = bench.positional_normalize_queries(times, order, probes, pin)
+    total = bench.positional_normalize(times, order, probes, pin)
+    assert per_q is not None and total is not None
+    assert total == pytest.approx(sum(per_q.values()), abs=1e-3)
+    # missing probe -> both indeterminate, never a partial answer
+    assert bench.positional_normalize_queries(times, order, [0.9, None, 0.6], pin) is None
+
+
+# --------------------- imaging drift gate asymmetry ---------------------
+
+
+def _write_pin(tmp_path, mode_file, body):
+    with open(tmp_path / mode_file, "w") as f:
+        json.dump(body, f)
+
+
+def test_drift_gate_zero_observed_rate_fails(tmp_path):
+    """Pin carries the metric, observed run reports 0/missing -> that IS
+    evidence (broken measurement), ok must be False, not None."""
+    _write_pin(tmp_path, "BENCH_IMAGING_SELF_BASELINE.json",
+               {"patches_per_sec": 400.0, "payload_mb_per_sec": 11.0})
+    for broken in ({"patches_per_sec": 0, "payload_mb_per_sec": 10.0},
+                   {"payload_mb_per_sec": 10.0}):
+        gate = _drift_gate("uniform", broken, pin_dir=str(tmp_path))
+        assert gate["ok"] is False
+        assert "patches_per_sec" in gate["note"]
+    # healthy run still passes
+    gate = _drift_gate("uniform",
+                       {"patches_per_sec": 380.0, "payload_mb_per_sec": 10.5},
+                       pin_dir=str(tmp_path))
+    assert gate["ok"] is True
+
+
+def test_drift_gate_missing_pin_side_stays_indeterminate(tmp_path):
+    """The 'absent number is not evidence' rule still holds for the PIN
+    side: no pin file, or a pin without the rate fields, is ok=None."""
+    gate = _drift_gate("uniform", {"patches_per_sec": 400.0}, pin_dir=str(tmp_path))
+    assert gate["ok"] is None
+    _write_pin(tmp_path, "BENCH_IMAGING_SELF_BASELINE.json", {"wall_sec": 30.0})
+    gate = _drift_gate("uniform", {"patches_per_sec": 400.0}, pin_dir=str(tmp_path))
+    assert gate["ok"] is None
+    assert "no comparable" in gate["note"]
+
+
+# --------------------- pylmdb readonly WAL visibility --------------------
+
+
+def test_readonly_open_serves_unmerged_wal(tmp_path):
+    """Crash after commit, then a READONLY open: committed entries must be
+    visible (the durability promise applies to readers too), and the
+    reader must not write — the WAL stays byte-identical on disk."""
+    path = str(tmp_path / "s")
+    env = pylmdb.open(path, map_size=8 * 1024 * 1024)
+    with env.begin(write=True) as txn:
+        txn.put(b"base", b"v0")
+    env.close()
+    env = pylmdb.open(path, map_size=8 * 1024 * 1024)
+    with env.begin(write=True) as txn:
+        txn.put(b"committed-after", b"v1")
+    wal = env.walfile
+    wal_bytes = open(wal, "rb").read()
+    del env  # crash: no close()
+
+    ro = pylmdb.open(path, map_size=8 * 1024 * 1024, readonly=True)
+    with ro.begin() as txn:
+        assert txn.get(b"base") == b"v0"  # merged store still served
+        assert txn.get(b"committed-after") == b"v1"  # WAL entry served
+    ro.close()
+    # the reader performed no repair: WAL untouched, still present
+    assert open(wal, "rb").read() == wal_bytes
+
+
+def test_readonly_open_does_not_truncate_torn_tail(tmp_path):
+    """A torn tail frame is indexed-around by a readonly open but the
+    repair (truncate) is left to the next WRITE open."""
+    path = str(tmp_path / "s")
+    env = pylmdb.open(path, map_size=8 * 1024 * 1024)
+    with env.begin(write=True) as txn:
+        txn.put(b"good", b"val")
+    del env  # crash
+    wal = os.path.join(path, "data.mdb-wal")
+    with open(wal, "ab") as f:
+        f.write(b"\x03\x00\x00\x00")  # half a header: torn mid-write
+    size_before = os.path.getsize(wal)
+
+    ro = pylmdb.open(path, map_size=8 * 1024 * 1024, readonly=True)
+    with ro.begin() as txn:
+        assert txn.get(b"good") == b"val"
+    ro.close()
+    assert os.path.getsize(wal) == size_before  # no write from a reader
+
+    env2 = pylmdb.open(path, map_size=8 * 1024 * 1024)  # write open repairs
+    assert os.path.getsize(wal) < size_before
+    with env2.begin() as txn:
+        assert txn.get(b"good") == b"val"
+    env2.close()
+
+
+# --------------------- semantic-dedup NaN ordering -----------------------
+
+
+def test_sem_dedup_kernel_nan_cosine_is_duplicate():
+    """Zero-norm embedding -> cos = 0/0 = NaN. Spark and DuckDB order NaN
+    above every number, so such a pair crosses any threshold and the
+    larger id must be dropped with dup_of = smaller id. numpy's IEEE
+    comparisons would silently keep it — the kernel folds NaN in
+    explicitly (r7 ADVICE)."""
+    from etl_mri_scripts_spark.queries.similarity import _sem_dedup_cluster_np
+
+    e_zero = [0.0, 0.0, 0.0]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3],
+            "cid": [0, 0, 0],
+            "e": [e_zero, e_zero, [1.0, 0.0, 0.0]],
+            "nrm": [0.0, 0.0, 1.0],
+        }
+    )
+    out = _sem_dedup_cluster_np(pdf).set_index("vec_id")
+    # zero-norm pair (1,2): NaN cosine -> 2 is a duplicate of 1
+    assert bool(out.loc[1, "kept"]) is True
+    assert bool(out.loc[2, "kept"]) is False and out.loc[2, "dup_of"] == 1
+    # vec 3 vs zero-norm vecs also yields NaN (0/0 via nrm product 0):
+    # NaN-high ordering drops it onto the smallest zero-norm id too
+    assert bool(out.loc[3, "kept"]) is False and out.loc[3, "dup_of"] == 1
+
+
+def test_sem_dedup_kernel_finite_path_unchanged():
+    """The NaN fold must not disturb finite arithmetic: orthogonal vectors
+    stay kept, near-identical ones still dedup."""
+    from etl_mri_scripts_spark.queries.similarity import _sem_dedup_cluster_np
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [10, 11, 12],
+            "cid": [0, 0, 0],
+            "e": [[1.0, 0.0], [1.0, 1e-9], [0.0, 1.0]],
+            "nrm": [1.0, float(np.hypot(1.0, 1e-9)), 1.0],
+        }
+    )
+    out = _sem_dedup_cluster_np(pdf).set_index("vec_id")
+    assert bool(out.loc[10, "kept"]) is True
+    assert bool(out.loc[11, "kept"]) is False and out.loc[11, "dup_of"] == 10
+    assert bool(out.loc[12, "kept"]) is True
+
+
+# ------------------- pylmdb WAL soak + size accounting -------------------
+
+
+def test_wal_soak_close_merge_streams_50k_entries(tmp_path):
+    """Scale-shaped WAL lifecycle test (r7 verdict demand #4): a store big
+    enough that close-time merge must STREAM (50k entries, ~100 MB of
+    values) — peak Python allocation during the whole write+close cycle
+    stays O(commit batch + key index), nowhere near O(store); and the WAL
+    is deleted after a clean close.
+
+    tracemalloc, not RSS: the regression this guards against is close()
+    (or commit()) buffering VALUE bytes in Python lists/dicts — exactly
+    what tracemalloc counts — while mmap pages and file-system cache
+    (which RSS would conflate) are irrelevant to the O(batch + index)
+    contract."""
+    import tracemalloc
+
+    N, VAL, BATCH = 50_000, 2000, 500  # ~100 MB of values, 1 MB per batch
+    path = str(tmp_path / "soak")
+    env = pylmdb.open(path, map_size=512 * 1024 * 1024)
+
+    tracemalloc.start()
+    txn = env.begin(write=True)
+    for i in range(N):
+        txn.put(b"k%07d" % i, (b"%07d" % i) * (VAL // 7))
+        if (i + 1) % BATCH == 0:
+            txn.commit()
+            txn = env.begin(write=True)
+    txn.commit()
+    _cur, peak_commit = tracemalloc.get_traced_memory()
+    tracemalloc.reset_peak()
+    env.close()
+    _cur, peak_close = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+
+    store_bytes = N * VAL  # ~100 MB
+    # O(batch + index) ceiling: 50k keys x (bytes key + (off,len) tuple)
+    # is ~8-10 MB of Python objects; a single 1 MB staged batch on top.
+    # O(store) buffering would trace >= 100 MB — 25 MB splits the two
+    # regimes with >4x margin on either side.
+    ceiling = 25 * 1024 * 1024
+    assert peak_commit < ceiling, (
+        f"commit path traced {peak_commit / 1e6:.0f} MB peak for a "
+        f"{store_bytes / 1e6:.0f} MB store — values are being buffered"
+    )
+    assert peak_close < ceiling, (
+        f"close-time merge traced {peak_close / 1e6:.0f} MB peak for a "
+        f"{store_bytes / 1e6:.0f} MB store — the merge is not streaming"
+    )
+
+    # disk lifecycle: WAL gone after a clean close, store complete
+    assert not os.path.exists(os.path.join(path, "data.mdb-wal"))
+    assert os.path.getsize(os.path.join(path, "data.mdb")) > store_bytes
+
+    ro = pylmdb.open(path, map_size=512 * 1024 * 1024, readonly=True)
+    with ro.begin() as txn:
+        assert txn.get(b"k0000000") == b"0000000" * (VAL // 7)
+        assert txn.get(b"k0049999") == b"0049999" * (VAL // 7)
+        assert txn.get(b"k0050000") is None
+    ro.close()

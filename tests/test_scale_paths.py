@@ -153,30 +153,117 @@ def _count_single_partition_windows(plan_tree: str) -> int:
     return hits
 
 
+# Single-partition-window whitelist (r8, verdict demand #3: every entry
+# must be SELF-JUSTIFYING — a row-bound measurement, not a comment a
+# reviewer has to take on faith). Each entry maps to
+#   (bound, measure(spark, sf_dir) -> int, grain)
+# where `measure` computes the cardinality of the frame the global window
+# actually runs over (NOT the query output — e.g. chi2 emits 1 row but
+# windows over the R x C cell table; importance_weights emits per-doc rows
+# but windows over the 256-bucket histogram), and `grain` states why that
+# cardinality is fixed by the SCHEMA/generator grain rather than the data
+# volume — the scale argument that makes a single partition safe at 100 TB.
+def _months(spark, sf_dir):
+    from etl_mri_scripts_spark.tables import table
+
+    return (
+        table(spark, sf_dir, "orders")
+        .select(F.date_trunc("month", "o_orderdate"))
+        .distinct()
+        .count()
+    )
+
+
+def _sources(spark, sf_dir):
+    from etl_mri_scripts_spark.tables import table
+
+    return table(spark, sf_dir, "documents").select("source").distinct().count()
+
+
+def _crosstab_cells(spark, sf_dir):
+    from etl_mri_scripts_spark.tables import table
+
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderstatus")
+        .distinct()
+        .count()
+    )
+
+
+def _nations(spark, sf_dir):
+    from etl_mri_scripts_spark.tables import table
+
+    return table(spark, sf_dir, "nation").count()
+
+
+def _feat_buckets(spark, sf_dir):
+    # substr(md5(word), 1, 2): 2 hex chars -> at most 256 values by
+    # construction, independent of corpus size. Assert the algebraic
+    # ceiling AND the constant the query builds its Laplace smoothing on.
+    from etl_mri_scripts_spark.queries.curation import N_FEAT_BUCKETS
+
+    assert N_FEAT_BUCKETS == 16 ** 2
+    return N_FEAT_BUCKETS
+
+
+ALLOWED_SP_WINDOW_BOUNDS = {
+    "nation_revenue_share": (
+        25, _nations, "per-nation aggregate; nation is a 25-row dimension"
+    ),
+    "orders_monthly_growth": (
+        120, _months, "month grain; bounded by the generator's ~7y calendar "
+        "span (~84 months), grows with time coverage, never with volume",
+    ),
+    "orders_crosstab_chi2": (
+        25, _crosstab_cells, "R x C cells: order priorities (5) x statuses "
+        "(3) — both enumerated domains",
+    ),
+    "corpus_temperature_mix": (
+        64, _sources, "per-source aggregate; source is the generator's "
+        "fixed source vocabulary",
+    ),
+    "corpus_epochs_budget": (
+        64, _sources, "same per-source aggregate frame",
+    ),
+    "corpus_importance_weights": (
+        256, _feat_buckets, "md5-prefix hashed-unigram histogram: 2 hex "
+        "chars = 256 buckets by construction",
+    ),
+}
+
+
 def test_no_query_plans_a_single_partition_window(spark, sf_dir):
     # Fleet-wide plan hygiene, the window counterpart of the nested-loop
     # policy: no registered query may plan an unpartitioned WindowExec
     # over a data-volume-dependent relation. Global ranks/cumsums go
     # through the two-phase offset scheme (operators/rank.py); the
-    # whitelist below is windows over BOUNDED post-aggregation frames
-    # whose cardinality is fixed by the schema grain, not the data.
+    # whitelist (ALLOWED_SP_WINDOW_BOUNDS) is windows over BOUNDED
+    # post-aggregation frames, each entry carrying its own row-bound
+    # measurement (asserted in the companion test below).
     from etl_mri_scripts_spark.queries import QUERIES
 
-    allowed_bounded = {
-        "nation_revenue_share",  # 25-row per-nation aggregate
-        "orders_monthly_growth",  # month-grain series (~80 rows)
-        "orders_crosstab_chi2",  # R x C crosstab cells (<= ~15 rows)
-        "corpus_temperature_mix",  # per-source aggregate (~20 rows)
-        "corpus_epochs_budget",  # same per-source aggregate frame
-        "corpus_importance_weights",  # 256-bucket hashed-unigram histogram
-    }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
         tree = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         n = _count_single_partition_windows(tree)
-        if n and name not in allowed_bounded:
+        if n and name not in ALLOWED_SP_WINDOW_BOUNDS:
             offenders[name] = n
     assert not offenders, f"single-partition windows: {offenders}"
+
+
+def test_whitelisted_single_partition_windows_are_bounded(spark, sf_dir):
+    # The whitelist's teeth: measure each whitelisted query's window-input
+    # frame and assert it respects the declared bound. A whitelist entry
+    # whose frame has become data-volume-dependent (a refactor moved the
+    # window below the aggregate, the dimension grew unbounded) fails here
+    # instead of silently riding the allowlist.
+    for name, (bound, measure, grain) in ALLOWED_SP_WINDOW_BOUNDS.items():
+        n = measure(spark, sf_dir)
+        assert n <= bound, (
+            f"{name}: window frame is {n} rows, declared bound {bound} "
+            f"({grain}) — rewrite through operators/rank.py or re-adjudicate"
+        )
 
 
 def test_profile_summary_avoids_multi_distinct_expand(spark, sf_dir):
