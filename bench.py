@@ -190,6 +190,33 @@ NOISE_REL_BAND = 0.5
 NOISE_ABS_FLOOR_S = 0.35
 
 
+def validate_query_pins(
+    base: dict, headline: list[str]
+) -> tuple[dict | None, str | None]:
+    """Extract the per-query drift-gate pins from a loaded baseline,
+    refusing pins the live run can't be compared against. Returns
+    ``(query_pins, invalid_reason)`` — exactly one is non-None.
+
+    Positional normalization interpolates host speed by SWEEP SLOT, so
+    per-query pins are only comparable when the live HEADLINE order
+    matches the order the pin ran under: one insertion shifts every later
+    query's noise factor and its pinned median silently. A pin without a
+    recorded headline (pre-r8) or with a different one degrades to no-pin
+    verdicts rather than mis-adjudicating (r8 review)."""
+    query_pins = base.get("query_pins")
+    if not query_pins:
+        return None, (
+            "pin has no query_pins (pre-r8 pin); re-pin with "
+            "pin_bench_baseline.py"
+        )
+    if base.get("headline") != list(headline):
+        return None, (
+            "pin headline order differs from live HEADLINE; re-pin with "
+            "pin_bench_baseline.py"
+        )
+    return query_pins, None
+
+
 def query_verdicts(
     normalized: dict[str, float], query_pins: dict[str, dict]
 ) -> dict[str, str]:
@@ -231,21 +258,19 @@ def main() -> None:
     # Arrow batch size at plan time (operators/pipeline.py volume-batch
     # guard) and the bench's noop write IS its terminal action — without
     # a restore here every later pandas-UDF query in the sweep would run
-    # with 16-row Arrow batches. Snapshot/restore sits OUTSIDE the timed
-    # region, so per-query times are unaffected.
-    _ARROW_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    # with 16-row Arrow batches. arrow_batch_restore is the shared guard
+    # (one implementation, not three hand-rolled copies) and restores in
+    # a finally: a query that RAISES after shrinking must not leak the
+    # shrink into every later query of the sweep (r8 review). The
+    # snapshot/restore sits OUTSIDE the timed region, so per-query times
+    # are unaffected.
+    from etl_mri_scripts_spark.operators.pipeline import arrow_batch_restore
 
     def run(name: str) -> float:
-        arrow_prev = spark.conf.get(_ARROW_KEY, None)
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        if spark.conf.get(_ARROW_KEY, None) != arrow_prev:
-            if arrow_prev is None:
-                spark.conf.unset(_ARROW_KEY)
-            else:
-                spark.conf.set(_ARROW_KEY, arrow_prev)
-        return dt
+        with arrow_batch_restore(spark):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
 
     # warmup: touch every table + codegen paths once — INCLUDING one
     # unrecorded sentinel run. Without it the first noise probe carries
@@ -315,6 +340,7 @@ def main() -> None:
     median_run_pin = None
     median_norm_pin = None
     query_pins = None
+    query_pins_invalid = None
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_SELF_BASELINE.json")) as f:
@@ -322,9 +348,7 @@ def main() -> None:
         # The pin only calibrates runs at the baseline's own scale factor.
         if base.get("sf") == sf:
             sentinel_pin = base.get("sentinel_probe_pin")
-            # Per-query normalized median+spread for the drift gate (r8);
-            # absent in pre-r8 pins -> verdicts report no-pin.
-            query_pins = base.get("query_pins")
+            query_pins, query_pins_invalid = validate_query_pins(base, HEADLINE)
             # Statistic-matched target for the NORMALIZED total: the pin
             # runs' median total. The headline `value` is the elementwise
             # best of the pin runs — unattainable in any single run — so
@@ -399,13 +423,21 @@ def main() -> None:
             # Per-query drift gate (r8): machine verdicts against the
             # pinned per-query median+spread. `regressed` names surface
             # top-level so a reviewer (and the judge) can't miss them.
-            if query_pins:
-                verdicts = query_verdicts(per_q_norm, query_pins)
-                out["queries_normalized"] = per_q_norm
-                out["query_verdicts"] = verdicts
-                out["regressed_queries"] = sorted(
-                    n for n, v in verdicts.items() if v == "regressed"
-                )
+            # The verdict keys are emitted EVEN when the gate can't run
+            # (pre-r8 pin, headline-order mismatch): every verdict reads
+            # `no-pin` and query_gate says why — a silently absent gate
+            # would let "no regressed_queries key" be misread as "no
+            # regressions" (r8 review).
+            verdicts = query_verdicts(per_q_norm, query_pins or {})
+            out["queries_normalized"] = per_q_norm
+            out["query_verdicts"] = verdicts
+            out["regressed_queries"] = sorted(
+                n for n, v in verdicts.items() if v == "regressed"
+            )
+            if query_pins_invalid:
+                out["query_gate"] = f"inactive: {query_pins_invalid}"
+            else:
+                out["query_gate"] = "active"
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

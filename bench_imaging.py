@@ -151,14 +151,23 @@ def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
         return {"pin_file": PIN_FILES[mode], "pinned": None, "ok": None,
                 "note": "no pin recorded for this mode yet"}
     ratios = {}
-    broken = []  # pinned metrics whose observed value is 0/missing
+    broken_run = []  # pinned metrics whose observed value is 0/missing
+    broken_pin = []  # metrics the pin carries as 0 — a pin from a broken run
     for m in DRIFT_GATE_METRICS:
-        if not pin.get(m):
-            continue  # pin side absent -> not comparable (indeterminate)
+        pv = pin.get(m)
+        if pv is None:
+            continue  # pin never recorded this rate -> not comparable
+        if not pv:
+            # A pinned rate of 0/0.0 is the same class of broken
+            # measurement the observed side fails loudly on — an
+            # indeterminate skip here would hide the broken pin forever
+            # and let ok=True ride on the remaining metric (r8 review).
+            broken_pin.append(m)
+            continue
         if result.get(m):
-            ratios[m] = round(pin[m] / result[m], 3)
+            ratios[m] = round(pv / result[m], 3)
         else:
-            broken.append(m)
+            broken_run.append(m)
     out = {
         "pin_file": PIN_FILES[mode],
         "pinned": {m: pin.get(m) for m in DRIFT_GATE_METRICS},
@@ -166,14 +175,22 @@ def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
         "max_allowed": DRIFT_GATE_MAX,
         "ok": (
             False
-            if broken
+            if broken_run or broken_pin
             else all(r <= DRIFT_GATE_MAX for r in ratios.values()) if ratios else None
         ),
     }
-    if broken:
-        out["note"] = (
-            f"pinned metric(s) {broken} observed as 0/missing — broken run"
+    notes = []
+    if broken_run:
+        notes.append(
+            f"pinned metric(s) {broken_run} observed as 0/missing — broken run"
         )
+    if broken_pin:
+        notes.append(
+            f"pin carries metric(s) {broken_pin} as 0 — broken pin, re-pin "
+            "with pin_imaging_baseline.py"
+        )
+    if notes:
+        out["note"] = "; ".join(notes)
     elif not ratios:
         out["note"] = "pin exists but has no comparable rate fields"
     return out

@@ -65,11 +65,10 @@ def main() -> int:
         )
 
     # The imaging query shrinks the Arrow batch size at plan time (volume
-    # row-size guard); restore after each query's action completes so the
-    # rest of the sweep runs with the session default (r8 conf hygiene —
-    # same restore bench.py applies).
-    _ARROW_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
-    arrow_default = spark.conf.get(_ARROW_KEY, None)
+    # row-size guard); arrow_batch_restore (the shared guard bench.py also
+    # uses) puts the session default back once each query's action
+    # completes, so the rest of the sweep never pays 16-row batches.
+    from etl_mri_scripts_spark.operators.pipeline import arrow_batch_restore
 
     results: dict[str, dict] = {}
     n_pass = n_rows_only = n_fail = 0
@@ -77,7 +76,8 @@ def main() -> int:
     for name in names:
         t0 = time.monotonic()
         try:
-            sdf = QUERIES[name](spark, args.sf).toPandas()
+            with arrow_batch_restore(spark):
+                sdf = QUERIES[name](spark, args.sf).toPandas()
             if name in ORACLES:
                 odf = duck.execute(ORACLES[name]).df()
                 assert_frames_match(sdf, odf, name)
@@ -103,11 +103,6 @@ def main() -> int:
         # machinery's localCheckpoints are NOT in the CacheManager and are
         # reclaimed by the ContextCleaner on their own.
         spark.catalog.clearCache()
-        if spark.conf.get(_ARROW_KEY, None) != arrow_default:
-            if arrow_default is None:
-                spark.conf.unset(_ARROW_KEY)
-            else:
-                spark.conf.set(_ARROW_KEY, arrow_default)
         results[name] = {"status": status, "sec": round(dt, 2), "err": err}
         print(f"{status:>14}  {dt:6.2f}s  {name}", flush=True)
 

@@ -26,6 +26,7 @@ One DataFrame lineage replaces the reference's three disk round-trips
 from __future__ import annotations
 
 import contextlib
+import weakref
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -557,22 +558,69 @@ ARROW_VOLUME_BATCH = 16
 
 _ARROW_BATCH_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
 
-# Restore bookkeeping for the volume-stage shrink. `prev` is the FIRST
-# pre-shrink value (the session's true prior state): a plan-time shrink in
-# run_pipeline followed by write_dataset's scope must restore the value
-# from BEFORE run_pipeline, not re-capture the already-shrunk 16 as "prev"
-# and keep the contamination. `depth` ref-counts nested scopes so an inner
-# action's completion doesn't strip the guard from an enclosing scope.
-_shrink_state: dict = {"depth": 0, "recorded": False, "prev": None}
+# Restore bookkeeping for the volume-stage shrink, keyed PER SparkSession
+# (runtime conf is per-session state, so the bookkeeping must be too: a
+# process-global dict would let session B's scope exit write session A's
+# captured prev into B's conf, and share depth across sessions). WeakKey
+# so a stopped/collected session drops its entry. Each entry: `prev` is
+# the FIRST pre-shrink value (the session's true prior state): a
+# plan-time shrink in run_pipeline followed by write_dataset's scope must
+# restore the value from BEFORE run_pipeline, not re-capture the
+# already-shrunk 16 as "prev" and keep the contamination. `depth`
+# ref-counts nested scopes/holds so an inner action's completion doesn't
+# strip the guard from an enclosing scope or a live stream.
+_shrink_state: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _shrink_entry(spark: SparkSession) -> dict:
+    st = _shrink_state.get(spark)
+    if st is None:
+        st = {"depth": 0, "recorded": False, "prev": None}
+        _shrink_state[spark] = st
+    return st
 
 
 def _shrink_volume_batch(spark: SparkSession) -> None:
     """Apply the volume-stage Arrow batch cap, remembering the first
     pre-shrink value for a later :func:`volume_batch_scope` restore."""
-    if not _shrink_state["recorded"]:
-        _shrink_state["prev"] = spark.conf.get(_ARROW_BATCH_KEY, None)
-        _shrink_state["recorded"] = True
+    st = _shrink_entry(spark)
+    if not st["recorded"]:
+        st["prev"] = spark.conf.get(_ARROW_BATCH_KEY, None)
+        st["recorded"] = True
     spark.conf.set(_ARROW_BATCH_KEY, str(ARROW_VOLUME_BATCH))
+
+
+def hold_volume_batch(spark: SparkSession):
+    """Take a ref-counted hold on the volume-stage Arrow shrink and return
+    an idempotent ``release()`` callable. ``volume_batch_scope`` is this
+    plus a with-block; the streaming ingest uses the callable form because
+    its "action" (a StreamingQuery) outlives the function that starts it —
+    the hold keeps a concurrent batch scope's exit from restoring the
+    default Arrow batch size under a stream that still depends on the
+    shrink (its micro-batches read the conf at execution time)."""
+    _shrink_volume_batch(spark)
+    st = _shrink_entry(spark)
+    st["depth"] += 1
+    released = False
+
+    def release() -> None:
+        nonlocal released
+        if released:  # listener + finally may both fire; restore once
+            return
+        released = True
+        st["depth"] -= 1
+        if st["depth"] == 0 and st["recorded"]:
+            prev = st["prev"]
+            st["recorded"] = False
+            st["prev"] = None
+            if prev is None:
+                spark.conf.unset(_ARROW_BATCH_KEY)
+            else:
+                spark.conf.set(_ARROW_BATCH_KEY, prev)
+
+    return release
 
 
 @contextlib.contextmanager
@@ -589,16 +637,28 @@ def volume_batch_scope(spark: SparkSession):
     (write_dataset, overwrite_partitions, bench_imaging, the CLI jobs)
     all run inside this scope; DIY consumers of run_pipeline's lazy frame
     should wrap their own terminal action the same way."""
-    _shrink_volume_batch(spark)
-    _shrink_state["depth"] += 1
+    release = hold_volume_batch(spark)
     try:
         yield
     finally:
-        _shrink_state["depth"] -= 1
-        if _shrink_state["depth"] == 0 and _shrink_state["recorded"]:
-            prev = _shrink_state["prev"]
-            _shrink_state["recorded"] = False
-            _shrink_state["prev"] = None
+        release()
+
+
+@contextlib.contextmanager
+def arrow_batch_restore(spark: SparkSession):
+    """Snapshot ``maxRecordsPerBatch`` and put it back afterwards — the
+    sweep-hygiene guard for harnesses (bench.py, check_window.py) that run
+    arbitrary queries back to back: an imaging query shrinks the conf at
+    plan time and its terminal action may be the harness's own (a noop
+    write), so without this every later pandas-UDF query in the sweep
+    would inherit 16-row Arrow batches. One shared implementation instead
+    of three hand-rolled copies (r8 review). Restores even when the query
+    raises; a raising query must not leak the shrink into the next one."""
+    prev = spark.conf.get(_ARROW_BATCH_KEY, None)
+    try:
+        yield
+    finally:
+        if spark.conf.get(_ARROW_BATCH_KEY, None) != prev:
             if prev is None:
                 spark.conf.unset(_ARROW_BATCH_KEY)
             else:

@@ -1137,10 +1137,11 @@ def _sem_dedup_cluster_np(pdf):
     by, and the ``F.round(cos, 6) >= SEM_TAU`` filter is reproduced
     exactly: values outside the ±2e-6 band around SEM_TAU cannot change
     side under 6-dp rounding, and the handful inside the band go through
-    the engine's scalar ``_round6`` (Spark F.round semantics). A NaN
-    cosine (zero-norm embedding, 0/0) is ordered GREATER than the
-    threshold, matching Spark/DuckDB NaN-high comparison semantics —
-    numpy's IEEE comparisons would otherwise diverge by keeping the pair.
+    the engine's scalar ``_round6`` (Spark F.round semantics). A
+    zero-norm embedding's cosine is 0/0 — NULL in Spark's non-ANSI
+    Divide and in DuckDB (verified 1.0.0), so the comparison is NULL and
+    the pair is NOT a duplicate in either engine; numpy's NaN (False in
+    every comparison) reproduces that keep-the-vector outcome natively.
 
     Memory is bounded: the pairwise matrix is computed in column BLOCKS
     of 4096, so a task holds O(n_cluster x 4096) doubles, never
@@ -1168,13 +1169,16 @@ def _sem_dedup_cluster_np(pdf):
             dot += E[:, j, None] * Eb[None, :, j]
         with np.errstate(invalid="ignore", divide="ignore"):  # NaN intended
             cos = dot / (nrm[:, None] * nb[None, :])
-        # NaN ordering: a zero-norm embedding yields cos = 0/0 = NaN, and
-        # BOTH comparison semantics this kernel must reproduce — Spark's
-        # and DuckDB's — order NaN greater than every number, so the pair
-        # counts as a duplicate there. numpy comparisons are IEEE (NaN is
-        # False everywhere), which would silently KEEP such a pair, so NaN
-        # is folded into `passed` explicitly.
-        passed = (cos >= hi) | np.isnan(cos)
+        # Zero-norm embeddings: cos = 0/0 is NaN here, but NULL in both
+        # engines this kernel must match — Spark's non-ANSI Divide and
+        # DuckDB's `/` each return NULL on a zero divisor (verified on
+        # DuckDB 1.0.0: `SELECT (0.0/0.0) >= 0.4` -> NULL), and
+        # NULL >= tau is NULL, which the oracle's WHERE drops — so a
+        # zero-norm pair is NOT a duplicate and the vector is KEPT.
+        # numpy's IEEE comparisons (NaN is False everywhere) reproduce
+        # exactly that, so NaN needs no special handling. (Engine NaN-HIGH
+        # ordering never enters: the division produces NULL, not NaN.)
+        passed = cos >= hi
         band = (cos >= lo) & ~passed
         for a_i, b_i in np.argwhere(band):
             passed[a_i, b_i] = _round6(float(cos[a_i, b_i])) >= SEM_TAU

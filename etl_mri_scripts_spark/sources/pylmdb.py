@@ -441,6 +441,14 @@ class Environment:
                 # not perform (r7 ADVICE: the old behavior silently served
                 # the previous close's tree, missing committed entries).
                 self._replay_wal(truncate=False)
+                # Open the get() read handle NOW, not lazily: a concurrent
+                # write open may replay, merge and unlink this WAL at any
+                # moment, and a held fd keeps the indexed bytes readable
+                # past the unlink (POSIX) — a lazy first-get open would
+                # FileNotFoundError instead of serving the committed
+                # entries this reader already indexed (r8 review).
+                if self._index:
+                    self._wal_read = builtins.open(self.walfile, "rb")
             else:
                 # crash recovery: replay every intact frame so close()
                 # merges them (truncating any torn tail frame)

@@ -215,7 +215,7 @@ def run_incremental_pipeline(
                 "the sink directory and checkpoint before resuming."
             )
     from ..operators.pipeline import (
-        _shrink_volume_batch,
+        hold_volume_batch,
         PipelineConfig,
         assign_split,
         degrade_and_patch,
@@ -227,10 +227,13 @@ def run_incremental_pipeline(
     # Same row-size guard as run_pipeline: volume rows are huge, and
     # without this the Arrow default (10k records/batch) would
     # materialize a whole micro-batch of volumes in one pandas batch.
-    # A stream holds the shrink for its lifetime (no action-time restore),
-    # but routing through _shrink_volume_batch records the pre-shrink
-    # value so a later volume_batch_scope exit restores the true default.
-    _shrink_volume_batch(spark)
+    # The stream depends on the shrink for its LIFETIME (micro-batches
+    # read the conf at execution), and start() returns immediately, so
+    # the guard is a ref-counted HOLD, not a with-block: a concurrent
+    # batch imaging job's volume_batch_scope exit cannot restore the
+    # default while this hold is live (r8 review). The hold is released
+    # by a StreamingQueryListener when THIS query terminates.
+    release = hold_volume_batch(spark)
     stream = spark.readStream.schema(VOLUME_SCHEMA).parquet(volumes_in_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -249,12 +252,51 @@ def run_incremental_pipeline(
             .parquet(out_dir)
         )
 
-    return (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    try:
+        query = (
+            stream.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    except Exception:
+        release()
+        raise
+    _release_hold_on_termination(spark, query, release)
+    return query
+
+
+def _release_hold_on_termination(spark: SparkSession, query, release) -> None:
+    """Release an Arrow-shrink hold when ``query`` terminates. release()
+    is idempotent, so the isActive re-check after registration (the query
+    may finish BEFORE the listener lands — availableNow drains fast) can
+    double-fire with the listener without double-restoring."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    qid = str(query.id)
+
+    class _ReleaseListener(StreamingQueryListener):
+        def onQueryStarted(self, event):  # noqa: D102
+            pass
+
+        def onQueryProgress(self, event):  # noqa: D102
+            pass
+
+        def onQueryIdle(self, event):  # noqa: D102
+            pass
+
+        def onQueryTerminated(self, event):  # noqa: D102
+            if str(event.id) != qid:
+                return
+            release()
+            try:  # stale listeners are harmless no-ops; removal is tidy-up
+                spark.streams.removeListener(self)
+            except Exception:  # noqa: BLE001 — never break the listener bus
+                pass
+
+    spark.streams.addListener(_ReleaseListener())
+    if not query.isActive:  # terminated before the listener registered
+        release()
 
 
 def interval_join_stream(

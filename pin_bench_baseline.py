@@ -53,7 +53,7 @@ def main() -> int:
     args = ap.parse_args()
 
     sys.path.insert(0, HERE)
-    from bench import HEADLINE, positional_normalize, positional_normalize_queries
+    from bench import HEADLINE, positional_normalize_queries
 
     runs: list[dict] = []
     for i in range(args.runs):
@@ -90,29 +90,25 @@ def main() -> int:
         for r in runs
     ]
     sentinel_pin = round(median(probe_medians), 4)
-    normalized_totals = [
-        positional_normalize(
-            r["queries"], HEADLINE, r["noise"]["probes_start_mid_end"], sentinel_pin
-        )
-        for r in runs
-    ]
-    if any(v is None for v in normalized_totals):
-        print("a run lacked probes; cannot pin the normalized statistic", file=sys.stderr)
-        return 1
-
     # Per-query pins for bench.py's drift gate (r8, verdict demand #2):
     # for each query, the median AND spread (max - min) of its
     # positionally-normalized time across the pin runs — the exact
     # statistic a live run's queries_normalized reports, so the gate
     # compares like with like. Spread is same-session; bench.py adds the
     # documented cross-day noise slack on top (NOISE_REL_BAND /
-    # NOISE_ABS_FLOOR_S).
+    # NOISE_ABS_FLOOR_S). The normalized TOTALS are just these dicts
+    # summed (bench.positional_normalize is that sum), so one pass
+    # computes both statistics.
     runs_normalized_queries = [
         positional_normalize_queries(
             r["queries"], HEADLINE, r["noise"]["probes_start_mid_end"], sentinel_pin
         )
         for r in runs
     ]
+    if any(rq is None for rq in runs_normalized_queries):
+        print("a run lacked probes; cannot pin the normalized statistic", file=sys.stderr)
+        return 1
+    normalized_totals = [round(sum(rq.values()), 4) for rq in runs_normalized_queries]
     query_pins = {}
     for n in names:
         samples = [rq[n] for rq in runs_normalized_queries if rq and n in rq]
@@ -169,6 +165,12 @@ def main() -> int:
         ),
         "history": {**prev_history, "note": args.note},
         "queries": best,
+        # The exact sweep order the pin ran under: positional noise
+        # factors are interpolated by sweep SLOT, so bench.py refuses to
+        # apply query_pins (degrades to no-pin verdicts) when the live
+        # HEADLINE order differs — an insertion/reorder shifts every later
+        # query's factor and its pinned median silently (r8 review).
+        "headline": list(HEADLINE),
         "query_pins": query_pins,
         "query_pins_method": (
             "per query: median and spread (max-min) of its positionally-"

@@ -222,3 +222,62 @@ def test_volume_batch_scope_nesting_keeps_outer_guard(spark):
         # inner exit: guard still live for the outer scope's action
         assert spark.conf.get(key) == str(ARROW_VOLUME_BATCH)
     assert spark.conf.get(key, None) == default
+
+
+def test_hold_keeps_shrink_past_scope_exit(spark):
+    """The streaming-lifetime hold (r8 review): a batch scope entered and
+    exited WHILE a hold is live must not restore the default under the
+    holder — only the final release does. release() is idempotent (the
+    termination listener and the isActive re-check may both fire)."""
+    from etl_mri_scripts_spark.operators.pipeline import (
+        ARROW_VOLUME_BATCH,
+        hold_volume_batch,
+        volume_batch_scope,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    with volume_batch_scope(spark):  # normalize a possibly pre-shrunk session
+        pass
+    default = spark.conf.get(key, None)
+
+    release = hold_volume_batch(spark)  # a stream starts
+    assert spark.conf.get(key) == str(ARROW_VOLUME_BATCH)
+    with volume_batch_scope(spark):  # a concurrent batch imaging job
+        pass
+    # batch job done, but the stream still depends on the shrink
+    assert spark.conf.get(key) == str(ARROW_VOLUME_BATCH)
+    release()  # stream terminated
+    assert spark.conf.get(key, None) == default
+    release()  # listener double-fire: no second restore, no error
+    assert spark.conf.get(key, None) == default
+
+
+def test_shrink_state_is_per_session(spark):
+    """Runtime conf is per-SparkSession, so the restore bookkeeping must
+    be too: a sibling session's scope exit must restore the SIBLING's
+    prior value into the sibling's conf, never leak the parent's state
+    (r8 review: the old process-global dict shared depth/prev across
+    sessions)."""
+    from etl_mri_scripts_spark.operators.pipeline import (
+        ARROW_VOLUME_BATCH,
+        volume_batch_scope,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    with volume_batch_scope(spark):
+        pass
+    default = spark.conf.get(key, None)
+
+    sibling = spark.newSession()
+    try:
+        sibling.conf.set(key, "777")  # sibling's own prior state
+        with volume_batch_scope(spark):  # parent shrinks
+            with volume_batch_scope(sibling):  # sibling shrinks + exits
+                assert sibling.conf.get(key) == str(ARROW_VOLUME_BATCH)
+            # sibling restored to ITS prior value, not the parent's
+            assert sibling.conf.get(key) == "777"
+            # parent's guard untouched by the sibling's exit
+            assert spark.conf.get(key) == str(ARROW_VOLUME_BATCH)
+        assert spark.conf.get(key, None) == default
+    finally:
+        sibling.conf.unset(key)

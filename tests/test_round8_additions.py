@@ -12,9 +12,12 @@
 - pylmdb readonly WAL visibility (ADVICE): a readonly open after a crash
   serves committed-but-unmerged WAL entries (replayed into the in-memory
   index only — the file is never truncated or deleted by a reader).
-- semantic-dedup NaN ordering (ADVICE): a zero-norm embedding's NaN
-  cosine counts as a duplicate, matching Spark/DuckDB NaN-high
-  comparison semantics (numpy IEEE comparisons would keep the pair).
+- semantic-dedup zero-norm semantics (ADVICE + r8 review): a zero-norm
+  embedding's cosine is 0/0 = NULL in Spark AND DuckDB (not NaN — the
+  division short-circuits before any NaN ordering applies), the
+  comparison is NULL, and the pair is dropped by WHERE: the vector is
+  KEPT. numpy's IEEE NaN comparisons reproduce that natively; a DuckDB
+  pin test guards the engine claim.
 
 No Spark session needed — pure-Python kernel/stat/format work.
 """
@@ -62,6 +65,29 @@ def test_query_verdict_no_pin_is_loud_not_ok():
     never silently pass."""
     assert bench.query_verdicts({"newq": 1.0}, {}) == {"newq": "no-pin"}
     assert bench.query_verdicts({"newq": 1.0}, {"newq": {}}) == {"newq": "no-pin"}
+
+
+def test_validate_query_pins_guards_layout():
+    """Per-query pins are positional: a pin recorded under a different
+    HEADLINE order (or a pre-r8 pin with none at all) must degrade to
+    no-pin verdicts with a reason, never adjudicate against shifted noise
+    factors (r8 review)."""
+    headline = ["a", "b", "c"]
+    pins = {"a": {"median": 1.0, "spread": 0.1}}
+    # matching layout -> pins accepted
+    ok, why = bench.validate_query_pins(
+        {"query_pins": pins, "headline": ["a", "b", "c"]}, headline
+    )
+    assert ok == pins and why is None
+    # reordered / different headline -> refused with reason
+    for bad in (["b", "a", "c"], ["a", "b"], None):
+        ok, why = bench.validate_query_pins(
+            {"query_pins": pins, "headline": bad}, headline
+        )
+        assert ok is None and "headline" in why
+    # pre-r8 pin (no query_pins) -> refused with the other reason
+    ok, why = bench.validate_query_pins({"headline": headline}, headline)
+    assert ok is None and "no query_pins" in why
 
 
 def test_positional_normalize_queries_sums_to_total():
@@ -113,6 +139,28 @@ def test_drift_gate_missing_pin_side_stays_indeterminate(tmp_path):
     gate = _drift_gate("uniform", {"patches_per_sec": 400.0}, pin_dir=str(tmp_path))
     assert gate["ok"] is None
     assert "no comparable" in gate["note"]
+
+
+def test_drift_gate_zero_pin_side_fails_loudly(tmp_path):
+    """A pin that CARRIES a rate as 0/0.0 came from a broken measurement —
+    the same evidence class as a zero observed rate — so it must fail the
+    gate (and name the metric), not skip into indeterminate and let
+    ok=True ride on the remaining metric forever (r8 review)."""
+    _write_pin(tmp_path, "BENCH_IMAGING_SELF_BASELINE.json",
+               {"patches_per_sec": 0.0, "payload_mb_per_sec": 11.0})
+    gate = _drift_gate("uniform",
+                       {"patches_per_sec": 380.0, "payload_mb_per_sec": 10.5},
+                       pin_dir=str(tmp_path))
+    assert gate["ok"] is False
+    assert "broken pin" in gate["note"] and "patches_per_sec" in gate["note"]
+    # a pin side that's simply ABSENT (None/missing key) stays indeterminate
+    _write_pin(tmp_path, "BENCH_IMAGING_SELF_BASELINE.json",
+               {"payload_mb_per_sec": 11.0})
+    gate = _drift_gate("uniform",
+                       {"patches_per_sec": 380.0, "payload_mb_per_sec": 10.5},
+                       pin_dir=str(tmp_path))
+    assert gate["ok"] is True  # gated on the one comparable metric only
+    assert gate["ratio_pin_over_observed"].keys() == {"payload_mb_per_sec"}
 
 
 # --------------------- pylmdb readonly WAL visibility --------------------
@@ -169,15 +217,44 @@ def test_readonly_open_does_not_truncate_torn_tail(tmp_path):
     env2.close()
 
 
+def test_readonly_open_survives_concurrent_wal_merge(tmp_path):
+    """A readonly open must hold its WAL read fd from the moment it
+    indexes the frames: a concurrent WRITE open may replay, merge and
+    UNLINK the WAL at any time, and a lazily-opened handle would
+    FileNotFoundError on the first get() instead of serving the committed
+    entries the reader already indexed (POSIX keeps a held fd readable
+    past the unlink — r8 review)."""
+    path = str(tmp_path / "s")
+    env = pylmdb.open(path, map_size=8 * 1024 * 1024)
+    with env.begin(write=True) as txn:
+        txn.put(b"k", b"committed")
+    del env  # crash: WAL left behind
+
+    ro = pylmdb.open(path, map_size=8 * 1024 * 1024, readonly=True)
+    # concurrent writer recovers and cleanly closes: WAL merged + deleted
+    writer = pylmdb.open(path, map_size=8 * 1024 * 1024)
+    writer.close()
+    assert not os.path.exists(os.path.join(path, "data.mdb-wal"))
+    # the reader still serves the entry it indexed, from its held fd
+    with ro.begin() as txn:
+        assert txn.get(b"k") == b"committed"
+    ro.close()
+
+
 # --------------------- semantic-dedup NaN ordering -----------------------
 
 
-def test_sem_dedup_kernel_nan_cosine_is_duplicate():
-    """Zero-norm embedding -> cos = 0/0 = NaN. Spark and DuckDB order NaN
-    above every number, so such a pair crosses any threshold and the
-    larger id must be dropped with dup_of = smaller id. numpy's IEEE
-    comparisons would silently keep it — the kernel folds NaN in
-    explicitly (r7 ADVICE)."""
+def test_sem_dedup_kernel_zero_norm_vectors_are_kept():
+    """Zero-norm embedding -> cos = 0/0. That is NULL — not NaN — in both
+    engines the kernel must match (Spark's non-ANSI Divide and DuckDB's
+    `/` return NULL on a zero divisor), NULL >= tau is NULL, and the
+    oracle's WHERE drops the pair: a zero-norm vector is never a
+    duplicate and never claims one. numpy's IEEE NaN comparisons (False
+    everywhere) reproduce exactly that, so the kernel keeps them with no
+    special-casing. (An earlier r8 edit folded NaN in as a duplicate,
+    citing NaN-HIGH engine ordering — wrong: the division yields NULL,
+    never NaN, so ordering semantics never enter. r8 review, verified on
+    the installed DuckDB below.)"""
     from etl_mri_scripts_spark.queries.similarity import _sem_dedup_cluster_np
 
     e_zero = [0.0, 0.0, 0.0]
@@ -190,12 +267,26 @@ def test_sem_dedup_kernel_nan_cosine_is_duplicate():
         }
     )
     out = _sem_dedup_cluster_np(pdf).set_index("vec_id")
-    # zero-norm pair (1,2): NaN cosine -> 2 is a duplicate of 1
-    assert bool(out.loc[1, "kept"]) is True
-    assert bool(out.loc[2, "kept"]) is False and out.loc[2, "dup_of"] == 1
-    # vec 3 vs zero-norm vecs also yields NaN (0/0 via nrm product 0):
-    # NaN-high ordering drops it onto the smallest zero-norm id too
-    assert bool(out.loc[3, "kept"]) is False and out.loc[3, "dup_of"] == 1
+    # every pair involving a zero-norm vector has a NULL/NaN cosine ->
+    # not a duplicate; all three vectors are kept
+    for vid in (1, 2, 3):
+        assert bool(out.loc[vid, "kept"]) is True
+        assert pd.isna(out.loc[vid, "dup_of"])
+
+
+def test_duckdb_zero_divide_is_null_not_nan():
+    """Pin the engine-semantics claim the kernel's docstring relies on:
+    DuckDB's division yields NULL (not NaN) for 0/0, and the thresholded
+    comparison is NULL — dropped by WHERE — so the oracle KEEPS zero-norm
+    vectors. If a DuckDB upgrade ever changes this, the kernel's NaN
+    handling must be revisited alongside it."""
+    import duckdb
+
+    row = duckdb.sql(
+        "SELECT 0.0/0.0 AS c, (0.0/0.0) >= 0.4 AS cmp, "
+        "round(0.0/0.0, 6) >= 0.4 AS cmp6"
+    ).fetchone()
+    assert row == (None, None, None)
 
 
 def test_sem_dedup_kernel_finite_path_unchanged():

@@ -134,6 +134,52 @@ def test_incremental_pipeline_exactly_once(spark, tmp_path):
     assert bases == {"sub-000_T1w", "sub-001_T1w"}
 
 
+def test_incremental_pipeline_releases_arrow_hold_on_termination(spark, tmp_path):
+    """The Arrow-shrink hold a stream takes for its lifetime must be
+    released once the query terminates (listener-driven), restoring the
+    session default for later batch/pandas-UDF work — and must stay LIVE
+    while the stream runs even if a concurrent batch imaging scope exits
+    in between (r8 review: the old plain shrink was restorable from under
+    the stream by any scope exit)."""
+    import time
+
+    from etl_mri_scripts_spark.operators.pipeline import (
+        ARROW_VOLUME_BATCH,
+        PipelineConfig,
+        volume_batch_scope,
+    )
+    from etl_mri_scripts_spark.sources.volumes import synthetic_volumes
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    with volume_batch_scope(spark):  # normalize a possibly pre-shrunk session
+        pass
+    default = spark.conf.get(key, None)
+    assert default != str(ARROW_VOLUME_BATCH), "test precondition"
+
+    vols_dir = str(tmp_path / "vols")
+    cfg = PipelineConfig(crop_hr=16, step_hr=8, scales=(2,))
+    synthetic_volumes(spark, 1, (24, 24, 4), seed=3).write.parquet(vols_dir)
+
+    q = run_incremental_pipeline(
+        spark, vols_dir, str(tmp_path / "out"), str(tmp_path / "ckpt"), config=cfg
+    )
+    # while the stream is live, a batch scope entering AND exiting must
+    # not strip the stream's shrink (ref-counted hold)
+    if q.isActive:
+        with volume_batch_scope(spark):
+            pass
+        if q.isActive:  # may have drained during the scope; re-check
+            assert spark.conf.get(key) == str(ARROW_VOLUME_BATCH)
+    _wait(q)
+    # termination listener fires on the listener-bus thread: poll briefly
+    deadline = time.monotonic() + 30
+    while time.monotonic() < deadline:
+        if spark.conf.get(key, None) == default:
+            break
+        time.sleep(0.2)
+    assert spark.conf.get(key, None) == default
+
+
 def test_incremental_pipeline_refuses_pre_r6_sink_layout(spark, tmp_path):
     """Resuming against an out_dir written by the pre-r6 append layout
     (partitionBy(resolution, split) — no batch_id level) must refuse
