@@ -90,6 +90,60 @@ def test_validate_query_pins_guards_layout():
     assert ok is None and "no query_pins" in why
 
 
+def test_pin_recompute_trims_spread_outliers(tmp_path):
+    """pin_bench_baseline --recompute re-derives every statistic from the
+    raw runs already recorded in the pin (the runs are the measurement,
+    the script is the derivation), and the per-query spread drops the
+    single best and worst run: raw max-min is dominated by one noisy run
+    and makes the gate toothless for heavy queries (r8: ann_ivf_pq_topk
+    samples spanned 0.77-5.51 around a 2.13 median)."""
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    headline = list(bench.HEADLINE)
+    # five recorded runs: q0 stable, with one low and one high outlier run
+    per_run_q0 = [1.0, 1.1, 1.2, 0.2, 9.0]
+    runs_q = []
+    for v in per_run_q0:
+        q = {n: 0.5 for n in headline}
+        q[headline[0]] = v
+        runs_q.append(q)
+    probes = [0.6, 0.6, 0.6]  # flat host -> normalization is identity
+    pin = {
+        "sf": 0.1,
+        "headline": headline,
+        "run_queries": runs_q,
+        "noise_at_pin": [{"probes_start_mid_end": probes}] * 5,
+        "run_totals": [round(sum(q.values()), 4) for q in runs_q],
+    }
+    out = tmp_path / "pin.json"
+    with open(out, "w") as f:
+        json.dump(pin, f)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(here, "pin_bench_baseline.py"),
+         "--recompute", "--out", str(out), "--note", "test"],
+        capture_output=True, text=True, cwd=here,
+    )
+    assert proc.returncode == 0, proc.stderr
+    new = json.load(open(out))
+    q0 = new["query_pins"][headline[0]]
+    # median of the middle three (1.0, 1.1, 1.2); spread excludes 0.2/9.0
+    assert q0["median"] == pytest.approx(1.1, abs=1e-3)
+    assert q0["spread"] == pytest.approx(0.2, abs=1e-3)
+    assert new["headline"] == headline
+    # a recorded headline that differs from the live one must refuse
+    pin["headline"] = headline[1:] + headline[:1]
+    with open(out, "w") as f:
+        json.dump(pin, f)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(here, "pin_bench_baseline.py"),
+         "--recompute", "--out", str(out)],
+        capture_output=True, text=True, cwd=here,
+    )
+    assert proc.returncode == 1 and "headline" in proc.stderr
+
+
 def test_positional_normalize_queries_sums_to_total():
     """The per-query normalization and the total are the same statistic:
     sum(per-query) == positional_normalize for any probe shape."""
