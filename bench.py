@@ -174,10 +174,20 @@ def positional_normalize(
 
 # Per-query drift-gate bands (r8, verdict demand #2): a query's verdict is
 #   ok         normalized <= pin_median + pin_spread   (inside what the pin
-#              runs themselves showed on an idle host, same statistic)
+#              runs' MIDDLE band showed on an idle host, same statistic;
+#              spread is outlier-trimmed — see pin_bench_baseline.py)
 #   noise-band normalized <= that bound + slack, where
 #              slack = max(NOISE_REL_BAND * pin_median, NOISE_ABS_FLOOR_S)
-#   regressed  beyond the noise band — investigate, don't eyeball away.
+#   host-tail  normalized <= pin_median + pin_tail + slack, where tail is
+#              the pin runs' own WORST excursion above their median (the
+#              outlier the trimmed spread dropped). A single live sample
+#              landing where the pin's own no-change runs landed cannot
+#              honestly be called a regression — this host measured
+#              ann_ivf_pq_topk at 0.77-5.51 around a 2.13 median with
+#              zero code change — but it is flagged distinctly: re-run to
+#              confirm, and a repeat offender across rounds IS evidence.
+#   regressed  beyond anything the pin ever saw — investigate, don't
+#              eyeball away.
 # The slack terms are measured, not guessed: this host's sentinel probes
 # drift up to ~0.37 s within a single run (r7: 0.95 -> 0.58 s) and
 # unchanged sub-second queries have swung ±30-50% across rounds since r4,
@@ -185,7 +195,9 @@ def positional_normalize(
 # The ABSOLUTE floor dominates for sub-second queries (a 0.25 s query
 # jumping to 0.55 s is scheduler jitter, not code); the RELATIVE band
 # dominates for multi-second queries, where a genuine 2x regression lands
-# far outside 1.5x + 0.35 s and still trips the gate.
+# far outside 1.5x + 0.35 s and still trips the gate (for queries with a
+# small recorded tail — exactly the ones where a single sample IS
+# evidence).
 NOISE_REL_BAND = 0.5
 NOISE_ABS_FLOOR_S = 0.35
 
@@ -234,10 +246,16 @@ def query_verdicts(
         med, spread = pin["median"], pin.get("spread", 0.0)
         ok_bound = med + spread
         slack = max(NOISE_REL_BAND * med, NOISE_ABS_FLOOR_S)
+        # tail = the pin runs' own worst excursion above their median
+        # (outlier-trimmed out of `spread`). Absent in a pin without it
+        # -> 0.0, i.e. the band collapses into `regressed` (strictest).
+        tail = pin.get("tail", 0.0) or 0.0
         if val <= ok_bound:
             verdicts[name] = "ok"
         elif val <= ok_bound + slack:
             verdicts[name] = "noise-band"
+        elif val <= med + tail + slack:
+            verdicts[name] = "host-tail"
         else:
             verdicts[name] = "regressed"
     return verdicts
@@ -433,6 +451,9 @@ def main() -> None:
             out["query_verdicts"] = verdicts
             out["regressed_queries"] = sorted(
                 n for n, v in verdicts.items() if v == "regressed"
+            )
+            out["host_tail_queries"] = sorted(
+                n for n, v in verdicts.items() if v == "host-tail"
             )
             if query_pins_invalid:
                 out["query_gate"] = f"inactive: {query_pins_invalid}"

@@ -21,14 +21,15 @@ same code path a reviewer can re-run:
                             warmup drift makes a scalar factor misattribute
                             early-sweep slowness; see bench.py
                             NOISE_PROBE_RUNS / positional_factors notes)
-- ``query_pins``            per-query median + spread of the positionally-
-                            normalized times across pin runs — feeds
-                            bench.query_verdicts, the per-query drift gate
-                            (r8: machine-adjudicated ok / noise-band /
-                            regressed instead of eyeballing sub-second
-                            host-noise excursions)
+- ``query_pins``            per-query median + outlier-trimmed spread +
+                            tail (worst recorded excursion) of the
+                            positionally-normalized times across pin runs
+                            — feeds bench.query_verdicts, the per-query
+                            drift gate (r8: machine-adjudicated ok /
+                            noise-band / host-tail / regressed instead of
+                            eyeballing sub-second host-noise excursions)
 
-Usage: python pin_bench_baseline.py [--runs 5] [--note "..."]
+Usage: python pin_bench_baseline.py [--runs 5] [--note "..."] [--recompute]
 Writes BENCH_SELF_BASELINE.json; the previous pin's headline numbers are
 preserved under ``history``.
 """
@@ -68,20 +69,37 @@ def main() -> int:
     from bench import HEADLINE, positional_normalize_queries
 
     runs: list[dict] = []
+    prev_pin = None
     if args.recompute:
         with open(args.out) as f:
             prev_pin = json.load(f)
+        # Guards BEFORE touching the raw-run keys: a pre-r8 or
+        # hand-assembled pin without them must hit the designed error
+        # message, not a KeyError traceback (r8 review).
+        if prev_pin.get("headline") != list(HEADLINE):
+            print("recorded headline differs from live HEADLINE; the raw "
+                  "runs are not recomputable against this code — re-run "
+                  "the pin instead", file=sys.stderr)
+            return 1
+        missing = [k for k in ("run_queries", "noise_at_pin", "run_totals")
+                   if k not in prev_pin]
+        if missing:
+            print(f"pin lacks raw per-run data {missing}; nothing to "
+                  "recompute from — re-run the pin instead", file=sys.stderr)
+            return 1
+        if len({len(prev_pin["run_queries"]), len(prev_pin["noise_at_pin"]),
+                len(prev_pin["run_totals"])}) != 1:
+            # a silently-truncating zip would derive a self-consistent-
+            # looking pin from a SUBSET of the runs (r8 review)
+            print("pin's raw per-run arrays disagree in length; refusing "
+                  "to recompute from inconsistent data", file=sys.stderr)
+            return 1
         for q, n, t in zip(
             prev_pin["run_queries"], prev_pin["noise_at_pin"], prev_pin["run_totals"]
         ):
             runs.append(
                 {"queries": q, "noise": n, "value": t, "sf": prev_pin["sf"]}
             )
-        if prev_pin.get("headline") != list(HEADLINE):
-            print("recorded headline differs from live HEADLINE; the raw "
-                  "runs are not recomputable against this code — re-run "
-                  "the pin instead", file=sys.stderr)
-            return 1
         print(f"recomputing statistics from {len(runs)} recorded runs",
               file=sys.stderr)
     else:
@@ -146,21 +164,30 @@ def main() -> int:
     # band = 0.36 is the actual repeatability. bench.py's noise slack
     # (max(50%, 0.35 s)) absorbs cross-day weather ON TOP of this, so the
     # pin side should encode repeatability, not the worst outlier.
+    # `tail` records what the trim dropped: the worst excursion above the
+    # median across ALL runs. bench.query_verdicts uses it for the
+    # host-tail verdict band — a live sample landing inside the pin's own
+    # recorded no-change excursions is flagged distinctly, not called a
+    # regression (without it, replaying this pin's own run 4 through the
+    # gate read 3 queries as 'regressed' on the very code the pin
+    # measured — r8 review).
     query_pins = {}
     for n in names:
-        samples = sorted(rq[n] for rq in runs_normalized_queries if rq and n in rq)
-        if len(samples) >= 4:
-            samples = samples[1:-1]
-        if samples:
-            query_pins[n] = {
-                "median": round(median(samples), 4),
-                "spread": round(samples[-1] - samples[0], 4),
-            }
+        all_samples = sorted(rq[n] for rq in runs_normalized_queries if rq and n in rq)
+        if not all_samples:
+            continue
+        med_all = median(all_samples)
+        trimmed = all_samples[1:-1] if len(all_samples) >= 4 else all_samples
+        query_pins[n] = {
+            "median": round(median(trimmed), 4),
+            "spread": round(trimmed[-1] - trimmed[0], 4),
+            "tail": round(max(all_samples[-1] - med_all, 0.0), 4),
+        }
 
     prev_history = {}
     try:
-        with open(args.out) as f:
-            prev = json.load(f)
+        # --recompute already parsed args.out; don't read it twice
+        prev = prev_pin if prev_pin is not None else json.load(open(args.out))
         prev_history = {
             "previous_pin_value": prev.get("value"),
             "previous_value_median_of_runs": prev.get("value_median_of_runs"),
@@ -176,9 +203,14 @@ def main() -> int:
         "unit": "sec",
         "sf": sf,
         "pin_method": (
-            f"elementwise best of {args.runs} runs (each query the median of 5 "
+            # len(runs), never args.runs: --recompute derives from however
+            # many runs the pin recorded, and the provenance string must
+            # say which path produced it (r8 review)
+            f"elementwise best of {len(runs)} runs (each query the median of 5 "
             "in-run samples), idle host, pinned by pin_bench_baseline.py "
             "(7-sample probes, double sentinel warmup — bench.py r7 protocol)"
+            + ("; statistics recomputed from the recorded runs via "
+               "--recompute (no new measurement)" if args.recompute else "")
         ),
         "value_median_of_runs": round(median(totals), 4),
         "value_median_of_runs_method": (
@@ -214,15 +246,24 @@ def main() -> int:
         "query_pins_method": (
             "per query: median and OUTLIER-TRIMMED spread (range of the "
             "runs with the single best and worst dropped, n>=4) of its "
-            "positionally-normalized time across the pin runs - the "
-            "statistic-matched inputs for bench.query_verdicts "
-            "(ok / noise-band / regressed); raw max-min is dominated by "
-            "one noisy run and makes the gate toothless for heavy queries"
+            "positionally-normalized time across the pin runs, plus "
+            "`tail` = the untrimmed worst excursion above the all-runs "
+            "median - the statistic-matched inputs for "
+            "bench.query_verdicts (ok / noise-band / host-tail / "
+            "regressed); raw max-min as the ok-bound is dominated by one "
+            "noisy run and makes the gate toothless for heavy queries, "
+            "while ignoring the tail entirely makes the gate flag the "
+            "pin's own recorded runs as regressed"
         ),
         "run_queries": [r["queries"] for r in runs],
     }
-    with open(args.out, "w") as f:
+    # Atomic replace: args.out may be the --recompute INPUT (the only
+    # copy of the raw measurement) — a truncating open('w') interrupted
+    # mid-dump would destroy it (r8 review).
+    tmp = args.out + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(out, f, indent=1)
+    os.replace(tmp, args.out)
     print(json.dumps({k: out[k] for k in (
         "value", "value_median_of_runs", "value_median_of_runs_normalized",
         "sentinel_probe_pin")}))

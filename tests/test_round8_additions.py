@@ -60,6 +60,27 @@ def test_query_verdict_bands():
     assert bench.query_verdicts({"heavy": 4.81}, pins) == {"heavy": "regressed"}
 
 
+def test_query_verdict_host_tail_band():
+    """A pin that RECORDS a no-change excursion (tail) must not call a
+    live sample inside that excursion a regression — the r8 pin measured
+    ann_ivf_pq_topk at 0.77-5.51 around a 2.13 median with zero code
+    change, and without the tail band the gate flagged the pin's own
+    run 4 as regressed (r8 review). Beyond the recorded tail + slack is
+    still regressed; a pin without a tail field collapses to the strict
+    three-band gate."""
+    pins = {"heavy": {"median": 2.0, "spread": 0.4, "tail": 3.5}}
+    # ok: <= 2.4; noise-band: <= 2.4 + max(1.0, 0.35) = 3.4
+    assert bench.query_verdicts({"heavy": 3.4}, pins) == {"heavy": "noise-band"}
+    # host-tail: <= 2.0 + 3.5 + 1.0 = 6.5 — where the pin's own runs landed
+    assert bench.query_verdicts({"heavy": 5.5}, pins) == {"heavy": "host-tail"}
+    assert bench.query_verdicts({"heavy": 6.5}, pins) == {"heavy": "host-tail"}
+    # beyond anything the pin ever saw -> regressed
+    assert bench.query_verdicts({"heavy": 6.51}, pins) == {"heavy": "regressed"}
+    # no tail recorded -> band collapses (strictest): 5.5 is regressed
+    no_tail = {"heavy": {"median": 2.0, "spread": 0.4}}
+    assert bench.query_verdicts({"heavy": 5.5}, no_tail) == {"heavy": "regressed"}
+
+
 def test_query_verdict_no_pin_is_loud_not_ok():
     """A query added to HEADLINE after the pin must surface as no-pin,
     never silently pass."""
@@ -131,6 +152,9 @@ def test_pin_recompute_trims_spread_outliers(tmp_path):
     # median of the middle three (1.0, 1.1, 1.2); spread excludes 0.2/9.0
     assert q0["median"] == pytest.approx(1.1, abs=1e-3)
     assert q0["spread"] == pytest.approx(0.2, abs=1e-3)
+    # tail = untrimmed worst excursion above the all-runs median (9.0-1.1)
+    assert q0["tail"] == pytest.approx(7.9, abs=1e-3)
+    assert "--recompute" in new["pin_method"] and "5 runs" in new["pin_method"]
     assert new["headline"] == headline
     # a recorded headline that differs from the live one must refuse
     pin["headline"] = headline[1:] + headline[:1]
