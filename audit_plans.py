@@ -133,6 +133,15 @@ def main() -> None:
             rows.append((name, summarize(plan)))
         except Exception as exc:  # noqa: BLE001 — audit must cover the rest
             errors.append((name, f"{type(exc).__name__}: {exc}"[:160]))
+        # Audit each query's STANDALONE plan: a prior query's persist stays
+        # in the CacheManager, and Spark substitutes any matching logical
+        # subtree of a LATER query with the InMemoryRelation — changing its
+        # exchange/codegen/scan counts by run ORDER (r8: the driver-window
+        # rotation reordered the sweep and text_perplexity_proxy's row
+        # silently gained an exchange from exactly this). Clearing between
+        # queries makes every row order-independent and reproducible in a
+        # fresh session; it also bounds audit memory like check_window.
+        spark.catalog.clearCache()
 
     with open("PLANS.md", "w") as f:
         f.write(
