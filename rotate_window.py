@@ -101,6 +101,7 @@ def main() -> int:
     # to the queries whose driver rows are OLDEST — freshness rotation,
     # so every row is eventually re-earned under current code.
     freshness: list[tuple[str, str]] = []
+    next_queue: list[tuple[str, str]] = []
     spare = slots - len(rotation)
     if spare > 0 and not queue:
         taken = set(head) | set(rotation)
@@ -109,6 +110,14 @@ def main() -> int:
             key=lambda n: (round_num(last_round.get(n, "")), n),
         )
         freshness = [(n, last_round.get(n, "?")) for n in stalest[:spare]]
+        # Pre-list the NEXT round's freshness cut (r8 verdict #5): the
+        # stalest names beyond this window, one window's worth, emitted as
+        # comments so next round's rotation is a mechanical uncomment —
+        # and so a reviewer of THIS round's paste can see what was
+        # deliberately left out, not wonder whether the cut was arbitrary.
+        next_queue = [
+            (n, last_round.get(n, "?")) for n in stalest[spare:spare + slots]
+        ]
 
     print(f"# window={args.window}: {len(SENTINELS)} sentinels + "
           f"{len(failing)} FAILING-latest-row + "
@@ -132,6 +141,11 @@ def main() -> int:
         print("    # ============ next-round rotation queue ================")
         for n in queue:
             print(f'    "{n}",')
+    if next_queue:
+        print("    # ===== next-round freshness queue (stalest beyond this")
+        print("    # window; uncomment = next round's mechanical cut) =====")
+        for n, src in next_queue:
+            print(f'    # "{n}",  # last driver row {src}')
     print("]")
     return 0
 
