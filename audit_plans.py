@@ -95,11 +95,12 @@ ALLOWED_NLJ = {
 # crosstab cells, source mix, hash buckets), not by the data volume. The
 # unbounded cases (per-customer rank, vocab rank, exact-count splits,
 # NTILE histograms) use the two-phase offset rank in operators/rank.py
-# and must stay OUT of this list. Single-sourced from the policy test
-# (r8, verdict demand #3): every entry there carries a declared row bound
-# and a measure() that the companion test asserts — the whitelist is
-# self-justifying, and this audit can never drift from it.
-from tests.test_scale_paths import ALLOWED_SP_WINDOW_BOUNDS
+# and must stay OUT of this list. Single-sourced from the engine-side
+# policy module (r8 verdict demand #3 + r8 ADVICE: the audit must not
+# import from the test tree): every entry there carries a declared row
+# bound and a measure() that tests/test_scale_paths.py asserts — the
+# whitelist is self-justifying, and this audit can never drift from it.
+from etl_mri_scripts_spark.policies import ALLOWED_SP_WINDOW_BOUNDS
 
 ALLOWED_SP_WINDOW = set(ALLOWED_SP_WINDOW_BOUNDS)
 

@@ -195,11 +195,36 @@ def positional_normalize(
 # The ABSOLUTE floor dominates for sub-second queries (a 0.25 s query
 # jumping to 0.55 s is scheduler jitter, not code); the RELATIVE band
 # dominates for multi-second queries, where a genuine 2x regression lands
-# far outside 1.5x + 0.35 s and still trips the gate (for queries with a
-# small recorded tail — exactly the ones where a single sample IS
+# far outside the band + 0.35 s and still trips the gate (for queries
+# with a small recorded tail — exactly the ones where a single sample IS
 # evidence).
-NOISE_REL_BAND = 0.5
+#
+# The relative band is GRADUATED (r9, r8 verdict demand #3): 50% of a
+# 0.3 s pin is scheduler jitter, but 50% of a 1.6 s pin is 800 ms of
+# unflagged drift — dedup_semantic_keep rode a 1.30x raw excursion
+# through as `ok` in r8. Pins >= NOISE_REL_TIGHT_AT_S get the tighter
+# 25% band; positional normalization has already removed host weather at
+# that point, and multi-second queries' normalized times are the stable
+# ones (their work dwarfs per-task scheduling noise). Pins in
+# (0.7 s, 1 s) keep the legacy 50% band — their slack (0.35-0.5 s) is
+# still scheduler-jitter-sized, and tightening them bought nothing in
+# the r8 data. Validated by replaying the r8 pin's own recorded runs
+# through the tightened gate: zero false `regressed`
+# (tests/test_round9_additions.py).
+NOISE_REL_BAND = 0.5          # pins below the tighten threshold
+NOISE_REL_BAND_BIG = 0.25     # pins >= NOISE_REL_TIGHT_AT_S
+NOISE_REL_TIGHT_AT_S = 1.0
 NOISE_ABS_FLOOR_S = 0.35
+
+
+def noise_slack(pin_median: float) -> float:
+    """Cross-day host-weather allowance above a query's pinned band."""
+    rel = (
+        NOISE_REL_BAND_BIG
+        if pin_median >= NOISE_REL_TIGHT_AT_S
+        else NOISE_REL_BAND
+    )
+    return max(rel * pin_median, NOISE_ABS_FLOOR_S)
 
 
 def validate_query_pins(
@@ -229,6 +254,52 @@ def validate_query_pins(
     return query_pins, None
 
 
+def load_pin_calibration(
+    sf: float, headline: list[str], path: str
+) -> tuple[float | None, float | None, float | None, dict | None, str | None]:
+    """Load every pin-side calibration statistic a live run compares
+    against, refusing incomparable pins with a REASON instead of silence.
+    Returns ``(sentinel_pin, median_run_pin, median_norm_pin, query_pins,
+    invalid_reason)``; the pins are None whenever ``invalid_reason`` says
+    why (no readable pin, sf mismatch — r8 ADVICE: that path previously
+    omitted the gate keys entirely, the same 'silently absent gate
+    misread as no regressions' ambiguity the pre-r8-pin and
+    headline-mismatch paths already fix — or a layout mismatch from
+    validate_query_pins).
+
+    - ``median_run_pin``: the pin runs' median raw total — the
+      statistic-matched target for value_noise_normalized (the headline
+      ``value`` is the elementwise best across runs, unattainable in any
+      single run; comparing against it carries ~20% built-in bias).
+    - ``median_norm_pin``: median of the pin runs' own
+      positionally-normalized totals (computed with this same
+      sentinel_probe_pin) — the target for value_positional_normalized.
+    """
+    try:
+        with open(path) as f:
+            base = json.load(f)
+    except (OSError, ValueError):
+        return None, None, None, None, (
+            "no readable BENCH_SELF_BASELINE.json pin; bootstrap with "
+            "pin_bench_baseline.py"
+        )
+    # The pin only calibrates runs at the baseline's own scale factor.
+    if base.get("sf") != sf:
+        return None, None, None, None, (
+            f"pin sf {base.get('sf')} differs from run sf {sf}; "
+            "normalization and per-query pins only calibrate at the "
+            "pin's own scale factor"
+        )
+    query_pins, invalid = validate_query_pins(base, headline)
+    return (
+        base.get("sentinel_probe_pin"),
+        base.get("value_median_of_runs"),
+        base.get("value_median_of_runs_normalized"),
+        query_pins,
+        invalid,
+    )
+
+
 def query_verdicts(
     normalized: dict[str, float], query_pins: dict[str, dict]
 ) -> dict[str, str]:
@@ -245,7 +316,7 @@ def query_verdicts(
             continue
         med, spread = pin["median"], pin.get("spread", 0.0)
         ok_bound = med + spread
-        slack = max(NOISE_REL_BAND * med, NOISE_ABS_FLOOR_S)
+        slack = noise_slack(med)
         # tail = the pin runs' own worst excursion above their median
         # (outlier-trimmed out of `spread`). Absent in a pin without it
         # -> 0.0, i.e. the band collapses into `regressed` (strictest).
@@ -354,31 +425,16 @@ def main() -> None:
     # idle host and let a real regression hide in the normalized total.
     # >1 means the host is slower than at pin time; divide totals by it
     # to compare code, not host weather.
-    sentinel_pin = None
-    median_run_pin = None
-    median_norm_pin = None
-    query_pins = None
-    query_pins_invalid = None
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_SELF_BASELINE.json")) as f:
-            base = json.load(f)
-        # The pin only calibrates runs at the baseline's own scale factor.
-        if base.get("sf") == sf:
-            sentinel_pin = base.get("sentinel_probe_pin")
-            query_pins, query_pins_invalid = validate_query_pins(base, HEADLINE)
-            # Statistic-matched target for the NORMALIZED total: the pin
-            # runs' median total. The headline `value` is the elementwise
-            # best of the pin runs — unattainable in any single run — so
-            # comparing a single normalized run against it carries ~20%
-            # built-in bias; value_median_of_runs is the honest yardstick.
-            median_run_pin = base.get("value_median_of_runs")
-            # Statistic-matched target for the POSITIONAL normalization:
-            # the median of the pin runs' own positionally-normalized
-            # totals (computed with this same sentinel_probe_pin).
-            median_norm_pin = base.get("value_median_of_runs_normalized")
-    except (OSError, ValueError):
-        pass
+    pin_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF_BASELINE.json"
+    )
+    (
+        sentinel_pin,
+        median_run_pin,
+        median_norm_pin,
+        query_pins,
+        query_pins_invalid,
+    ) = load_pin_calibration(sf, HEADLINE, pin_path)
     good_probes = [p for p in probes if p is not None]
     noise_factor = (
         round(median(good_probes) / sentinel_pin, 4)
@@ -459,6 +515,16 @@ def main() -> None:
                 out["query_gate"] = f"inactive: {query_pins_invalid}"
             else:
                 out["query_gate"] = "active"
+    # The gate key must appear on EVERY path (r8 ADVICE): when the pin's
+    # sf differs from the run, the pin file is unreadable, or the probes
+    # failed, the normalized block above never runs and the output would
+    # otherwise carry no query_gate at all — the exact silently-absent
+    # ambiguity the in-block reasons exist to prevent.
+    if "query_gate" not in out:
+        out["query_gate"] = "inactive: " + (
+            query_pins_invalid
+            or "sentinel probes unavailable; cannot positionally normalize"
+        )
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

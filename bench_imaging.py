@@ -38,6 +38,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from statistics import median
 
 from pyspark.sql import functions as F
 
@@ -45,6 +46,86 @@ from pyspark.sql import functions as F
 def _slices_for(n_vols: int, shape: tuple[int, int, int]) -> int:
     sx, sy, sz = shape
     return n_vols * (sz + sz + sy)  # axial + coronal (sz quirk) + sagittal
+
+
+# --------------------- host-load sentinel probe ---------------------------
+# The r8 skew pin needed a "decisive third run" narrative: three same-tree
+# runs spanned 194/222/312 patches/s vs a 296 pin, and nothing in the
+# output said whether the slow runs were host weather or code. The probe
+# fixes that: a fixed pure-numpy degradation workload (the pipeline's own
+# hot kernel — FFT low-pass, motion, bias, chi noise on a 192x192 slice)
+# timed immediately before and after the pipeline. It runs single-threaded
+# with no Spark scheduling, so its time moves ONLY with host CPU
+# contention; dividing the pinned probe time by the observed one rescales
+# the observed throughput to pin-host conditions, the exact statistic the
+# pin runs record for themselves (bench.py's sentinel protocol, rate-form).
+
+PROBE_REPEATS = 5
+PROBE_SHAPE = (192, 192)
+PROBE_SEED = 12345
+
+
+def host_probe(repeats: int = PROBE_REPEATS) -> float:
+    """Median seconds for one fixed degrade_slice call (1 unrecorded
+    warmup absorbs FFT plan/JIT caches)."""
+    import numpy as np
+
+    from etl_mri_scripts_spark.operators.degradation import degrade_slice
+
+    rng = np.random.default_rng(PROBE_SEED)
+    img = rng.random(PROBE_SHAPE, dtype=np.float32)
+    degrade_slice(img, seed=PROBE_SEED)  # warmup
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        degrade_slice(img, seed=PROBE_SEED)
+        samples.append(time.perf_counter() - t0)
+    return round(median(samples), 5)
+
+
+# ---------------- pin statistics + machine verdict (r9) -------------------
+# Same recipe as pin_bench_baseline.py / bench.query_verdicts, mirrored
+# for RATES (regression = LOWER value, so bands extend DOWNWARD and
+# `tail` is the pin runs' worst downward excursion from their median).
+
+IMG_NOISE_REL_BAND = 0.15  # cross-day host-weather allowance below the
+# pinned band, beyond what probe normalization removes. Measured, not
+# guessed: across the r8 same-tree skew triplet the probe-normalizable
+# spread left ~10-15% residual run-to-run scatter (Spark task scheduling,
+# page cache) that a single-threaded CPU probe cannot see.
+
+
+def pin_stats(rates: list[float]) -> dict:
+    """median + outlier-trimmed spread + downward tail over the pin runs'
+    (probe-normalized) rates. Trim drops the single best and worst run
+    when n >= 4 — the r8 skew triplet's 194 p/s outlier would otherwise
+    dominate the band and make the gate toothless; `tail` records what
+    the trim dropped so a live run landing where the pin's own runs
+    landed reads host-tail, never regressed."""
+    s = sorted(rates)
+    med_all = median(s)
+    trimmed = s[1:-1] if len(s) >= 4 else s
+    return {
+        "median": round(median(trimmed), 2),
+        "spread": round(trimmed[-1] - trimmed[0], 2),
+        "tail": round(max(med_all - s[0], 0.0), 2),
+    }
+
+
+def throughput_verdict(normalized_rate: float, pin: dict) -> str:
+    """ok / noise-band / host-tail / regressed for a probe-normalized
+    throughput against a pinned {median, spread, tail} — the rate-form
+    mirror of bench.query_verdicts' time bands."""
+    med, spread = pin["median"], pin.get("spread", 0.0)
+    tail = pin.get("tail", 0.0) or 0.0
+    slack = IMG_NOISE_REL_BAND * med
+    if normalized_rate >= med - spread:
+        return "ok"
+    if normalized_rate >= med - spread - slack:
+        return "noise-band"
+    if normalized_rate >= med - tail - slack:
+        return "host-tail"
+    return "regressed"
 
 
 def main() -> None:
@@ -81,6 +162,7 @@ def main() -> None:
 
     from etl_mri_scripts_spark.operators.pipeline import volume_batch_scope
 
+    probe_start = host_probe()
     t0 = time.time()
     # volume_batch_scope: the Arrow batch shrink is live while the collect
     # executes the imaging plan and restored when the job completes, so a
@@ -93,6 +175,7 @@ def main() -> None:
             .collect()
         )
     wall = time.time() - t0
+    probe_end = host_probe()
 
     n_patches = sum(r["n"] for r in stats)
     by_res = {r["resolution"]: r["n"] for r in stats}
@@ -112,6 +195,10 @@ def main() -> None:
         "payload_mb": payload_mb,
         "payload_mb_per_sec": round(payload_mb / wall, 2),
         "key_parity_ok": parity_ok,
+        # start AND end recorded: a probe pair that disagrees >2x flags a
+        # load spike DURING the run that the median would average away
+        "host_probe_sec": round(median([probe_start, probe_end]), 5),
+        "host_probe_start_end": [probe_start, probe_end],
     }
     if big_shape:
         result["big_shape"] = list(big_shape)
@@ -179,6 +266,48 @@ def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
             else all(r <= DRIFT_GATE_MAX for r in ratios.values()) if ratios else None
         ),
     }
+    # Machine verdict against pin statistics (r9, r8 verdict demand #2):
+    # probe-normalize the observed rates to pin-host conditions and
+    # adjudicate each against the pin runs' own normalized median /
+    # trimmed spread / downward tail — ok / noise-band / host-tail /
+    # regressed, so a 1.5x host-tail run self-identifies instead of
+    # needing a "decisive third run" narrative. The verdict keys are
+    # emitted even when the gate can't run (pre-r9 pin without stats,
+    # missing probe) with an explicit reason — a silently absent verdict
+    # would be misread as ok (the bench.py r8 lesson).
+    stats = pin.get("stats")
+    probe_pin = pin.get("host_probe_pin")
+    probe_obs = result.get("host_probe_sec")
+    if not stats or not probe_pin:
+        out["verdict"] = None
+        out["verdict_gate"] = (
+            "inactive: pin has no stats/host_probe_pin (pre-r9 pin); "
+            "re-pin with pin_imaging_baseline.py"
+        )
+    elif not probe_obs:
+        out["verdict"] = None
+        out["verdict_gate"] = "inactive: observed run carries no host probe"
+    else:
+        probe_ratio = round(probe_obs / probe_pin, 4)
+        normalized = {
+            m: round(result[m] * probe_ratio, 2)
+            for m in DRIFT_GATE_METRICS
+            if result.get(m) and m in stats
+        }
+        verdicts = {m: throughput_verdict(v, stats[m]) for m, v in normalized.items()}
+        severity = ["ok", "noise-band", "host-tail", "regressed"]
+        out["probe"] = {
+            "observed_sec": probe_obs, "pin_sec": probe_pin, "ratio": probe_ratio,
+        }
+        out["normalized_rates"] = normalized
+        out["stats_pinned"] = {m: stats[m] for m in normalized}
+        out["metric_verdicts"] = verdicts
+        out["verdict"] = (
+            max(verdicts.values(), key=severity.index) if verdicts else None
+        )
+        out["verdict_gate"] = "active"
+        if out["verdict"] == "regressed":
+            out["ok"] = False  # the statistic gate has teeth, not just 2x
     notes = []
     if broken_run:
         notes.append(

@@ -440,15 +440,25 @@ class Environment:
                 # delete, both of which are writes a readonly open must
                 # not perform (r7 ADVICE: the old behavior silently served
                 # the previous close's tree, missing committed entries).
-                self._replay_wal(truncate=False)
-                # Open the get() read handle NOW, not lazily: a concurrent
-                # write open may replay, merge and unlink this WAL at any
-                # moment, and a held fd keeps the indexed bytes readable
-                # past the unlink (POSIX) — a lazy first-get open would
-                # FileNotFoundError instead of serving the committed
-                # entries this reader already indexed (r8 review).
-                if self._index:
-                    self._wal_read = builtins.open(self.walfile, "rb")
+                # Open the WAL fd exactly ONCE and both replay and serve
+                # gets through it (r8 ADVICE): the previous shape opened
+                # one fd to replay and a SECOND to guard against a
+                # concurrent merge+unlink, so a writer unlinking between
+                # the two opens still raised FileNotFoundError — the exact
+                # race the held fd exists to cover. A single held fd keeps
+                # the indexed bytes readable past any unlink (POSIX); a
+                # vanished WAL here means a concurrent writer already
+                # merged it into the store file this reader will serve.
+                try:
+                    wal_fd = builtins.open(self.walfile, "rb")
+                except FileNotFoundError:
+                    wal_fd = None  # merged+unlinked since the exists() check
+                if wal_fd is not None:
+                    self._replay_wal(truncate=False, fobj=wal_fd)
+                    if self._index:
+                        self._wal_read = wal_fd
+                    else:
+                        wal_fd.close()
             else:
                 # crash recovery: replay every intact frame so close()
                 # merges them (truncating any torn tail frame)
@@ -495,15 +505,22 @@ class Environment:
         self._wal_read.seek(loc[0])
         return self._wal_read.read(loc[1])
 
-    def _replay_wal(self, truncate: bool = True) -> None:
+    def _replay_wal(self, truncate: bool = True, fobj=None) -> None:
         """Index every intact frame; truncate at the first torn/corrupt
         one (a crash mid-write leaves at most one partial tail frame —
         everything fsync'd by a completed commit() is before it).
         ``truncate=False`` (readonly opens) indexes the intact prefix but
         leaves the file untouched — the next WRITE open performs the
-        actual repair."""
+        actual repair. ``fobj``: an already-open read handle to replay
+        through instead of opening a fresh one (readonly opens keep that
+        SAME fd for gets, so there is no window between replay and guard
+        in which a concurrent merge+unlink can strand the reader —
+        r8 ADVICE). The caller owns a passed-in handle; it is left open
+        and positioned arbitrarily."""
         good_end = 0
-        with builtins.open(self.walfile, "rb") as f:
+        f = fobj if fobj is not None else builtins.open(self.walfile, "rb")
+        try:
+            f.seek(0)
             size = os.fstat(f.fileno()).st_size
             while good_end + _WALHDR.size <= size:
                 hdr = f.read(_WALHDR.size)
@@ -533,6 +550,9 @@ class Environment:
                     break
                 self._index[key] = (good_end + _WALHDR.size + klen, vlen)
                 good_end += frame_len
+        finally:
+            if fobj is None:
+                f.close()
         if truncate and good_end < os.path.getsize(self.walfile):
             with builtins.open(self.walfile, "r+b") as f:
                 f.truncate(good_end)

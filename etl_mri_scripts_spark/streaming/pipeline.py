@@ -234,25 +234,31 @@ def run_incremental_pipeline(
     # default while this hold is live (r8 review). The hold is released
     # by a StreamingQueryListener when THIS query terminates.
     release = hold_volume_batch(spark)
-    stream = spark.readStream.schema(VOLUME_SCHEMA).parquet(volumes_in_dir)
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        # Fused in-UDF gate: one degradation pass per micro-batch (see
-        # degrade_and_patch(gated=True)).
-        patches = assign_split(
-            degrade_and_patch(explode_slices(batch_df, cfg), cfg, gated=True), cfg
-        )
-        (
-            patches.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id", "resolution", "split")
-            .parquet(out_dir)
-        )
-
+    # The try opens IMMEDIATELY after taking the hold (r8 ADVICE): the
+    # readStream/writeStream builder chain below can itself raise (bad
+    # input path, invalid checkpoint), and an exception anywhere between
+    # the hold and a successful start() must release — otherwise the
+    # Arrow shrink leaks for the session lifetime with no query listener
+    # ever registered to undo it.
     try:
+        stream = spark.readStream.schema(VOLUME_SCHEMA).parquet(volumes_in_dir)
+
+        def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            # Fused in-UDF gate: one degradation pass per micro-batch (see
+            # degrade_and_patch(gated=True)).
+            patches = assign_split(
+                degrade_and_patch(explode_slices(batch_df, cfg), cfg, gated=True), cfg
+            )
+            (
+                patches.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id", "resolution", "split")
+                .parquet(out_dir)
+            )
+
         query = (
             stream.writeStream.foreachBatch(process_batch)
             .option("checkpointLocation", checkpoint_dir)

@@ -1,18 +1,37 @@
 #!/usr/bin/env python
 """Pin an imaging-throughput self-baseline (uniform or skew mode) from N
-fresh bench_imaging.py runs — median-of-runs per metric, all runs recorded
-(the same protocol as the r6 uniform pin, now scripted; r6 verdict demand
-#2 asked for the skew pin specifically).
+fresh bench_imaging.py runs.
 
-The pinned rates are the SHAPE-NEUTRAL ones (patches/s, payload MB/s):
-slices/s is not comparable across modes because a skew run's 960x840
-slices carry ~22x the pixels of the uniform 192x192 fleet.
+r9 protocol (r8 verdict demand #2 — the skew pin needed a "decisive third
+run" narrative because 3 runs + a bare median carried no spread): >= 5
+runs, and the pin now records the same statistics pin_bench_baseline.py
+records for the relational bench, in rate form:
 
-Usage: python pin_imaging_baseline.py [--mode skew] [--runs 3] [--note ...]
+- ``host_probe_pin``  median over runs of each run's fixed pure-numpy
+                      degradation probe (bench_imaging.host_probe) — the
+                      host-speed yardstick a live run divides its own
+                      probe by.
+- ``stats``           per rate metric: {median, outlier-trimmed spread,
+                      downward tail} of the PROBE-NORMALIZED rates across
+                      the pin runs (rate * probe_sec / host_probe_pin —
+                      the exact statistic a live run's drift gate
+                      computes for itself, so the comparison is
+                      statistic-matched on both sides).
+
+The pinned headline rates stay the SHAPE-NEUTRAL ones (patches/s,
+payload MB/s): slices/s is not comparable across modes because a skew
+run's 960x840 slices carry ~22x the pixels of the uniform 192x192 fleet.
+The raw-rate medians also remain pinned for the legacy 2x backstop gate.
+
+Usage: python pin_imaging_baseline.py [--mode skew] [--runs 5] [--note ...]
+       [--recompute]   (re-derive stats from the runs already recorded in
+                        the pin — for statistic-formula changes that need
+                        no new measurement; requires an r9 pin whose runs
+                        carry host_probe_sec)
 Writes BENCH_IMAGING_SKEW_SELF_BASELINE.json (or the uniform pin file) and
 preserves the previous pin's numbers under ``history``. bench_imaging.py's
-drift gate then compares every future run of that mode against the pin
-(ratio <= 2x on each pinned rate).
+drift gate then adjudicates every future run of that mode: 2x ratio
+backstop + machine verdict (ok / noise-band / host-tail / regressed).
 """
 
 from __future__ import annotations
@@ -26,62 +45,134 @@ from statistics import median
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
-from bench_imaging import PIN_FILES  # noqa: E402 — single source of truth
-# for the pin filenames the drift gate reads; a rename that touched only
-# one copy would leave the gate permanently reporting "no pin recorded"
+from bench_imaging import DRIFT_GATE_METRICS, PIN_FILES, pin_stats  # noqa: E402
+# single source of truth for the pin filenames and the trim/tail recipe
+# the drift gate compares against; a rename or formula change that
+# touched only one copy would silently desynchronize pin and gate
+
+RUN_KEYS = (
+    "value", "wall_sec", "patches_per_sec", "payload_mb_per_sec",
+    "n_patches", "key_parity_ok", "host_probe_sec", "host_probe_start_end",
+)
+
+
+def derive(runs: list[dict]) -> dict:
+    """Every pinned statistic from the recorded runs — one code path for
+    fresh pins and --recompute, so the pin is always the derivation of
+    its own recorded measurement."""
+    probes = [r["host_probe_sec"] for r in runs]
+    host_probe_pin = round(median(probes), 5)
+    stats = {}
+    normalized_runs: dict[str, list[float]] = {}
+    for m in DRIFT_GATE_METRICS:
+        normalized_runs[m] = [
+            round(r[m] * (r["host_probe_sec"] / host_probe_pin), 2) for r in runs
+        ]
+        stats[m] = pin_stats(normalized_runs[m])
+    med = lambda k: round(median(r[k] for r in runs), 2)
+    return {
+        "patches_per_sec": med("patches_per_sec"),
+        "payload_mb_per_sec": med("payload_mb_per_sec"),
+        "wall_sec_median": med("wall_sec"),
+        "host_probe_pin": host_probe_pin,
+        "host_probe_pin_method": (
+            "median over pin runs of each run's host_probe_sec "
+            "(bench_imaging.host_probe: fixed pure-numpy degrade_slice "
+            "workload, median of 5, 1 warmup) - the host-speed yardstick "
+            "a live run's probe is divided by"
+        ),
+        "stats": stats,
+        "stats_method": (
+            "per rate metric: median + outlier-trimmed spread (single "
+            "best and worst run dropped, n>=4) + downward tail (all-runs "
+            "median minus worst run) of the PROBE-NORMALIZED rates "
+            "(rate * probe_sec / host_probe_pin) across the pin runs - "
+            "feeds bench_imaging.throughput_verdict (ok / noise-band / "
+            "host-tail / regressed); the r8 skew triplet (194/222/312 "
+            "p/s, same tree) motivated tail: the slow runs must read "
+            "host-tail mechanically, not via narrative adjudication"
+        ),
+        "normalized_runs": normalized_runs,
+    }
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=("uniform", "skew"), default="skew")
-    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--note", default="")
+    ap.add_argument(
+        "--recompute", action="store_true",
+        help="re-derive the pinned statistics from the runs already "
+             "recorded in the pin file (no new measurement)",
+    )
     args = ap.parse_args()
 
-    runs: list[dict] = []
-    env = {**os.environ, "SPARK_GRAFT_IMG_MODE": args.mode}
-    for i in range(args.runs):
-        print(f"{args.mode} pin run {i + 1}/{args.runs} ...", file=sys.stderr, flush=True)
-        proc = subprocess.run(
-            [sys.executable, os.path.join(HERE, "bench_imaging.py")],
-            capture_output=True, text=True, check=True, cwd=HERE, env=env,
-        )
-        run = json.loads(proc.stdout.strip().splitlines()[-1])
-        if not run.get("key_parity_ok"):
-            print(f"run {i + 1} failed key parity — not pinning", file=sys.stderr)
-            return 1
-        runs.append(run)
-        print(
-            f"  wall={run['wall_sec']}s patches/s={run['patches_per_sec']} "
-            f"MB/s={run['payload_mb_per_sec']}",
-            file=sys.stderr, flush=True,
-        )
-
     out_path = os.path.join(HERE, PIN_FILES[args.mode])
-    prev_history = {}
+    prev = None
     try:
         with open(out_path) as f:
             prev = json.load(f)
-        prev_history = {
-            "previous_patches_per_sec": prev.get("patches_per_sec"),
-            "previous_payload_mb_per_sec": prev.get("payload_mb_per_sec"),
-            "previous_pin_method": prev.get("pin_method"),
-        }
     except (OSError, ValueError):
         pass
 
-    med = lambda k: round(median(r[k] for r in runs), 2)
+    if args.recompute:
+        if not prev or not prev.get("runs"):
+            print("no recorded runs to recompute from", file=sys.stderr)
+            return 1
+        missing = [i for i, r in enumerate(prev["runs"])
+                   if "host_probe_sec" not in r]
+        if missing:
+            print(f"recorded runs {missing} lack host_probe_sec (pre-r9 "
+                  "pin); re-run the pin instead", file=sys.stderr)
+            return 1
+        runs = prev["runs"]
+        print(f"recomputing statistics from {len(runs)} recorded runs",
+              file=sys.stderr)
+    else:
+        if args.runs < 5:
+            print("r9 protocol requires >= 5 runs (spread/tail need the "
+                  "trim to mean anything)", file=sys.stderr)
+            return 1
+        runs = []
+        env = {**os.environ, "SPARK_GRAFT_IMG_MODE": args.mode}
+        for i in range(args.runs):
+            print(f"{args.mode} pin run {i + 1}/{args.runs} ...",
+                  file=sys.stderr, flush=True)
+            proc = subprocess.run(
+                [sys.executable, os.path.join(HERE, "bench_imaging.py")],
+                capture_output=True, text=True, check=True, cwd=HERE, env=env,
+            )
+            run = json.loads(proc.stdout.strip().splitlines()[-1])
+            if not run.get("key_parity_ok"):
+                print(f"run {i + 1} failed key parity — not pinning",
+                      file=sys.stderr)
+                return 1
+            runs.append(run)
+            print(
+                f"  wall={run['wall_sec']}s patches/s={run['patches_per_sec']} "
+                f"MB/s={run['payload_mb_per_sec']} probe={run['host_probe_sec']}s",
+                file=sys.stderr, flush=True,
+            )
+
+    prev_history = {}
+    if prev:
+        prev_history = {
+            "previous_patches_per_sec": prev.get("patches_per_sec"),
+            "previous_payload_mb_per_sec": prev.get("payload_mb_per_sec"),
+            "previous_host_probe_pin": prev.get("host_probe_pin"),
+            "previous_pin_method": prev.get("pin_method"),
+        }
+
     first = runs[0]
     out = {
         "metric": "imaging_pipeline_throughput",
         "mode": args.mode,
-        "patches_per_sec": med("patches_per_sec"),
-        "payload_mb_per_sec": med("payload_mb_per_sec"),
+        **derive(runs),
         "slices_per_sec_not_pinned_because": (
             "not shape-neutral: a skew run's 960x840 slices are ~22x the "
             "pixels of the uniform 192x192 fleet — compare patches/s or MB/s"
         ),
-        "wall_sec_median": med("wall_sec"),
         "n_volumes": first["n_volumes"],
         "shape": first["shape"],
         "n_slices": first["n_slices"],
@@ -90,23 +181,27 @@ def main() -> int:
         "geometry": "crop 128 / step 64, scales (2,4), preset 3tFlash "
                     "(reference v2 nii_to_lmdb.py:343-344)",
         "pin_method": (
-            f"median of {args.runs} runs (per-metric median; all runs "
-            "recorded), idle host, local[32], pinned by pin_imaging_baseline.py"
+            f"median of {len(runs)} runs (per-metric median; all runs "
+            "recorded), idle host, local[32], pinned by pin_imaging_baseline.py "
+            "(r9 protocol: probe-normalized stats with trim + tail)"
+            + ("; statistics recomputed from the recorded runs via "
+               "--recompute (no new measurement)" if args.recompute else "")
         ),
-        "runs": [
-            {k: r[k] for k in (
-                "value", "wall_sec", "patches_per_sec", "payload_mb_per_sec",
-                "n_patches", "key_parity_ok")}
-            for r in runs
-        ],
+        "runs": [{k: r[k] for k in RUN_KEYS if k in r} for r in runs],
         "history": {**prev_history, "note": args.note},
     }
     if "big_shape" in first:
         out["big_shape"] = first["big_shape"]
-    with open(out_path, "w") as f:
+    # Atomic replace: out_path may be the --recompute INPUT (the only copy
+    # of the raw measurement) — a truncating open('w') interrupted
+    # mid-dump would destroy it.
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(out, f, indent=1)
+    os.replace(tmp, out_path)
     print(json.dumps({k: out[k] for k in (
-        "mode", "patches_per_sec", "payload_mb_per_sec", "wall_sec_median")}))
+        "mode", "patches_per_sec", "payload_mb_per_sec", "wall_sec_median",
+        "host_probe_pin", "stats")}))
     return 0
 
 

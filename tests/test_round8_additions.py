@@ -53,11 +53,13 @@ def test_query_verdict_bands():
     # (0.30 + max(0.125, 0.35) = 0.65) — the r7 eyeball case, now machine
     v = bench.query_verdicts({"small": 0.55}, pins)
     assert v == {"small": "noise-band"}
-    # a heavy query 2x out is far past 1.5x+0.35s -> regressed
+    # a heavy query 2x out is far past 1.25x+0.35s -> regressed
     assert bench.query_verdicts({"heavy": 6.2}, pins) == {"heavy": "regressed"}
-    # heavy noise-band edge: bound 3.3 + max(1.5, 0.35) = 4.8
-    assert bench.query_verdicts({"heavy": 4.8}, pins) == {"heavy": "noise-band"}
-    assert bench.query_verdicts({"heavy": 4.81}, pins) == {"heavy": "regressed"}
+    # heavy noise-band edge (r9 graduated band: pins >= 1 s get the 25%
+    # slack, so a 1.3x drift on a 3 s pin no longer rides through as the
+    # r8 50% band allowed): bound 3.3 + max(0.75, 0.35) = 4.05
+    assert bench.query_verdicts({"heavy": 4.05}, pins) == {"heavy": "noise-band"}
+    assert bench.query_verdicts({"heavy": 4.06}, pins) == {"heavy": "regressed"}
 
 
 def test_query_verdict_host_tail_band():
@@ -69,13 +71,14 @@ def test_query_verdict_host_tail_band():
     still regressed; a pin without a tail field collapses to the strict
     three-band gate."""
     pins = {"heavy": {"median": 2.0, "spread": 0.4, "tail": 3.5}}
-    # ok: <= 2.4; noise-band: <= 2.4 + max(1.0, 0.35) = 3.4
-    assert bench.query_verdicts({"heavy": 3.4}, pins) == {"heavy": "noise-band"}
-    # host-tail: <= 2.0 + 3.5 + 1.0 = 6.5 — where the pin's own runs landed
+    # r9 graduated slack for a 2 s pin: max(0.25 * 2.0, 0.35) = 0.5
+    # ok: <= 2.4; noise-band: <= 2.4 + 0.5 = 2.9
+    assert bench.query_verdicts({"heavy": 2.9}, pins) == {"heavy": "noise-band"}
+    # host-tail: <= 2.0 + 3.5 + 0.5 = 6.0 — where the pin's own runs landed
     assert bench.query_verdicts({"heavy": 5.5}, pins) == {"heavy": "host-tail"}
-    assert bench.query_verdicts({"heavy": 6.5}, pins) == {"heavy": "host-tail"}
+    assert bench.query_verdicts({"heavy": 6.0}, pins) == {"heavy": "host-tail"}
     # beyond anything the pin ever saw -> regressed
-    assert bench.query_verdicts({"heavy": 6.51}, pins) == {"heavy": "regressed"}
+    assert bench.query_verdicts({"heavy": 6.01}, pins) == {"heavy": "regressed"}
     # no tail recorded -> band collapses (strictest): 5.5 is regressed
     no_tail = {"heavy": {"median": 2.0, "spread": 0.4}}
     assert bench.query_verdicts({"heavy": 5.5}, no_tail) == {"heavy": "regressed"}
