@@ -51,12 +51,38 @@ GOLDEN = {
         "hll_sketch_rollup_nation_region": ("999e21af951c6d35", 5),
         "image_dhash_near_dup": ("0c9535d33503cd4e", 8),
     },
+    # r9 (r8 verdict demand #4): the BENCH scale factor. sf0.1 was
+    # exercised by bench.py but never PINNED, so a scale-dependent drift
+    # in BPE/HLL/packing would have surfaced as a bench anomaly instead
+    # of a test failure. Hashes verified bit-stable across two sessions
+    # with different parallelism (16 vs 8 cpus) and shuffle partitioning
+    # (32 vs 17) before pinning.
+    "/root/testdata/sf0.1": {
+        "bpe_train_merges": ("2a6a5c8288edd049", 107),
+        "bpe_tokenize_counts": ("279f7687b27a4f5e", 5000),
+        "pack_sequences_bestfit": ("f909771cd7dd7e07", 5000),
+        "imaging_pipeline_patches": ("2b18d392403cfae3", 80),
+        "imaging_snr_metrics": ("9de41867f10f83a6", 3),
+        "multimodal_feature_extract": ("68afe1f7481bc1c0", 12),
+        "multimodal_frame_sample": ("6f1277fef5b97cf9", 16),
+        "imaging_triptych_render": ("76746811f5b3549b", 2),
+        "hll_sketch_rollup_nation_region": ("2921490f43e036b2", 5),
+        "image_dhash_near_dup": ("0c9535d33503cd4e", 8),
+    },
 }
 
 
 def test_every_no_oracle_query_is_pinned():
     from etl_mri_scripts_spark.queries import ORACLES
 
+    # Three scale factors, including the bench SF (r9): a query pinned at
+    # fewer scales has an unguarded regime — drop a pin set and this
+    # meta-test, not a reviewer, notices.
+    assert set(GOLDEN) == {
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    }
     no_oracle = set(QUERIES) - set(ORACLES)
     for sf, pins in GOLDEN.items():
         unpinned = no_oracle - set(pins)
