@@ -106,9 +106,14 @@ def main() -> int:
         help="re-derive the pinned statistics from the runs already "
              "recorded in the pin file (no new measurement)",
     )
+    ap.add_argument(
+        "--out", default=None,
+        help="override the pin file path (tests; default: the mode's "
+             "real pin at the repo root)",
+    )
     args = ap.parse_args()
 
-    out_path = os.path.join(HERE, PIN_FILES[args.mode])
+    out_path = args.out or os.path.join(HERE, PIN_FILES[args.mode])
     prev = None
     try:
         with open(out_path) as f:
@@ -164,7 +169,10 @@ def main() -> int:
             "previous_pin_method": prev.get("pin_method"),
         }
 
-    first = runs[0]
+    # Geometry/provenance fields: a fresh run's full bench output carries
+    # them, but the runs RECORDED in a pin are trimmed to RUN_KEYS — on
+    # --recompute they must come from the previous pin's own top level.
+    geom = prev if args.recompute else runs[0]
     out = {
         "metric": "imaging_pipeline_throughput",
         "mode": args.mode,
@@ -173,11 +181,11 @@ def main() -> int:
             "not shape-neutral: a skew run's 960x840 slices are ~22x the "
             "pixels of the uniform 192x192 fleet — compare patches/s or MB/s"
         ),
-        "n_volumes": first["n_volumes"],
-        "shape": first["shape"],
-        "n_slices": first["n_slices"],
-        "n_patches": first["n_patches"],
-        "payload_mb": first["payload_mb"],
+        "n_volumes": geom["n_volumes"],
+        "shape": geom["shape"],
+        "n_slices": geom["n_slices"],
+        "n_patches": geom["n_patches"],
+        "payload_mb": geom["payload_mb"],
         "geometry": "crop 128 / step 64, scales (2,4), preset 3tFlash "
                     "(reference v2 nii_to_lmdb.py:343-344)",
         "pin_method": (
@@ -190,8 +198,8 @@ def main() -> int:
         "runs": [{k: r[k] for k in RUN_KEYS if k in r} for r in runs],
         "history": {**prev_history, "note": args.note},
     }
-    if "big_shape" in first:
-        out["big_shape"] = first["big_shape"]
+    if "big_shape" in geom:
+        out["big_shape"] = geom["big_shape"]
     # Atomic replace: out_path may be the --recompute INPUT (the only copy
     # of the raw measurement) — a truncating open('w') interrupted
     # mid-dump would destroy it.

@@ -181,6 +181,55 @@ def test_imaging_throughput_verdict_bands():
     assert _throughput_verdict(195.0, {"median": 300.0, "spread": 30.0}) == "regressed"
 
 
+def test_imaging_pin_recompute_round_trips(tmp_path):
+    """--recompute re-derives stats from the runs recorded in the pin —
+    including the geometry fields, which the trimmed per-run records do
+    NOT carry (they must come from the previous pin's top level, found
+    by review in r9 before it could strike)."""
+    import subprocess
+    import sys
+
+    run = {
+        "value": 100.0, "wall_sec": 600.0, "patches_per_sec": 300.0,
+        "payload_mb_per_sec": 9.0, "n_patches": 190050,
+        "key_parity_ok": True, "host_probe_sec": 0.016,
+        "host_probe_start_end": [0.016, 0.016],
+    }
+    runs = []
+    for i, (rate, probe) in enumerate(
+        [(290.0, 0.016), (296.0, 0.015), (302.0, 0.017),
+         (194.0, 0.016), (330.0, 0.016)]
+    ):
+        r = dict(run)
+        r["patches_per_sec"], r["host_probe_sec"] = rate, probe
+        runs.append(r)
+    pin = {
+        "mode": "skew", "runs": runs,
+        "n_volumes": 9, "shape": [192, 192, 48], "n_slices": 3144,
+        "n_patches": 190050, "payload_mb": 5470.0,
+        "big_shape": [960, 840, 640],
+    }
+    out = tmp_path / "pin.json"
+    out.write_text(json.dumps(pin))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(HERE, "pin_imaging_baseline.py"),
+         "--mode", "skew", "--recompute", "--out", str(out)],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, proc.stderr
+    new = json.loads(out.read_text())
+    # geometry survived the recompute
+    assert new["big_shape"] == [960, 840, 640]
+    assert new["n_volumes"] == 9 and new["payload_mb"] == 5470.0
+    # stats derived: host_probe_pin = median probe; spread trimmed
+    assert new["host_probe_pin"] == 0.016
+    st = new["stats"]["patches_per_sec"]
+    assert st["median"] > 0 and st["spread"] < 100  # 194-outlier trimmed
+    assert "recomputed" in new["pin_method"]
+    # the raw runs are preserved verbatim for the next recompute
+    assert len(new["runs"]) == 5
+
+
 def test_imaging_pin_stats_trim_and_tail():
     from bench_imaging import pin_stats
 
