@@ -309,6 +309,13 @@ def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
         if out["verdict"] == "regressed":
             out["ok"] = False  # the statistic gate has teeth, not just 2x
     notes = []
+    probe_pair = result.get("host_probe_start_end") or [None, None]
+    if all(probe_pair) and max(probe_pair) / min(probe_pair) > 2:
+        notes.append(
+            f"start/end probes disagree >2x ({probe_pair}) — host load "
+            "shifted DURING the run; the median probe under-corrects, "
+            "prefer a re-run before trusting a non-ok verdict"
+        )
     if broken_run:
         notes.append(
             f"pinned metric(s) {broken_run} observed as 0/missing — broken run"

@@ -230,6 +230,34 @@ def test_imaging_pin_recompute_round_trips(tmp_path):
     assert len(new["runs"]) == 5
 
 
+def test_imaging_gate_flags_probe_disagreement(tmp_path):
+    """Start/end probes disagreeing >2x mean the load shifted DURING the
+    run — the median probe under-corrects and any non-ok verdict needs a
+    re-run; the gate must say so instead of silently adjudicating."""
+    from bench_imaging import PIN_FILES, _drift_gate
+
+    pin = {
+        "patches_per_sec": 300.0, "payload_mb_per_sec": 9.0,
+        "host_probe_pin": 0.016,
+        "stats": {
+            "patches_per_sec": {"median": 300.0, "spread": 20.0, "tail": 80.0},
+            "payload_mb_per_sec": {"median": 9.0, "spread": 0.6, "tail": 2.4},
+        },
+    }
+    (tmp_path / PIN_FILES["skew"]).write_text(json.dumps(pin))
+    result = {
+        "patches_per_sec": 290.0, "payload_mb_per_sec": 8.7,
+        "host_probe_sec": 0.02, "host_probe_start_end": [0.01, 0.03],
+    }
+    g = _drift_gate("skew", result, pin_dir=str(tmp_path))
+    assert g["verdict_gate"] == "active"
+    assert "disagree" in g.get("note", "")
+    # steady probes -> no note
+    result["host_probe_start_end"] = [0.019, 0.021]
+    g2 = _drift_gate("skew", result, pin_dir=str(tmp_path))
+    assert "disagree" not in g2.get("note", "")
+
+
 def test_imaging_pin_stats_trim_and_tail():
     from bench_imaging import pin_stats
 
