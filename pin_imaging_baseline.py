@@ -61,38 +61,37 @@ def derive(runs: list[dict]) -> dict:
     fresh pins and --recompute, so the pin is always the derivation of
     its own recorded measurement."""
     probes = [r["host_probe_sec"] for r in runs]
-    host_probe_pin = round(median(probes), 5)
-    stats = {}
-    normalized_runs: dict[str, list[float]] = {}
-    for m in DRIFT_GATE_METRICS:
-        normalized_runs[m] = [
-            round(r[m] * (r["host_probe_sec"] / host_probe_pin), 2) for r in runs
-        ]
-        stats[m] = pin_stats(normalized_runs[m])
+    stats = {
+        m: pin_stats([r[m] for r in runs]) for m in DRIFT_GATE_METRICS
+    }
     med = lambda k: round(median(r[k] for r in runs), 2)
     return {
         "patches_per_sec": med("patches_per_sec"),
         "payload_mb_per_sec": med("payload_mb_per_sec"),
         "wall_sec_median": med("wall_sec"),
-        "host_probe_pin": host_probe_pin,
+        "host_probe_pin": round(median(probes), 5),
         "host_probe_pin_method": (
             "median over pin runs of each run's host_probe_sec "
             "(bench_imaging.host_probe: fixed pure-numpy degrade_slice "
-            "workload, median of 5, 1 warmup) - the host-speed yardstick "
-            "a live run's probe is divided by"
+            "workload, median of 5, 1 warmup). DIAGNOSTIC ONLY - the r9 "
+            "skew pin measured the single-thread probe ANTI-correlated "
+            "with 32-thread pipeline throughput on this host (ratio 1.33 "
+            "on the 2nd-fastest run, 0.60 on the slowest), so "
+            "probe-normalizing rates amplified the same-tree spread "
+            "1.41x -> 2.94x; verdicts run on RAW rates and the probe is "
+            "reported as evidence for adjudicating non-ok verdicts"
         ),
         "stats": stats,
         "stats_method": (
             "per rate metric: median + outlier-trimmed spread (single "
             "best and worst run dropped, n>=4) + downward tail (all-runs "
-            "median minus worst run) of the PROBE-NORMALIZED rates "
-            "(rate * probe_sec / host_probe_pin) across the pin runs - "
-            "feeds bench_imaging.throughput_verdict (ok / noise-band / "
-            "host-tail / regressed); the r8 skew triplet (194/222/312 "
-            "p/s, same tree) motivated tail: the slow runs must read "
+            "median minus worst run) of the RAW rates across the pin "
+            "runs - feeds bench_imaging.throughput_verdict (ok / "
+            "noise-band / host-tail / regressed); the r8 skew triplet "
+            "(194/222/312 p/s, same tree) motivated tail: a slow run "
+            "inside the pin's own recorded excursions must read "
             "host-tail mechanically, not via narrative adjudication"
         ),
-        "normalized_runs": normalized_runs,
     }
 
 
