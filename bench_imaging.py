@@ -94,19 +94,19 @@ def host_probe(repeats: int = PROBE_REPEATS) -> float:
 # `tail` is the pin runs' worst downward excursion from their median).
 
 IMG_NOISE_REL_BAND = 0.15  # cross-day host-weather allowance below the
-# pinned band, beyond what probe normalization removes. Measured, not
-# guessed: across the r8 same-tree skew triplet the probe-normalizable
-# spread left ~10-15% residual run-to-run scatter (Spark task scheduling,
-# page cache) that a single-threaded CPU probe cannot see.
+# pinned band. Measured, not guessed: the same-session no-change scatter
+# (Spark task scheduling, page cache) the pin's trimmed spread encodes
+# leaves ~10-15% residual across DAYS on this host, and no corrector
+# removes it (the CPU probe demonstrably can't — see the probe block).
 
 
 def pin_stats(rates: list[float]) -> dict:
     """median + outlier-trimmed spread + downward tail over the pin runs'
-    (probe-normalized) rates. Trim drops the single best and worst run
-    when n >= 4 — the r8 skew triplet's 194 p/s outlier would otherwise
-    dominate the band and make the gate toothless; `tail` records what
-    the trim dropped so a live run landing where the pin's own runs
-    landed reads host-tail, never regressed."""
+    raw rates. Trim drops the single best and worst run when n >= 4 —
+    the r8 skew triplet's 194 p/s outlier would otherwise dominate the
+    band and make the gate toothless; `tail` records what the trim
+    dropped so a live run landing where the pin's own runs landed reads
+    host-tail, never regressed."""
     s = sorted(rates)
     med_all = median(s)
     trimmed = s[1:-1] if len(s) >= 4 else s
@@ -117,18 +117,19 @@ def pin_stats(rates: list[float]) -> dict:
     }
 
 
-def throughput_verdict(normalized_rate: float, pin: dict) -> str:
-    """ok / noise-band / host-tail / regressed for a probe-normalized
+def throughput_verdict(rate: float, pin: dict) -> str:
+    """ok / noise-band / host-tail / regressed for an observed raw
     throughput against a pinned {median, spread, tail} — the rate-form
-    mirror of bench.query_verdicts' time bands."""
+    mirror of bench.query_verdicts' time bands (regression = LOWER, so
+    every band extends downward)."""
     med, spread = pin["median"], pin.get("spread", 0.0)
     tail = pin.get("tail", 0.0) or 0.0
     slack = IMG_NOISE_REL_BAND * med
-    if normalized_rate >= med - spread:
+    if rate >= med - spread:
         return "ok"
-    if normalized_rate >= med - spread - slack:
+    if rate >= med - spread - slack:
         return "noise-band"
-    if normalized_rate >= med - tail - slack:
+    if rate >= med - tail - slack:
         return "host-tail"
     return "regressed"
 
@@ -272,14 +273,14 @@ def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
         ),
     }
     # Machine verdict against pin statistics (r9, r8 verdict demand #2):
-    # probe-normalize the observed rates to pin-host conditions and
-    # adjudicate each against the pin runs' own normalized median /
+    # adjudicate each observed raw rate against the pin runs' own median /
     # trimmed spread / downward tail — ok / noise-band / host-tail /
-    # regressed, so a 1.5x host-tail run self-identifies instead of
-    # needing a "decisive third run" narrative. The verdict keys are
-    # emitted even when the gate can't run (pre-r9 pin without stats,
-    # missing probe) with an explicit reason — a silently absent verdict
-    # would be misread as ok (the bench.py r8 lesson).
+    # regressed, so a slow-but-inside-recorded-variance run
+    # self-identifies instead of needing a "decisive third run"
+    # narrative. The verdict keys are emitted even when the gate can't
+    # run (pre-r9 pin without stats, broken measurement) with an
+    # explicit reason — a silently absent verdict would be misread as ok
+    # (the bench.py r8 lesson).
     stats = pin.get("stats")
     probe_pin = pin.get("host_probe_pin")
     probe_obs = result.get("host_probe_sec")
@@ -289,6 +290,12 @@ def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
             "inactive: pin has no stats (pre-r9 pin); "
             "re-pin with pin_imaging_baseline.py"
         )
+    elif broken_run or broken_pin:
+        # A 0/missing rate on either side is a broken MEASUREMENT, not a
+        # slow run — the surviving metric must not let the top-level
+        # verdict read `ok` while ok=False says the gate failed.
+        out["verdict"] = None
+        out["verdict_gate"] = "inactive: broken measurement/pin (see note)"
     else:
         # RAW rates vs the pin runs' raw trimmed spread + tail (see the
         # probe block comment: normalizing by the probe amplified the

@@ -258,6 +258,27 @@ def test_imaging_gate_flags_probe_disagreement(tmp_path):
     assert "disagree" not in g2.get("note", "")
 
 
+def test_imaging_gate_broken_measurement_never_reads_ok(tmp_path):
+    """A pinned metric observed as 0/missing is a broken measurement:
+    ok=False AND verdict=None — the surviving metric must not let the
+    top-level verdict read `ok` while the gate says failed."""
+    from bench_imaging import PIN_FILES, _drift_gate
+
+    pin = {
+        "patches_per_sec": 300.0, "payload_mb_per_sec": 9.0,
+        "stats": {
+            "patches_per_sec": {"median": 300.0, "spread": 20.0, "tail": 80.0},
+            "payload_mb_per_sec": {"median": 9.0, "spread": 0.6, "tail": 2.4},
+        },
+    }
+    (tmp_path / PIN_FILES["skew"]).write_text(json.dumps(pin))
+    result = {"patches_per_sec": 310.0, "payload_mb_per_sec": 0}
+    g = _drift_gate("skew", result, pin_dir=str(tmp_path))
+    assert g["ok"] is False
+    assert g["verdict"] is None
+    assert "broken" in g["verdict_gate"]
+
+
 def test_imaging_pin_stats_trim_and_tail():
     from bench_imaging import pin_stats
 
