@@ -8,15 +8,17 @@ runs, and the pin now records the same statistics pin_bench_baseline.py
 records for the relational bench, in rate form:
 
 - ``host_probe_pin``  median over runs of each run's fixed pure-numpy
-                      degradation probe (bench_imaging.host_probe) — the
-                      host-speed yardstick a live run divides its own
-                      probe by.
+                      degradation probe (bench_imaging.host_probe) — a
+                      recorded DIAGNOSTIC a live run's probe is compared
+                      against when adjudicating a non-ok verdict, never
+                      multiplied into the statistic (the r9 skew pin
+                      measured the probe anti-correlated with pipeline
+                      throughput; see bench_imaging.py's probe block).
 - ``stats``           per rate metric: {median, outlier-trimmed spread,
-                      downward tail} of the PROBE-NORMALIZED rates across
-                      the pin runs (rate * probe_sec / host_probe_pin —
-                      the exact statistic a live run's drift gate
+                      downward tail} of the RAW rates across the pin
+                      runs — the exact statistic a live run's drift gate
                       computes for itself, so the comparison is
-                      statistic-matched on both sides).
+                      statistic-matched on both sides.
 
 The pinned headline rates stay the SHAPE-NEUTRAL ones (patches/s,
 payload MB/s): slices/s is not comparable across modes because a skew
