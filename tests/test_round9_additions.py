@@ -279,6 +279,30 @@ def test_imaging_gate_broken_measurement_never_reads_ok(tmp_path):
     assert "broken" in g["verdict_gate"]
 
 
+def test_imaging_gate_zero_false_regressions_on_pin_runs():
+    """The imaging mirror of the bench-gate self-validation: replaying
+    each mode's pin runs (no-change code by definition) through
+    throughput_verdict must produce zero `regressed` — by construction a
+    recorded run is never below the all-runs minimum, and the tail band
+    reaches exactly that far."""
+    from bench_imaging import DRIFT_GATE_METRICS, PIN_FILES, throughput_verdict
+
+    for mode, fn in PIN_FILES.items():
+        path = os.path.join(HERE, fn)
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            pin = json.load(f)
+        if not pin.get("stats"):
+            pytest.fail(f"{fn}: pre-r9 pin without stats — re-pin")
+        for run in pin["runs"]:
+            for m in DRIFT_GATE_METRICS:
+                v = throughput_verdict(run[m], pin["stats"][m])
+                assert v != "regressed", (
+                    f"{mode}/{m}: pin's own run {run[m]} reads regressed"
+                )
+
+
 def test_imaging_pin_stats_trim_and_tail():
     from bench_imaging import pin_stats
 
