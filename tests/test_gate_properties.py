@@ -1,0 +1,93 @@
+"""Property tests for the drift-gate algebra (r9).
+
+The self-validation tests replay the CURRENT pins' recorded runs; these
+lock the underlying claims for EVERY possible pin, so a future re-pin
+cannot quietly break them:
+
+1. A pin's own runs can never read `regressed`. Algebra: for sorted
+   samples s, median(s[1:-1]) == median(s) (dropping one element from
+   each end preserves the middle), so the regressed floor
+   ``median - tail - slack = s[0] + (med_trim - med_all) - slack``
+   collapses to ``s[0] - slack`` — strictly below the worst recorded
+   run. Same argument mirrored for the time-form bench gate.
+2. Verdict severity is monotone: a slower time (or lower rate) never
+   yields a LESS severe verdict.
+"""
+
+from __future__ import annotations
+
+from statistics import median
+
+from hypothesis import given, strategies as st
+
+import bench
+from bench_imaging import pin_stats, throughput_verdict
+
+SEVERITY = ["ok", "noise-band", "host-tail", "regressed"]
+
+rates = st.lists(
+    st.floats(min_value=1.0, max_value=1e4, allow_nan=False, width=32),
+    min_size=3,
+    max_size=12,
+)
+
+
+@given(rates)
+def test_trimmed_median_equals_full_median(samples):
+    s = sorted(samples)
+    trimmed = s[1:-1] if len(s) >= 4 else s
+    assert median(trimmed) == median(s)
+
+
+@given(rates)
+def test_imaging_pin_runs_never_regress_against_their_own_pin(samples):
+    pin = pin_stats(samples)
+    for r in samples:
+        assert throughput_verdict(r, pin) != "regressed"
+
+
+@given(rates, st.floats(min_value=0.0, max_value=2.0, allow_nan=False))
+def test_imaging_verdict_monotone_in_rate(samples, drop):
+    pin = pin_stats(samples)
+    hi = max(samples)
+    lo = hi * (1.0 - drop / 2.0)
+    assert SEVERITY.index(throughput_verdict(lo, pin)) >= SEVERITY.index(
+        throughput_verdict(hi, pin)
+    )
+
+
+times = st.lists(
+    st.floats(min_value=0.01, max_value=100.0, allow_nan=False),
+    min_size=3,
+    max_size=12,
+)
+
+
+def _time_pin(samples):
+    # the pin_bench_baseline.py per-query recipe, inlined
+    s = sorted(round(x, 4) for x in samples)
+    med_all = median(s)
+    trimmed = s[1:-1] if len(s) >= 4 else s
+    return {
+        "median": round(median(trimmed), 4),
+        "spread": round(trimmed[-1] - trimmed[0], 4),
+        "tail": round(max(s[-1] - med_all, 0.0), 4),
+    }
+
+
+@given(times)
+def test_bench_pin_runs_never_regress_against_their_own_pin(samples):
+    pin = {"q": _time_pin(samples)}
+    for t in samples:
+        v = bench.query_verdicts({"q": round(t, 4)}, pin)["q"]
+        assert v != "regressed"
+
+
+@given(times, st.floats(min_value=1.0, max_value=5.0, allow_nan=False))
+def test_bench_verdict_monotone_in_time(samples, factor):
+    pin = {"q": _time_pin(samples)}
+    base = min(samples)
+    slow = base * factor
+    v_fast = bench.query_verdicts({"q": round(base, 4)}, pin)["q"]
+    v_slow = bench.query_verdicts({"q": round(slow, 4)}, pin)["q"]
+    assert SEVERITY.index(v_slow) >= SEVERITY.index(v_fast)
