@@ -205,25 +205,40 @@ def positional_normalize(
 # through as `ok` in r8. Pins >= NOISE_REL_TIGHT_AT_S get the tighter
 # 25% band; positional normalization has already removed host weather at
 # that point, and multi-second queries' normalized times are the stable
-# ones (their work dwarfs per-task scheduling noise). Pins in
-# (0.7 s, 1 s) keep the legacy 50% band — their slack (0.35-0.5 s) is
-# still scheduler-jitter-sized, and tightening them bought nothing in
-# the r8 data. Validated by replaying the r8 pin's own recorded runs
-# through the tightened gate: zero false `regressed`
-# (tests/test_round9_additions.py).
-NOISE_REL_BAND = 0.5          # pins below the tighten threshold
+# ones (their work dwarfs per-task scheduling noise). The band
+# INTERPOLATES linearly between NOISE_REL_TIGHT_FROM_S (50%) and
+# NOISE_REL_TIGHT_AT_S (25%) — r10, r9 ADVICE: the r9 step function was
+# non-monotonic at the 1 s threshold (a 0.99 s pin got 0.495 s slack, a
+# 1.0 s pin 0.35 s), so a re-pin drifting across 1 s would have flipped
+# the band width discontinuously. With interpolation the resulting slack
+# max(rel(m)*m, floor) is monotone non-decreasing in the pin median:
+# rel(m)*m <= 0.35 everywhere below 1.4 s (0.5*0.7 = 0.35 at the left
+# edge, decreasing product through the ramp, 0.25*1.4 = 0.35 at the
+# right), so slack is the 0.35 s floor up to 1.4 s and 25% beyond —
+# locked by a hypothesis property (tests/test_gate_properties.py).
+# Validated by replaying the r8 pin's own recorded runs through the
+# tightened gate: zero false `regressed` (tests/test_round9_additions.py)
+# — a property that holds for ANY slack >= 0 (the regressed floor sits
+# strictly below the pin's own worst run before slack is even added).
+NOISE_REL_BAND = 0.5          # pins at/below the ramp start
 NOISE_REL_BAND_BIG = 0.25     # pins >= NOISE_REL_TIGHT_AT_S
+NOISE_REL_TIGHT_FROM_S = 0.7  # ramp start: 0.5*0.7 s = the 0.35 s floor
 NOISE_REL_TIGHT_AT_S = 1.0
 NOISE_ABS_FLOOR_S = 0.35
 
 
 def noise_slack(pin_median: float) -> float:
-    """Cross-day host-weather allowance above a query's pinned band."""
-    rel = (
-        NOISE_REL_BAND_BIG
-        if pin_median >= NOISE_REL_TIGHT_AT_S
-        else NOISE_REL_BAND
-    )
+    """Cross-day host-weather allowance above a query's pinned band.
+    Monotone non-decreasing in ``pin_median`` (see band comment)."""
+    if pin_median >= NOISE_REL_TIGHT_AT_S:
+        rel = NOISE_REL_BAND_BIG
+    elif pin_median <= NOISE_REL_TIGHT_FROM_S:
+        rel = NOISE_REL_BAND
+    else:
+        frac = (pin_median - NOISE_REL_TIGHT_FROM_S) / (
+            NOISE_REL_TIGHT_AT_S - NOISE_REL_TIGHT_FROM_S
+        )
+        rel = NOISE_REL_BAND + (NOISE_REL_BAND_BIG - NOISE_REL_BAND) * frac
     return max(rel * pin_median, NOISE_ABS_FLOOR_S)
 
 

@@ -301,24 +301,41 @@ def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
         # probe block comment: normalizing by the probe amplified the
         # no-change spread on this host, so the probe is reported as
         # diagnostic evidence, never multiplied into the statistic).
-        observed = {
-            m: result[m]
-            for m in DRIFT_GATE_METRICS
-            if result.get(m) and m in stats
-        }
-        verdicts = {m: throughput_verdict(v, stats[m]) for m, v in observed.items()}
+        verdicts: dict = {}
+        no_stats = []
+        for m in DRIFT_GATE_METRICS:
+            if not result.get(m):
+                continue  # neither observed nor pinned-broken (else-branch)
+            if m in stats and stats[m].get("median"):
+                verdicts[m] = throughput_verdict(result[m], stats[m])
+            else:
+                # An observed metric absent from pin['stats'] (hand-edited
+                # or partially-derived pin) gets an explicit per-metric
+                # verdict — mirroring bench.py's `no-pin` — instead of a
+                # silent exclusion that would let the overall verdict read
+                # `ok` while this rate is covered only by the loose 2x
+                # backstop (r9 ADVICE).
+                verdicts[m] = "no-stats"
+                no_stats.append(m)
+        adjudicated = {m: v for m, v in verdicts.items() if v != "no-stats"}
         severity = ["ok", "noise-band", "host-tail", "regressed"]
         if probe_obs and probe_pin:
             out["probe"] = {
                 "observed_sec": probe_obs, "pin_sec": probe_pin,
                 "ratio_diagnostic_only": round(probe_obs / probe_pin, 4),
             }
-        out["stats_pinned"] = {m: stats[m] for m in observed}
+        out["stats_pinned"] = {m: stats[m] for m in adjudicated}
         out["metric_verdicts"] = verdicts
         out["verdict"] = (
-            max(verdicts.values(), key=severity.index) if verdicts else None
+            max(adjudicated.values(), key=severity.index) if adjudicated else None
         )
-        out["verdict_gate"] = "active"
+        out["verdict_gate"] = (
+            "active (partial): observed metric(s) "
+            f"{no_stats} absent from pin stats — covered only by the 2x "
+            "backstop; re-pin with pin_imaging_baseline.py"
+            if no_stats
+            else "active"
+        )
         if out["verdict"] == "regressed":
             out["ok"] = False  # the statistic gate has teeth, not just 2x
     notes = []

@@ -192,7 +192,8 @@ def main() -> int:
         "pin_method": (
             f"median of {len(runs)} runs (per-metric median; all runs "
             "recorded), idle host, local[32], pinned by pin_imaging_baseline.py "
-            "(r9 protocol: probe-normalized stats with trim + tail)"
+            "(r9 protocol: raw-rate stats with trim + tail; probe "
+            "recorded as diagnostic only)"
             + ("; statistics recomputed from the recorded runs via "
                "--recompute (no new measurement)" if args.recompute else "")
         ),

@@ -83,6 +83,18 @@ def test_bench_pin_runs_never_regress_against_their_own_pin(samples):
         assert v != "regressed"
 
 
+@given(
+    st.floats(min_value=0.01, max_value=100.0, allow_nan=False),
+    st.floats(min_value=0.01, max_value=100.0, allow_nan=False),
+)
+def test_noise_slack_monotone_in_pin_median(a, b):
+    """r10 (r9 ADVICE): the interpolated rel band makes slack monotone
+    non-decreasing in the pin median — a re-pin drifting across the 1 s
+    threshold can no longer loosen its own gate by ~40%."""
+    lo, hi = sorted((a, b))
+    assert bench.noise_slack(lo) <= bench.noise_slack(hi) + 1e-12
+
+
 @given(times, st.floats(min_value=1.0, max_value=5.0, allow_nan=False))
 def test_bench_verdict_monotone_in_time(samples, factor):
     pin = {"q": _time_pin(samples)}

@@ -13,8 +13,9 @@
 - skew imaging bench statistics (demand #2): pin_imaging_baseline pins
   median + outlier-trimmed spread + tail from >= 5 runs; bench_imaging
   emits a machine verdict (ok / noise-band / host-tail / regressed) on
-  probe-normalized throughput, so a host-tail run self-identifies
-  without narrative adjudication.
+  RAW-rate throughput — the host probe is recorded as diagnostic
+  evidence only, never multiplied into the statistic — so a host-tail
+  run self-identifies without narrative adjudication.
 
 No Spark session needed — pure-Python stat/format work.
 """
@@ -38,13 +39,21 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_noise_slack_is_graduated():
     # sub-second pins: absolute floor dominates (scheduler jitter)
     assert bench.noise_slack(0.25) == pytest.approx(0.35)
-    # legacy 50% band below the tighten threshold
-    assert bench.noise_slack(0.9) == pytest.approx(0.45)
+    # r10 (r9 ADVICE): the rel band now interpolates 50% -> 25% across
+    # (0.7 s, 1.0 s), so rel*median never exceeds the 0.35 s floor below
+    # 1.4 s — the old step gave a 0.99 s pin 0.495 s slack and a 1.0 s
+    # pin 0.35 s (non-monotone across a re-pin drifting past 1 s)
+    assert bench.noise_slack(0.7) == pytest.approx(0.35)
+    assert bench.noise_slack(0.9) == pytest.approx(0.35)
+    assert bench.noise_slack(0.99) == pytest.approx(0.35)
     # >= 1 s: the r9 tightened 25% band (r8: dedup_semantic_keep rode a
     # 1.30x raw drift through the 50% band as `ok`)
     assert bench.noise_slack(1.0) == pytest.approx(0.35)  # 0.25 < floor
+    assert bench.noise_slack(1.4) == pytest.approx(0.35)  # floor crossover
     assert bench.noise_slack(1.6) == pytest.approx(0.40)
     assert bench.noise_slack(3.0) == pytest.approx(0.75)
+    # the old discontinuity, gone: slack never shrinks as the pin grows
+    assert bench.noise_slack(0.99) <= bench.noise_slack(1.0)
 
 
 def test_tightened_gate_zero_false_regressions_on_pin_runs():
