@@ -103,3 +103,45 @@ def test_bench_verdict_monotone_in_time(samples, factor):
     v_fast = bench.query_verdicts({"q": round(base, 4)}, pin)["q"]
     v_slow = bench.query_verdicts({"q": round(slow, 4)}, pin)["q"]
     assert SEVERITY.index(v_slow) >= SEVERITY.index(v_fast)
+
+
+# ------------------- gate-memory streak algebra (r10) ---------------------
+
+verdict_st = st.sampled_from(
+    ["ok", "noise-band", "host-tail", "regressed", "no-pin"]
+)
+history_st = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=30),
+              st.fixed_dictionaries({"q": verdict_st})),
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(verdict_st, history_st)
+def test_streak_is_the_maximal_non_ok_prefix(cur, history):
+    """consecutive_non_ok("q") == length of the maximal all-non-ok prefix
+    of [current, newest round, next-newest, ...] — the independent spec
+    restated: any reset/break/skip bug diverges from this fold."""
+    streaks = bench.consecutive_non_ok({"q": cur}, history)
+    seq = [cur] + [v["q"] for _, v in sorted(history, reverse=True)]
+    expect = 0
+    for v in seq:
+        if v in bench.NON_OK_VERDICTS:
+            expect += 1
+        else:
+            break
+    if expect == 0:
+        assert "q" not in streaks
+    else:
+        assert streaks["q"] == expect
+
+
+@given(history_st)
+def test_ok_newest_round_caps_streak_at_one(history):
+    """One green driver round discharges any accumulated streak: with the
+    newest history round reading ok, a current non-ok can never exceed 1
+    — escalation is about CONSECUTIVE evidence, not lifetime totals."""
+    newest = max((r for r, _ in history), default=0) + 1
+    hist = history + [(newest, {"q": "ok"})]
+    assert bench.consecutive_non_ok({"q": "noise-band"}, hist) == {"q": 1}

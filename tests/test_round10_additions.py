@@ -64,6 +64,107 @@ def test_imaging_gate_no_stats_metric_is_explicit(tmp_path):
     assert "no-stats" not in g2["metric_verdicts"].values()
 
 
+# -------------------- drift-gate memory (verdict #2) ----------------------
+
+
+def test_consecutive_non_ok_counts_and_resets():
+    history = [
+        (7, {"q": "ok", "r": "noise-band"}),
+        (8, {"q": "noise-band", "r": "ok"}),
+        (9, {"q": "host-tail", "r": "noise-band"}),
+    ]
+    cur = {"q": "noise-band", "r": "noise-band", "s": "ok", "t": "regressed"}
+    streaks = bench.consecutive_non_ok(cur, history)
+    # q: current + r9 + r8 non-ok, r7 ok stops it -> 3
+    assert streaks["q"] == 3
+    # r: current + r9 non-ok, r8 ok stops it (r7's noise-band is older
+    # than the reset and must not leak through) -> 2
+    assert streaks["r"] == 2
+    # s is currently ok -> omitted entirely (streak 0 by definition)
+    assert "s" not in streaks
+    # t has no history -> just the current run
+    assert streaks["t"] == 1
+
+
+def test_consecutive_non_ok_indeterminate_breaks_streak():
+    """`no-pin` or a query absent from a round's record is unknown
+    history — it must BREAK the streak, never be counted as non-ok
+    (unknowns don't escalate) nor skipped over (that would splice
+    non-adjacent rounds into a fake streak)."""
+    cur = {"q": "noise-band", "r": "noise-band"}
+    history = [(8, {"q": "noise-band"}), (9, {"q": "no-pin", "r": "no-pin"})]
+    streaks = bench.consecutive_non_ok(cur, history)
+    assert streaks == {"q": 1, "r": 1}
+
+
+def test_consecutive_non_ok_orders_history_by_round_number():
+    """History arrives as (round, verdicts) tuples in file-glob order;
+    the streak must walk rounds newest-first numerically (r10 > r9 > r2),
+    not lexicographically."""
+    history = [
+        (2, {"q": "ok"}),
+        (10, {"q": "noise-band"}),
+        (9, {"q": "noise-band"}),
+    ]
+    assert bench.consecutive_non_ok({"q": "noise-band"}, history) == {"q": 3}
+
+
+def test_escalation_threshold_is_three():
+    """The escalation rule: a streak below ESCALATE_AT stays advisory, at
+    or above it the query lands in escalation_queries (locked so a future
+    edit can't quietly raise the bar)."""
+    assert bench.ESCALATE_AT == 3
+    history = [(8, {"q": "noise-band"}), (9, {"q": "noise-band"})]
+    streaks = bench.consecutive_non_ok({"q": "noise-band"}, history)
+    assert [n for n, k in streaks.items() if k >= bench.ESCALATE_AT] == ["q"]
+    streaks2 = bench.consecutive_non_ok({"q": "noise-band"}, history[1:])
+    assert [n for n, k in streaks2.items() if k >= bench.ESCALATE_AT] == []
+
+
+def test_load_driver_verdict_history_shapes(tmp_path):
+    """The loader recovers verdicts from every shape a driver round file
+    can take (direct dict, parsed block, tail fragment), ignores
+    non-round files (self-checks, imaging, A/B), skips pre-gate rounds,
+    and sorts ascending by round number."""
+    (tmp_path / "BENCH_r2.json").write_text(json.dumps(
+        {"n": 2, "tail": "no verdicts here"}))
+    (tmp_path / "BENCH_r8.json").write_text(json.dumps(
+        {"n": 8, "tail": 'prefix "query_verdicts": {"q": "noise-band"}, '
+                         '"query_gate": "active"}'}))
+    (tmp_path / "BENCH_r9.json").write_text(json.dumps(
+        {"n": 9, "parsed": {"query_verdicts": {"q": "ok"}}}))
+    (tmp_path / "BENCH_r10.json").write_text(json.dumps(
+        {"query_verdicts": {"q": "host-tail"}}))
+    (tmp_path / "BENCH_r9_SELF_CHECK.json").write_text(json.dumps(
+        {"query_verdicts": {"q": "regressed"}}))  # must be ignored
+    (tmp_path / "BENCH_IMAGING_SKEW_r9.json").write_text(json.dumps(
+        {"query_verdicts": {"q": "regressed"}}))  # must be ignored
+    hist = bench.load_driver_verdict_history(str(tmp_path))
+    assert [r for r, _ in hist] == [8, 9, 10]
+    assert [v["q"] for _, v in hist] == ["noise-band", "ok", "host-tail"]
+
+
+def test_gate_memory_on_real_repo_history():
+    """Lock the r9 verdict's concrete scenario against the actual driver
+    records: sample_stratified_exact and dedup_interdoc_segments read
+    noise-band in BOTH the r8 and r9 driver benches, so one more non-ok
+    in the next run must escalate them (streak 3) — while a query that
+    was ok in r9 cannot reach 3 regardless of r8."""
+    hist = bench.load_driver_verdict_history(HERE)
+    rounds = [r for r, _ in hist]
+    assert 8 in rounds and 9 in rounds  # tail-fragment recovery works
+    by_round = dict(hist)
+    for q in ("sample_stratified_exact", "dedup_interdoc_segments"):
+        assert by_round[8][q] == "noise-band"
+        assert by_round[9][q] == "noise-band"
+        assert bench.consecutive_non_ok({q: "noise-band"}, hist)[q] >= 3
+    # window_session_10m_gap was noise-band in r9 but ok in r8 -> 2
+    assert by_round[9]["window_session_10m_gap"] == "noise-band"
+    assert by_round[8]["window_session_10m_gap"] == "ok"
+    streak = bench.consecutive_non_ok({"window_session_10m_gap": "noise-band"}, hist)
+    assert streak["window_session_10m_gap"] == 2
+
+
 def test_imaging_gate_all_metrics_no_stats_verdict_none(tmp_path):
     """When NO observed metric has pin stats the verdict must be None
     (indeterminate), never a severity computed over zero metrics."""
