@@ -1,0 +1,249 @@
+#!/usr/bin/env python
+"""One-shot wall-time census of EVERY registered query at sf0.1
+(r10, r9 verdict demand #3).
+
+The per-round bench (bench.py) times the 51-query HEADLINE set under the
+pinned drift gate; the other ~149 registered queries were plan-audited
+(PLANS.md) and oracle-checked (CORRECTNESS/check_window) but had never
+been TIMED — a query with a clean plan shape can still hide a
+constant-factor problem (an expensive expression per row, an interpreted
+higher-order function in the hot path). This census closes that blind
+spot: single run per query, registry order, no gate and no pin — the
+point is order-of-magnitude outliers, not regression tracking.
+
+Flagging: a NON-headline query slower than the headline p95 (computed
+from the pinned per-query medians in BENCH_SELF_BASELINE.json, the
+stable statistic) is flagged and must carry an adjudication below —
+either "inherent shape" (justified) or a pointer to the fix. Headline
+queries are exempt: they are already measured 5x per round under the
+drift gate. Single-run census times land ABOVE pinned medians on
+average (they include each query's Catalyst compile, which the bench's
+median-of-5 absorbs), so adjudications should compare against the
+flagged query's own structure, not chase ±30% noise.
+
+Adjudications live HERE (reviewable, versioned, survive re-runs):
+a flagged query without an entry is listed as `unadjudicated` in the
+output — the census is not done until that list is empty.
+
+Usage: python bench_census.py [--out BENCH_CENSUS_r10.json]
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+# Adjudications for queries the census flags (> headline p95). Keys must
+# name registered queries; values say WHY the cost is inherent (or cite
+# the commit that fixed it). Reviewed per census run.
+ADJUDICATIONS: dict[str, str] = {
+    "dedup_pagerank_representatives": (
+        "FIXED in r10 (the census's one real finding): the old form "
+        "called dedup_connected_components() for component labels, "
+        "re-running the whole LSH+verify pipeline a second time, and "
+        "re-joined the static out-degree aggregate inside every power "
+        "iteration — 11.8 s census. Now both iterative algorithms share "
+        "one persisted edge list decorated with out-degree once. "
+        "Adjudicated by interleaved ABAB A/B (BENCH_AB_PAGERANK_r10.json, "
+        "the r9 recipe): new kernel 0.80x the old (7.91 vs 9.91 s "
+        "median-of-medians, faster in all 3 interleaved rounds) — the "
+        "flat census number was single-run host noise. The remainder is "
+        "inherent: PR_ITERS=10 fixed-point passes, each one shuffle + "
+        "eager lineage checkpoint — job-latency-bound at sf0.1, the "
+        "scale-correct shape at 100 TB"
+    ),
+    "dedup_lsh_quality_eval": (
+        "inherent: eval harness joining TWO different pipelines — the "
+        "exact n-gram-Jaccard ground truth (the diagnostic pair query) "
+        "and the LSH verified pairs — to score precision/recall; cost is "
+        "the sum of both pipelines by construction (queries/dedup.py "
+        "lsh_quality_eval)"
+    ),
+    "dedup_cluster_representatives": (
+        "inherent: composition over dedup_connected_components (iterative "
+        "CC, a gated headline query) plus one join + per-component window "
+        "on cluster-sized groups; cost = CC + epsilon"
+    ),
+    "dedup_keep_best_quality": (
+        "inherent: same composition as dedup_cluster_representatives with "
+        "a quality ORDER BY — labels from the same iterative CC; the "
+        "policy swap adds one documents join + window"
+    ),
+    "join_bucketed_colocated": (
+        "inherent (demonstration cost): the census time is dominated by "
+        "the one-time bucketed CTAS of orders+lineitem into the catalog — "
+        "the layout the query exists to demonstrate; the join itself is "
+        "exchange-free (PLANS.md: no shuffle before the 5-row rollup)"
+    ),
+    "dedup_triangle_count": (
+        "inherent: LSH verified-pairs pipeline + the two-equi-join "
+        "ordered-triangle enumeration over the persisted edge list; "
+        "upstream LSH (~1.8 s warm) dominates"
+    ),
+    "dedup_rate_by_source": (
+        "inherent: LSH verified-pairs pipeline + a documents join and "
+        "per-source rollup; upstream LSH dominates"
+    ),
+    "dedup_split_leakage_matrix": (
+        "inherent: LSH verified-pairs pipeline + split-pair crosstab; "
+        "upstream LSH dominates"
+    ),
+    "dedup_ngram_jaccard_pairs_diagnostic": (
+        "inherent: the exact-Jaccard pair pipeline verifies EVERY "
+        "DF-capped shingle-join candidate (no LSH pre-filter — it IS the "
+        "ground-truth side of the eval), keeping per-pair intersection "
+        "sizes for diagnostics"
+    ),
+    "two_phase_robust_normalize": (
+        "inherent: exact per-group percentiles then broadcast back over "
+        "the fact table — the same exact-percentile shape as the gated "
+        "headline agg_percentiles_exact (1.8 s pin); census single-run "
+        "adds its compile"
+    ),
+    "agg_median_abs_deviation": (
+        "inherent: MAD chains two exact-median aggregations (median, then "
+        "median of absolute deviations) — two full per-group sorts by "
+        "definition; each is the audited one-buffer percentile aggregate"
+    ),
+    "dedup_minhash_signatures": (
+        "inherent: the N_MINHASH signature computation over every "
+        "document — the shared base cost of the whole minhash family; "
+        "single projection + agg, no join"
+    ),
+    "customer_rfm_segments": (
+        "inherent: three deterministic NTILE quartile scores = three "
+        "range-partitioned global sorts of the customer-grain frame "
+        "(operators/rank.py two-phase scheme — never a single-partition "
+        "window); 0.27 s above the p95 threshold"
+    ),
+    "ann_pq_adc_topk": (
+        "inherent: per-subspace PQ codebook training (bounded-sample "
+        "Lloyd, driver-side K x dim only) + Arrow-batched ADC scan — the "
+        "sibling kernel of the gated headline ann_ivf_pq_topk (2.7 s "
+        "pin); 0.11 s above the p95 threshold"
+    ),
+    "dedup_simhash_16bit": (
+        "inherent: simhash over every document + 16-bit bucket self-join; "
+        "0.02 s above the p95 threshold — at the measurement floor"
+    ),
+    "key_build_and_normalize": (
+        "inherent (threshold-straddling jitter): 1.79 s in the first r10 "
+        "census sweep, 2.14 s in the recorded one vs a 2.127 threshold. "
+        "The plan is already the optimized shape — groups on the five "
+        "narrow key COMPONENTS and runs format_string + the normalization "
+        "regex once per distinct key, not per input row"
+    ),
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None, help="also write the JSON here")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    import bench
+    from etl_mri_scripts_spark.operators.pipeline import arrow_batch_restore
+    from etl_mri_scripts_spark.queries import QUERIES
+    from etl_mri_scripts_spark.session import get_spark
+
+    spark = get_spark("etl-mri-spark-census")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str) -> float:
+        with arrow_batch_restore(spark):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+    # Headline p95 from the PIN medians (stable, statistic-documented);
+    # fall back to the verdict's 2.5 s yardstick when no pin matches.
+    threshold = 2.5
+    threshold_src = "fallback 2.5 s (no sf-matched pin)"
+    try:
+        with open(os.path.join(HERE, "BENCH_SELF_BASELINE.json")) as f:
+            pin = json.load(f)
+        if pin.get("sf") == sf and pin.get("query_pins"):
+            meds = sorted(
+                p["median"] for p in pin["query_pins"].values()
+                if p.get("median") is not None
+            )
+            threshold = round(meds[min(len(meds) - 1, int(0.95 * len(meds)))], 4)
+            threshold_src = (
+                f"p95 of the {len(meds)} pinned headline per-query medians"
+            )
+    except (OSError, ValueError):
+        pass
+
+    # one warmup absorbs session/JIT startup so the first census row isn't
+    # charged for it (same reasoning as bench.py's warmup)
+    try:
+        run("flagship_revenue_by_region_priority")
+    except Exception:
+        pass
+
+    headline = set(bench.HEADLINE)
+    times: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    t_census = time.perf_counter()
+    for name in QUERIES:
+        try:
+            times[name] = round(run(name), 4)
+        except Exception as exc:  # noqa: BLE001 — census must survive anything
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        spark.catalog.clearCache()
+
+    flagged = sorted(
+        (n for n, t in times.items() if t > threshold and n not in headline),
+        key=lambda n: -times[n],
+    )
+    slow_headline = sorted(
+        (n for n, t in times.items() if t > threshold and n in headline),
+        key=lambda n: -times[n],
+    )
+    out = {
+        "metric": "full_registry_census_single_run",
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "census_wall_sec": round(time.perf_counter() - t_census, 1),
+        "threshold_sec": threshold,
+        "threshold_source": threshold_src,
+        "flagged": {n: times[n] for n in flagged},
+        "adjudications": {n: ADJUDICATIONS[n] for n in flagged if n in ADJUDICATIONS},
+        "unadjudicated": [n for n in flagged if n not in ADJUDICATIONS],
+        "slow_headline_already_gated": {n: times[n] for n in slow_headline},
+        # the top flagged queries are the natural additions to HEADLINE at
+        # the next re-pin (the r4 precedent: the three slowest registry
+        # queries were invisible to the gate until benched)
+        "headline_promotion_candidates": flagged[:5],
+        "caveat": (
+            "single-run times include each query's Catalyst compile; the "
+            "bench's pinned medians-of-5 do not — expect census > pin for "
+            "headline queries. This file is a coverage census, not a "
+            "regression gate."
+        ),
+        "queries": times,
+    }
+    if errors:
+        out["errors"] = errors
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1275,14 +1275,22 @@ def pagerank_ranks(
     n_nodes = nodes.count()  # scalar; bounded by graph size
     if n_nodes == 0:
         return spark.createDataFrame([], "doc_id long, rank double")
-    out_deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    # Decorate each edge with its source's out-degree ONCE, outside the
+    # loop (r10 census): out_deg is static across iterations, but the old
+    # loop re-joined it inside every pass — K redundant shuffles of the
+    # same aggregate. The decorated edge list is what every pass re-scans;
+    # contribution = rank/deg stays map-side exactly as before.
+    edges_deg = (
+        edges.join(edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg")), "s")
+        .select("s", "d", "deg")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     ranks = nodes.select("doc_id", F.lit(1.0 / n_nodes).alias("rank"))
     base = (1.0 - damping) / n_nodes
     for _ in range(iters):
         contribs = (
-            edges.join(ranks, edges.s == ranks.doc_id)
-            .join(out_deg, "s")
+            edges_deg.join(ranks, edges_deg.s == ranks.doc_id)
             .select(F.col("d").alias("doc_id"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("doc_id")
             .agg(F.sum("c").alias("in_sum"))
@@ -1300,6 +1308,7 @@ def pagerank_ranks(
     # pinning one pair per call until session end (r6 review; the CC
     # sibling already does this)
     edges.unpersist()
+    edges_deg.unpersist()
     nodes.unpersist()
     return ranks
 
@@ -1384,7 +1393,17 @@ def dedup_pagerank_representatives(spark: SparkSession, sf_dir: str) -> DataFram
     localCheckpoint so the plan stays constant-size. Driver state: nothing —
     ranks live in the cluster; only convergence is fixed-K (deterministic
     across runs and partitionings since the merge is an exact sum of
-    rationals rounded at emit)."""
+    rationals rounded at emit).
+
+    Both iterative algorithms (PageRank + CC labels) run over ONE
+    persisted edge list (r10 census fix): the old form called
+    dedup_connected_components() for labels, re-executing the whole
+    LSH+verify pipeline a second time for the same edges PageRank already
+    built — measured 11.8 s in the sf0.1 census, ~2x the sum of its
+    parts. connected_component_labels_auto on the shared cache produces
+    bit-identical labels (same function dedup_connected_components
+    uses on the same symmetrized edges)."""
+    from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
     pairs = dedup_lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
@@ -1400,15 +1419,20 @@ def dedup_pagerank_representatives(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("e")
         )
         .select(F.col("e.s").alias("s"), F.col("e.d").alias("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ranks = pagerank_ranks(spark, edges)
+    # labels first: materializes the edge cache, and the result is an
+    # eager localCheckpoint — safe to use after pagerank_ranks unpersists
+    # the shared edges on its way out
+    labels = connected_component_labels_auto(edges)
+    comp = labels.select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("component_id")
+    )
+    ranks = pagerank_ranks(spark, edges)  # releases the edge cache at exit
     if not ranks.head(1):
         return spark.createDataFrame(
             [], "component_id long, representative_id long, pagerank double, component_size long"
         )
-
-    # reuse the converged CC labels for component ids
-    comp = dedup_connected_components(spark, sf_dir).select("doc_id", "component_id")
     w = Window.partitionBy("component_id").orderBy(F.desc("rank"), F.asc("doc_id"))
     return (
         comp.join(ranks, "doc_id")
