@@ -223,6 +223,38 @@ PIN_FILES = {
 }
 
 
+def load_imaging_verdict_history(
+    mode: str, pin_dir: str | None = None
+) -> list[tuple[int, str]]:
+    """(round, verdict) from each prior driver round of this mode —
+    ``BENCH_IMAGING_{MODE}_r{N}.json`` files at the repo root (or
+    ``pin_dir`` in tests), ascending. Rounds without a machine verdict
+    (pre-r9: drift_gate.verdict None/absent) contribute nothing — absent
+    history is indeterminate, and bench.consecutive_non_ok treats the
+    missing round as a streak break anyway."""
+    import glob as _glob
+    import re as _re
+
+    here = pin_dir or os.path.dirname(os.path.abspath(__file__))
+    out: list[tuple[int, str]] = []
+    pat = f"BENCH_IMAGING_{mode.upper()}_r*.json"
+    for fn in _glob.glob(os.path.join(here, pat)):
+        m = _re.fullmatch(
+            rf"BENCH_IMAGING_{mode.upper()}_r(\d+)\.json", os.path.basename(fn)
+        )
+        if not m:
+            continue
+        try:
+            with open(fn) as f:
+                d = json.load(f)
+        except (OSError, ValueError):
+            continue
+        v = (d.get("drift_gate") or {}).get("verdict")
+        if isinstance(v, str):
+            out.append((int(m.group(1)), v))
+    return sorted(out)
+
+
 def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
     """2x throughput-drift gate against the mode-matched self-pin (r6
     verdict demand #2): ratio = pinned/observed on the shape-neutral
@@ -338,6 +370,24 @@ def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
         )
         if out["verdict"] == "regressed":
             out["ok"] = False  # the statistic gate has teeth, not just 2x
+        # Gate memory, mirrored from bench.py (r10): consecutive non-ok
+        # verdicts across this mode's prior driver rounds
+        # (BENCH_IMAGING_{MODE}_r{N}.json) plus the current run; a streak
+        # >= bench.ESCALATE_AT escalates — a rate that settles permanently
+        # one band below its pin is evidence, not weather. Streak algebra
+        # is the SAME audited function (property-tested in
+        # tests/test_gate_properties.py), fed one pseudo-query per mode.
+        if out["verdict"] is not None:
+            import bench
+
+            hist = [
+                (rnd, {"rate": v})
+                for rnd, v in load_imaging_verdict_history(mode, pin_dir)
+            ]
+            streaks = bench.consecutive_non_ok({"rate": out["verdict"]}, hist)
+            out["consecutive_non_ok"] = streaks.get("rate", 0)
+            if out["consecutive_non_ok"] >= bench.ESCALATE_AT:
+                out["escalation"] = bench.ESCALATION_POLICY
     notes = []
     probe_pair = result.get("host_probe_start_end") or [None, None]
     if all(probe_pair) and max(probe_pair) / min(probe_pair) > 2:

@@ -64,6 +64,31 @@ def test_imaging_gate_no_stats_metric_is_explicit(tmp_path):
     assert "no-stats" not in g2["metric_verdicts"].values()
 
 
+# ----------------- census adjudication hygiene (verdict #3) ---------------
+
+
+def test_census_adjudications_name_registered_queries():
+    """A typo'd ADJUDICATIONS key would silently leave its query
+    unadjudicated in the next census run — keys must be registered."""
+    from bench_census import ADJUDICATIONS
+    from etl_mri_scripts_spark.queries import QUERIES
+
+    unknown = sorted(set(ADJUDICATIONS) - set(QUERIES))
+    assert not unknown, f"ADJUDICATIONS names unregistered queries: {unknown}"
+
+
+def test_recorded_census_is_fully_adjudicated():
+    """The recorded census artifact (the verdict's 'done' criterion: a
+    verdict note per flagged query) must carry zero unadjudicated flags
+    and an adjudication for every flagged query."""
+    with open(os.path.join(HERE, "BENCH_CENSUS_r10.json")) as f:
+        census = json.load(f)
+    assert census["n_queries"] >= 200
+    assert census["unadjudicated"] == []
+    assert set(census["adjudications"]) == set(census["flagged"])
+    assert not census.get("errors")
+
+
 # -------------------- drift-gate memory (verdict #2) ----------------------
 
 
@@ -163,6 +188,50 @@ def test_gate_memory_on_real_repo_history():
     assert by_round[8]["window_session_10m_gap"] == "ok"
     streak = bench.consecutive_non_ok({"window_session_10m_gap": "noise-band"}, hist)
     assert streak["window_session_10m_gap"] == 2
+
+
+def test_imaging_gate_memory_counts_and_escalates(tmp_path):
+    """The imaging drift gate mirrors bench.py's streak memory: prior
+    rounds' machine verdicts (BENCH_IMAGING_{MODE}_r{N}.json) count into
+    consecutive_non_ok, and a streak >= bench.ESCALATE_AT emits the
+    escalation policy. Pre-r9 rounds without a verdict contribute
+    nothing (indeterminate -> streak break)."""
+    from bench_imaging import PIN_FILES, _drift_gate
+
+    pin = {
+        "patches_per_sec": 300.0, "payload_mb_per_sec": 9.0,
+        "stats": {
+            "patches_per_sec": {"median": 300.0, "spread": 20.0, "tail": 80.0},
+            "payload_mb_per_sec": {"median": 9.0, "spread": 0.6, "tail": 2.4},
+        },
+    }
+    (tmp_path / PIN_FILES["skew"]).write_text(json.dumps(pin))
+    for rnd, verdict in ((7, None), (8, "noise-band"), (9, "noise-band")):
+        (tmp_path / f"BENCH_IMAGING_SKEW_r{rnd:02d}.json").write_text(
+            json.dumps({"drift_gate": {"verdict": verdict}})
+        )
+    # current run lands in the noise band (just below median - spread)
+    slow = {"patches_per_sec": 262.0, "payload_mb_per_sec": 8.9}
+    g = _drift_gate("skew", slow, pin_dir=str(tmp_path))
+    assert g["verdict"] == "noise-band"
+    assert g["consecutive_non_ok"] == 3  # current + r9 + r8; r7 None breaks
+    assert "escalation" in g
+    # an ok current run resets to 0 and carries no escalation
+    ok = {"patches_per_sec": 310.0, "payload_mb_per_sec": 9.1}
+    g2 = _drift_gate("skew", ok, pin_dir=str(tmp_path))
+    assert g2["consecutive_non_ok"] == 0
+    assert "escalation" not in g2
+
+
+def test_imaging_verdict_history_loader_real_records():
+    """The real repo records: skew r6-r8 predate the machine verdict
+    (None -> skipped), r9 is `ok` — so the current history is [(9, 'ok')]
+    and any current non-ok reads streak 1."""
+    from bench_imaging import load_imaging_verdict_history
+
+    hist = load_imaging_verdict_history("skew", HERE)
+    assert (9, "ok") in hist
+    assert all(r >= 9 for r, _ in hist)  # r6-r8 have no machine verdict
 
 
 def test_imaging_gate_all_metrics_no_stats_verdict_none(tmp_path):
