@@ -549,20 +549,29 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scoring is a map-side decoration of the bigram stream followed by
     # one doc_id aggregation. Self-training on the corpus costs one extra
     # pass, never a model server.
+    #
+    # Bigrams come straight from the split array (adjacent-element structs
+    # exploded in one Generate), NOT from lead() over a per-doc position
+    # window: the window form shuffles + sorts the whole exploded word
+    # stream on doc_id before a single LM count runs. The usual objection
+    # to array-expression bigrams — split re-inlined at every referencing
+    # operator (the measured 2.1x in text_repetition_signals) — doesn't
+    # apply here because the bigram table is persisted: split runs once
+    # per row into the cache and every consumer reads materialized rows.
+    # size(ws) < 2 docs are filtered BEFORE the sequence (sequence(1, 0)
+    # would generate the DESCENDING [1, 0], not an empty array).
     from pyspark import StorageLevel
-    from pyspark.sql.window import Window
 
     d = table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(1, size(ws) - 1),"
+        " i -> struct(element_at(ws, i) AS word, element_at(ws, i + 1) AS nxt))"
+    )
     bgd = (
-        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
-        .select(
-            "doc_id",
-            "word",
-            F.lead("word")
-            .over(Window.partitionBy("doc_id").orderBy("pos"))
-            .alias("nxt"),
-        )
-        .filter(F.col("nxt").isNotNull())
+        d.select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .select("doc_id", F.col("bg.word").alias("word"), F.col("bg.nxt").alias("nxt"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cb = bgd.groupBy("word", "nxt").agg(F.count(F.lit(1)).alias("c2"))
