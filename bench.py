@@ -77,6 +77,17 @@ HEADLINE = [
     "ann_ivf_pq_topk",
     "ann_ivf_kmeans_topk",
     "dedup_semantic_keep",
+    # round-10 additions: the census's headline-promotion candidates
+    # (BENCH_CENSUS_r10.json) — the most expensive registry queries that
+    # had never been timed by the gated bench. Each carries a census
+    # adjudication of its inherent shape; promoting them puts the
+    # iterative-CC compositions, the LSH eval harness, and the bucketed-
+    # CTAS demonstration under the per-query drift gate.
+    "dedup_pagerank_representatives",
+    "join_bucketed_colocated",
+    "dedup_lsh_quality_eval",
+    "dedup_keep_best_quality",
+    "dedup_cluster_representatives",
 ]
 
 RUNS_PER_QUERY = 5  # report median (robust to run-to-run noise on sub-second
@@ -369,7 +380,21 @@ ESCALATION_POLICY = (
 )
 
 
-def load_driver_verdict_history(repo_dir: str) -> list[tuple[int, dict]]:
+def load_pin_round(path: str) -> int | None:
+    """The round during which the current pin was created (recorded by
+    pin_bench_baseline.py as ``pin_round``), or None for pins that
+    predate the field. Feeds the streak computation's epoch boundary."""
+    try:
+        with open(path) as f:
+            v = json.load(f).get("pin_round")
+        return v if isinstance(v, int) else None
+    except (OSError, ValueError):
+        return None
+
+
+def load_driver_verdict_history(
+    repo_dir: str, since_round: int | None = None
+) -> list[tuple[int, dict]]:
     """Per-query verdicts from each prior DRIVER bench round, ascending
     by round number. Only ``BENCH_r{N}.json`` files count (self-checks,
     imaging and A/B records are not rounds). The driver wraps bench.py's
@@ -377,11 +402,21 @@ def load_driver_verdict_history(repo_dir: str) -> list[tuple[int, dict]]:
     the embedded ``"query_verdicts": {...}`` fragment when the file is a
     wrapper; rounds that predate the per-query gate (r1-r7) or whose
     recorded tail lost the block contribute nothing — an absent round is
-    indeterminate history, never a synthetic `ok`."""
+    indeterminate history, never a synthetic `ok`.
+
+    ``since_round`` is the pin epoch boundary: verdicts recorded under a
+    RETIRED pin (rounds < since_round, i.e. before the current pin was
+    created) are dropped — they measured drift against a baseline that
+    no longer exists, and the re-pin itself is the recorded adjudication
+    that closes their streaks (the escalation policy's second arm).
+    Rounds >= since_round are kept: a pin created during round N is
+    active for round N's driver bench, which runs at round end."""
     out: list[tuple[int, dict]] = []
     for fn in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(fn))
         if not m:
+            continue
+        if since_round is not None and int(m.group(1)) < since_round:
             continue
         try:
             with open(fn) as f:
@@ -632,8 +667,13 @@ def main() -> None:
                 # "probably jitter" to "adjudicate it" (see the block
                 # comment on ESCALATE_AT). Only computed under an active
                 # gate — no-pin verdicts are indeterminate, not streaks.
+                # History starts at the current pin's epoch (pin_round):
+                # verdicts against a retired pin can't extend a streak
+                # against this one — the re-pin IS the adjudication that
+                # closed them (recorded in the pin's history.note).
                 history = load_driver_verdict_history(
-                    os.path.dirname(os.path.abspath(__file__))
+                    os.path.dirname(os.path.abspath(__file__)),
+                    since_round=load_pin_round(pin_path),
                 )
                 streaks = consecutive_non_ok(verdicts, history)
                 out["consecutive_non_ok"] = streaks

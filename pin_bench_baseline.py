@@ -37,8 +37,10 @@ preserved under ``history``.
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
+import re
 import subprocess
 import sys
 from statistics import median
@@ -51,6 +53,21 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--note", default="")
     ap.add_argument("--out", default=os.path.join(HERE, "BENCH_SELF_BASELINE.json"))
+    ap.add_argument(
+        "--pin-round",
+        type=int,
+        default=None,
+        help=(
+            "the build round during which this pin is created — bench.py "
+            "starts its streak history (gate memory) at this round, so "
+            "verdicts recorded against the RETIRED pin can't extend a "
+            "streak against this one. Default: latest BENCH_r{N}.json "
+            "round + 1 (the round in progress — a pin lands before that "
+            "round's driver bench runs). --recompute carries the existing "
+            "pin_round through unchanged: re-deriving statistics from the "
+            "same recorded runs is not a new pin epoch."
+        ),
+    )
     ap.add_argument(
         "--recompute",
         action="store_true",
@@ -67,6 +84,14 @@ def main() -> int:
 
     sys.path.insert(0, HERE)
     from bench import HEADLINE, positional_normalize_queries
+
+    def latest_driver_round() -> int | None:
+        rounds = [
+            int(m.group(1))
+            for fn in glob.glob(os.path.join(HERE, "BENCH_r*.json"))
+            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(fn)))
+        ]
+        return max(rounds) if rounds else None
 
     runs: list[dict] = []
     prev_pin = None
@@ -235,6 +260,19 @@ def main() -> int:
             "double-warmup protocol"
         ),
         "history": {**prev_history, "note": args.note},
+        # Pin epoch for bench.py's gate memory: streaks only count driver
+        # rounds >= pin_round (verdicts against a retired pin are closed
+        # by the re-pin itself). --recompute preserves the recorded epoch
+        # — same runs, same pin, no new epoch.
+        "pin_round": (
+            prev_pin.get("pin_round")
+            if args.recompute
+            else (
+                args.pin_round
+                if args.pin_round is not None
+                else (lambda r: r + 1 if r is not None else None)(latest_driver_round())
+            )
+        ),
         "queries": best,
         # The exact sweep order the pin ran under: positional noise
         # factors are interpolated by sweep SLOT, so bench.py refuses to

@@ -145,3 +145,24 @@ def test_ok_newest_round_caps_streak_at_one(history):
     newest = max((r for r, _ in history), default=0) + 1
     hist = history + [(newest, {"q": "ok"})]
     assert bench.consecutive_non_ok({"q": "noise-band"}, hist) == {"q": 1}
+
+
+@given(history_st, st.integers(min_value=1, max_value=31))
+def test_pin_epoch_filter_never_lengthens_a_streak(history, since):
+    """The pin-epoch boundary (r10 re-pin): filtering history to rounds
+    >= since_round is exactly what load_driver_verdict_history does with
+    a pin_round — it can only SHORTEN or preserve a streak, never grow
+    it, and rounds below the epoch have zero influence on the result."""
+    full = bench.consecutive_non_ok({"q": "noise-band"}, history)["q"]
+    kept = [(r, v) for r, v in history if r >= since]
+    filtered = bench.consecutive_non_ok({"q": "noise-band"}, kept)["q"]
+    assert filtered <= full
+    # zero influence: mutating every pre-epoch verdict cannot change it
+    mutated = [
+        (r, v if r >= since else {"q": "regressed"}) for r, v in history
+    ]
+    mutated_kept = [(r, v) for r, v in mutated if r >= since]
+    assert (
+        bench.consecutive_non_ok({"q": "noise-band"}, mutated_kept)["q"]
+        == filtered
+    )

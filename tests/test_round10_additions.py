@@ -178,6 +178,10 @@ def test_gate_memory_on_real_repo_history():
     hist = bench.load_driver_verdict_history(HERE)
     rounds = [r for r, _ in hist]
     assert 8 in rounds and 9 in rounds  # tail-fragment recovery works
+    # The scenario is the r9-era records specifically: freeze the history
+    # at r9 so later driver rounds landing in the repo (r10+, whose
+    # verdicts run under the r10 pin epoch anyway) can't drift this test.
+    hist = [(r, v) for r, v in hist if r <= 9]
     by_round = dict(hist)
     for q in ("sample_stratified_exact", "dedup_interdoc_segments"):
         assert by_round[8][q] == "noise-band"
@@ -188,6 +192,39 @@ def test_gate_memory_on_real_repo_history():
     assert by_round[8]["window_session_10m_gap"] == "ok"
     streak = bench.consecutive_non_ok({"window_session_10m_gap": "noise-band"}, hist)
     assert streak["window_session_10m_gap"] == 2
+
+
+# ------------------- pin-epoch streak reset (r10 re-pin) ------------------
+
+
+def test_history_since_round_drops_pre_pin_rounds(tmp_path):
+    """Rounds before the pin epoch are verdicts against a RETIRED pin;
+    they must not extend a streak against the current one. The epoch
+    round itself is kept (a pin created during round N is active for
+    round N's driver bench, which runs at round end)."""
+    for rnd, verdict in ((8, "noise-band"), (9, "noise-band"), (10, "noise-band")):
+        (tmp_path / f"BENCH_r{rnd}.json").write_text(
+            json.dumps({"query_verdicts": {"q": verdict}})
+        )
+    full = bench.load_driver_verdict_history(str(tmp_path))
+    assert [r for r, _ in full] == [8, 9, 10]
+    since10 = bench.load_driver_verdict_history(str(tmp_path), since_round=10)
+    assert [r for r, _ in since10] == [10]
+    # streak under the new epoch: current + r10 only -> 2, no escalation
+    assert bench.consecutive_non_ok({"q": "noise-band"}, since10) == {"q": 2}
+    # without the epoch the same records would have escalated (4 >= 3)
+    assert bench.consecutive_non_ok({"q": "noise-band"}, full) == {"q": 4}
+
+
+def test_load_pin_round(tmp_path):
+    p = tmp_path / "pin.json"
+    p.write_text(json.dumps({"pin_round": 10}))
+    assert bench.load_pin_round(str(p)) == 10
+    p.write_text(json.dumps({"sf": 0.1}))  # pre-r10 pin: no field
+    assert bench.load_pin_round(str(p)) is None
+    p.write_text(json.dumps({"pin_round": "x"}))  # malformed: not an epoch
+    assert bench.load_pin_round(str(p)) is None
+    assert bench.load_pin_round(str(tmp_path / "missing.json")) is None
 
 
 def test_imaging_gate_memory_counts_and_escalates(tmp_path):
