@@ -119,6 +119,47 @@ NOISE_PROBE_RUNS = 7
 BUDGET_SECS = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
 
 
+# Host memory-fault capability (r10 forensics): on a lazily-backed VM
+# (snapshot-restored Firecracker with an on-demand memory backend), the
+# FIRST touch of a fresh anonymous page goes through the hypervisor's
+# fault path. Measured live on the r10 host: first-touch 0.01-0.05 GB/s
+# vs 1.3-1.9 GB/s re-touch of the same resident pages — two orders of
+# magnitude, while /proc/stat steal was ~0, iowait 0, and the
+# single-thread CPU probe matched its pin exactly (tiny buffers ride the
+# allocator's resident pool). Workloads that stream tens of GB of fresh
+# allocations (the imaging pipeline's volume/slab buffers) crater ~2.5x;
+# pooled-memory workloads (the relational JVM bench) don't notice. The
+# probe is the missing evidence axis: CPU probe flat + memory probe
+# floored = lazily-backed memory, not a kernel regression.
+MEM_FAULT_FLOOR_GB_S = 0.25  # healthy hosts measure 1-3 GB/s first-touch;
+# the pathological r10 host measured 0.01-0.05 — an order of magnitude of
+# separation on each side of the floor, no grey zone.
+
+
+def host_memory_probe(size_mb: int = 128, attempts: int = 2) -> float:
+    """First-touch throughput (GB/s) of a FRESH anonymous buffer — the
+    best of ``attempts`` fresh buffers (the most favorable reading, so a
+    gate keyed on it can only fire when even the best attempt is floored;
+    a healthy host can never be excused by one slow sample). Each attempt
+    allocates new address space: allocator-reused pages would measure the
+    resident pool, which is exactly the path this probe must NOT take.
+    Costs ~0.2 s healthy, a few seconds per attempt on a floored host."""
+    import numpy as np
+
+    n = int(size_mb * 1e6 // 8)
+    best = 0.0
+    bufs = []  # hold refs so attempts can't reuse each other's extents
+    for _ in range(attempts):
+        a = np.empty(n)
+        t0 = time.perf_counter()
+        a[:] = 1.0
+        dt = time.perf_counter() - t0
+        bufs.append(a)
+        best = max(best, (size_mb / 1e3) / dt)
+    del bufs
+    return round(best, 4)
+
+
 def positional_factors(
     probes: list[float | None], n_queries: int
 ) -> list[float] | None:
@@ -599,6 +640,10 @@ def main() -> None:
             "probes_start_mid_end": probes,
             "factor": noise_factor,
             "steal_frac": steal_frac,
+            # Record-only here (the relational bench's pooled JVM memory
+            # measured unaffected on the floored r10 host); the imaging
+            # bench GATES on the same probe (bench_imaging._drift_gate).
+            "first_touch_gb_s": host_memory_probe(),
         },
     }
     # A normalized total from a run with errors covers FEWER queries than

@@ -168,6 +168,17 @@ def main() -> None:
 
     from etl_mri_scripts_spark.operators.pipeline import volume_batch_scope
 
+    # Host memory-fault capability (r10): first-touch GB/s of fresh
+    # anonymous pages. The imaging pipeline streams tens of GB of fresh
+    # volume/slab allocations through python workers, so on a
+    # lazily-backed VM (measured 0.01-0.05 GB/s vs 1-3 healthy) the run
+    # measures the hypervisor's page backend, not the kernel — the gate
+    # below reads this and declines to adjudicate rather than record a
+    # false `regressed` (the CPU probe alone can't see it: tiny buffers
+    # ride the allocator's resident pool and measure flat).
+    from bench import host_memory_probe
+
+    mem_probe = host_memory_probe()
     probe_start = host_probe()
     t0 = time.time()
     # volume_batch_scope: the Arrow batch shrink is live while the collect
@@ -205,6 +216,7 @@ def main() -> None:
         # load spike DURING the run that the median would average away
         "host_probe_sec": round(median([probe_start, probe_end]), 5),
         "host_probe_start_end": [probe_start, probe_end],
+        "first_touch_gb_s": mem_probe,
     }
     if big_shape:
         result["big_shape"] = list(big_shape)
@@ -316,6 +328,36 @@ def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
     stats = pin.get("stats")
     probe_pin = pin.get("host_probe_pin")
     probe_obs = result.get("host_probe_sec")
+    # Host memory-fault capability gate (r10 forensics): below the
+    # documented floor the run measured the hypervisor's lazy page
+    # backend, not the kernel (bench.MEM_FAULT_FLOOR_GB_S derivation:
+    # healthy 1-3 GB/s vs 0.01-0.05 floored — an order of magnitude of
+    # separation each side, and the probe reports the BEST of its fresh
+    # attempts, so a healthy host cannot be excused by one slow sample).
+    # The verdict is None (indeterminate), never `regressed`: the kernel
+    # was not measured. Ratios stay recorded for the forensic trail, and
+    # a None verdict contributes nothing to the streak memory — exactly
+    # like a pre-r9 round without a machine verdict.
+    mem = result.get("first_touch_gb_s")
+    import bench as _bench
+
+    if mem is not None and mem < _bench.MEM_FAULT_FLOOR_GB_S:
+        out["host_memory"] = {
+            "first_touch_gb_s": mem,
+            "floor_gb_s": _bench.MEM_FAULT_FLOOR_GB_S,
+        }
+        out["ok"] = None  # the 2x backstop measured the same invalid run
+        out["verdict"] = None
+        out["verdict_gate"] = (
+            f"inactive: host memory-fault throughput {mem} GB/s is below "
+            f"the {_bench.MEM_FAULT_FLOOR_GB_S} GB/s floor (lazily-backed "
+            "VM memory: first-touch page faults go through the hypervisor "
+            "backend; healthy hosts measure 1-3 GB/s). The pipeline "
+            "streams fresh multi-GB allocations, so this run measured the "
+            "page backend, not the kernel — re-run on a host above the "
+            "floor before adjudicating."
+        )
+        return out
     if not stats:
         out["verdict"] = None
         out["verdict_gate"] = (

@@ -286,3 +286,56 @@ def test_imaging_gate_all_metrics_no_stats_verdict_none(tmp_path):
     assert g["verdict"] is None
     assert set(g["metric_verdicts"].values()) == {"no-stats"}
     assert g["verdict_gate"].startswith("active (partial)")
+
+
+# ------------- host memory-fault capability gate (r10 forensics) ----------
+
+
+def test_imaging_gate_inactive_on_floored_memory_host(tmp_path):
+    """A run on a lazily-backed VM (first-touch GB/s below the floor)
+    measured the hypervisor's page backend, not the kernel: the gate must
+    decline to adjudicate (verdict None, named reason) instead of
+    recording a false `regressed` — and a None verdict must not extend
+    the streak memory."""
+    from bench_imaging import PIN_FILES, _drift_gate
+
+    pin = {
+        "patches_per_sec": 300.0, "payload_mb_per_sec": 9.0,
+        "stats": {
+            "patches_per_sec": {"median": 300.0, "spread": 20.0, "tail": 30.0},
+            "payload_mb_per_sec": {"median": 9.0, "spread": 0.6, "tail": 0.9},
+        },
+    }
+    (tmp_path / PIN_FILES["skew"]).write_text(json.dumps(pin))
+    # 2.5x slow — would read `regressed` — but the memory probe is floored
+    res = {
+        "patches_per_sec": 120.0, "payload_mb_per_sec": 3.6,
+        "first_touch_gb_s": 0.02,
+    }
+    g = _drift_gate("skew", res, pin_dir=str(tmp_path))
+    assert g["verdict"] is None
+    assert g["ok"] is None
+    assert g["verdict_gate"].startswith("inactive: host memory-fault")
+    assert g["host_memory"]["first_touch_gb_s"] == 0.02
+    # ratios stay recorded for the forensic trail
+    assert g["ratio_pin_over_observed"]["patches_per_sec"] == 2.5
+    assert "consecutive_non_ok" not in g  # indeterminate -> no streak
+
+    # same slow run on a HEALTHY host is real evidence: gate stays active
+    res_healthy = dict(res, first_touch_gb_s=1.8)
+    g2 = _drift_gate("skew", res_healthy, pin_dir=str(tmp_path))
+    assert g2["verdict"] == "regressed"
+    assert g2["verdict_gate"] == "active"
+
+    # a run without the probe field (older record replayed) is unchanged
+    res_old = {"patches_per_sec": 120.0, "payload_mb_per_sec": 3.6}
+    g3 = _drift_gate("skew", res_old, pin_dir=str(tmp_path))
+    assert g3["verdict"] == "regressed"
+
+
+def test_host_memory_probe_returns_best_of_fresh_attempts():
+    v = bench.host_memory_probe(size_mb=8, attempts=2)
+    assert v > 0
+    # the floor must sit well below any plausible healthy reading of this
+    # tiny probe, and well above the measured pathological readings
+    assert 0.05 < bench.MEM_FAULT_FLOOR_GB_S < 1.0
