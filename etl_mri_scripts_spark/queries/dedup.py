@@ -90,6 +90,63 @@ _SHINGLES_WS = """
 """
 
 
+def shingles_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) rows for ANY (doc_id, text) frame — the single
+    definition of the 3-shingle expression, shared by the batch sf_dir
+    queries below and the streaming near-dedup micro-batch probe
+    (streaming/pipeline.py run_incremental_neardedup): a stream that
+    shingled differently from the batch family would build an index the
+    batch queries can't probe."""
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    return ws.select("doc_id", F.explode(F.expr(_SHINGLES_WS)).alias("shingle"))
+
+
+def minhash_signature_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, m0..m7) MinHash signature for ANY (doc_id, text) frame —
+    the df-based form of _minhash_signature_df (same salted-md5 hash
+    family, same explode + partial-agg min), unpersisted so callers
+    decide the materialization policy."""
+    sh = shingles_of(docs)
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")).cast("binary")).alias(f"h{seed}")
+            for seed in range(N_MINHASH)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{seed}").alias(f"m{seed}") for seed in range(N_MINHASH)]
+    )
+
+
+def band_buckets_of(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH band buckets from a signature frame —
+    the single definition of the banding expression ({N_BANDS} bands x
+    {rows_per_band} rows, md5 over the '|'-joined band rows), shared by
+    the candidate/verified-pairs family, the incremental delta, and the
+    streaming index."""
+    rows_per_band = N_MINHASH // N_BANDS
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[F.col(f"m{k * rows_per_band + r}") for r in range(rows_per_band)],
+                            ).cast("binary")
+                        ).alias("bucket"),
+                    )
+                    for k in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def _exploded_shingles(spark: SparkSession, sf_dir: str, cache: bool = False) -> DataFrame:
     """(doc_id, shingle) rows — each doc's distinct 3-shingles.
 
@@ -100,9 +157,7 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str, cache: bool = False) ->
     scale the same decision shows up as materializing the shingle/signature
     table once before the joins.
     """
-    d = table(spark, sf_dir, "documents")
-    ws = d.select("doc_id", F.split("text", " ").alias("ws"))
-    sh = ws.select("doc_id", F.explode(F.expr(_SHINGLES_WS)).alias("shingle"))
+    sh = shingles_of(table(spark, sf_dir, "documents"))
     if cache:
         from pyspark import StorageLevel
 
@@ -122,17 +177,7 @@ def _minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark import StorageLevel
 
-    sh = _exploded_shingles(spark, sf_dir)
-    hashed = sh.select(
-        "doc_id",
-        *[
-            F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")).cast("binary")).alias(f"h{seed}")
-            for seed in range(N_MINHASH)
-        ],
-    )
-    sig = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{seed}").alias(f"m{seed}") for seed in range(N_MINHASH)]
-    )
+    sig = minhash_signature_of(table(spark, sf_dir, "documents"))
     # Persist the signature table: it is tiny (n_docs x 8 hex digests) and
     # every LSH-family query (candidates, verified pairs, connected
     # components, incremental delta) starts from it. Spark's CacheManager
@@ -328,26 +373,7 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the aggregated signature columns (cheap attribute refs); the self-join
     # sides share one computation via Spark's exchange reuse.
     sigs = _minhash_signature_df(spark, sf_dir)
-    rows_per_band = N_MINHASH // N_BANDS
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[F.col(f"m{k * rows_per_band + r}") for r in range(rows_per_band)],
-                            ).cast("binary")
-                        ).alias("bucket"),
-                    )
-                    for k in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bands = band_buckets_of(sigs)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -988,28 +1014,7 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sigs = _minhash_signature_df(spark, sf_dir)
-    rows_per_band = N_MINHASH // N_BANDS
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[F.col(f"m{k * rows_per_band + r}") for r in range(rows_per_band)],
-                            ).cast("binary")
-                        ).alias("bucket"),
-                    )
-                    for k in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = band_buckets_of(sigs).persist(StorageLevel.MEMORY_AND_DISK)
 
     cand = (
         bands.filter(is_new)

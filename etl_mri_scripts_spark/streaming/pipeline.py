@@ -719,3 +719,304 @@ def session_finalizer_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-duplicate dedup: the streaming twin of the batch
+# q:dedup_incremental_delta (queries/dedup.py). Each micro-batch of newly
+# arrived documents is probed against an ACCUMULATING on-disk index of the
+# surviving corpus — exact digests first, then MinHash-LSH band candidates
+# verified by signature-estimated Jaccard — and only the survivors extend
+# the index. Reference analog: the approved-keys / already-processed skip
+# sets (extract_subimages.py:22-27, SURVEY.md §2 F4/F5) generalized to
+# content-identity over an unbounded stream.
+# ---------------------------------------------------------------------------
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _read_index_part(spark: SparkSession, index_dir: str, name: str, before_batch: int):
+    """One index table (digests/signatures/bands), restricted to
+    partitions written by batches STRICTLY BEFORE the probing batch.
+
+    The strict filter is the replay-idempotency half the dynamic-overwrite
+    sink can't provide alone: foreachBatch is at-least-once, so a crash
+    between the index write for batch N and the checkpoint offset commit
+    replays batch N — which must NOT see its own earlier partial write
+    (every doc would match itself and the replay would emit zero
+    survivors). batch_id is a partition column, so the filter is pruning,
+    not a scan."""
+    import os
+
+    path = os.path.join(index_dir, name)
+    if not os.path.isdir(path):
+        return None
+    df = spark.read.parquet(path)
+    return df.filter(F.col("batch_id") < before_batch)
+
+
+def neardedup_process_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    index_dir: str,
+    jaccard_tau: float = 0.5,
+) -> None:
+    """Dedup one micro-batch against the accumulated index (exposed at
+    module level so tests can replay a batch and assert idempotency).
+
+    Policy, in precedence order (mirroring q:dedup_incremental_delta —
+    exact hits take precedence, min-id canonicals, no transitive chains):
+
+    1. exact-in-batch: min doc_id per content digest survives this stage;
+       the rest drop with reason 'exact' against that min id.
+    2. exact-vs-index: digest hit in the index drops with reason 'exact'
+       against the smallest matching indexed doc.
+    3. near-vs-index: LSH band-bucket candidates against the index,
+       verified by SIGNATURE-estimated Jaccard (>= ceil(tau*N_MINHASH) of
+       the N_MINHASH components agreeing). The index stores signatures,
+       not shingles — at corpus scale an exact-Jaccard verify would
+       require indexing every document's shingle set (≈ the corpus
+       itself); the signature estimate is what MinHash exists for, and
+       the batch family's exact verify (q:dedup_lsh_verified_pairs)
+       remains the offline audit of the same hash family.
+    4. near-in-batch: the same estimate between this batch's survivors,
+       smaller doc_id wins (a doc's recorded match is its smallest
+       near-neighbor, which may itself have been dropped — same
+       non-transitive dup_of policy as the batch keep-family).
+
+    Survivors append to the index; dropped docs never enter it (the index
+    IS the canonical corpus). All sinks partition by batch_id and write
+    with dynamic partitionOverwriteMode, so a replayed batch rewrites its
+    own partitions instead of duplicating them.
+
+    Scale shape: the index side is never self-joined — each probe is
+    (|batch| x bucket occupancy), the batch side is the small side of
+    every join (broadcast-hinted), and the index scans prune on the
+    batch_id partition column plus the band/bucket equi-join keys.
+    """
+    import math
+    import os
+
+    from pyspark import StorageLevel
+
+    from ..queries.dedup import N_MINHASH, band_buckets_of, minhash_signature_of
+
+    if batch_df.isEmpty():
+        return
+    min_agree = int(math.ceil(jaccard_tau * N_MINHASH))
+    sig_cols = [f"m{s}" for s in range(N_MINHASH)]
+
+    batch = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+    digests = batch.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("content_hash")
+    )
+
+    # -- 1. exact within batch: min-id canonical per digest
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    ranked = digests.select(
+        "doc_id",
+        "content_hash",
+        F.row_number().over(w).alias("rn"),
+        F.min("doc_id").over(Window.partitionBy("content_hash")).alias("canon_id"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    drop_exact_batch = ranked.filter(F.col("rn") > 1).select(
+        "doc_id",
+        F.lit("exact").alias("reason"),
+        F.col("canon_id").alias("match_doc_id"),
+    )
+    rest = ranked.filter(F.col("rn") == 1).select("doc_id", "content_hash")
+
+    # -- 2. exact vs index
+    idx_digests = _read_index_part(spark, index_dir, "digests", batch_id)
+    if idx_digests is not None:
+        hits = (
+            idx_digests.join(F.broadcast(rest), "content_hash")
+            .groupBy(F.col("doc_id"))
+            .agg(F.min("indexed_doc_id").alias("match_doc_id"))
+        )
+        drop_exact_index = hits.select(
+            "doc_id", F.lit("exact").alias("reason"), "match_doc_id"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        rest = rest.join(drop_exact_index.select("doc_id"), "doc_id", "left_anti")
+    else:
+        drop_exact_index = None
+
+    rest = rest.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # -- signatures + bands for the exact-surviving batch docs
+    sigs = (
+        minhash_signature_of(batch.join(rest.select("doc_id"), "doc_id", "left_semi"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bands = band_buckets_of(sigs).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # -- 3. near vs index
+    idx_bands = _read_index_part(spark, index_dir, "bands", batch_id)
+    idx_sigs = _read_index_part(spark, index_dir, "signatures", batch_id)
+    if idx_bands is not None and idx_sigs is not None:
+        cand = (
+            idx_bands.join(F.broadcast(bands.withColumnRenamed("doc_id", "new_id")),
+                           ["band", "bucket"])
+            .select("new_id", F.col("indexed_doc_id").alias("base_id"))
+            .distinct()
+        )
+        verified = (
+            cand.join(
+                idx_sigs.select(
+                    F.col("indexed_doc_id").alias("base_id"),
+                    *[F.col(c).alias(f"b_{c}") for c in sig_cols],
+                ),
+                "base_id",
+            )
+            .join(
+                F.broadcast(
+                    sigs.select(
+                        F.col("doc_id").alias("new_id"),
+                        *[F.col(c).alias(f"n_{c}") for c in sig_cols],
+                    )
+                ),
+                "new_id",
+            )
+            .filter(
+                sum(
+                    (F.col(f"n_{c}") == F.col(f"b_{c}")).cast("int") for c in sig_cols
+                )
+                >= min_agree
+            )
+            .groupBy(F.col("new_id").alias("doc_id"))
+            .agg(F.min("base_id").alias("match_doc_id"))
+        )
+        drop_near_index = verified.select(
+            "doc_id", F.lit("near").alias("reason"), "match_doc_id"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        rest2 = rest.join(drop_near_index.select("doc_id"), "doc_id", "left_anti")
+    else:
+        drop_near_index = None
+        rest2 = rest
+
+    rest2 = rest2.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # -- 4. near within batch (among docs that survived 1-3)
+    live_bands = bands.join(rest2.select("doc_id"), "doc_id", "left_semi")
+    pair_cand = (
+        live_bands.alias("x")
+        .join(
+            live_bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .distinct()
+    )
+    near_batch = (
+        pair_cand.join(
+            sigs.select(F.col("doc_id").alias("a_id"),
+                        *[F.col(c).alias(f"a_{c}") for c in sig_cols]),
+            "a_id",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("b_id"),
+                        *[F.col(c).alias(f"b_{c}") for c in sig_cols]),
+            "b_id",
+        )
+        .filter(
+            sum((F.col(f"a_{c}") == F.col(f"b_{c}")).cast("int") for c in sig_cols)
+            >= min_agree
+        )
+        .groupBy(F.col("b_id").alias("doc_id"))
+        .agg(F.min("a_id").alias("match_doc_id"))
+    )
+    drop_near_batch = near_batch.select(
+        "doc_id", F.lit("near").alias("reason"), "match_doc_id"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    survivors_ids = rest2.join(
+        drop_near_batch.select("doc_id"), "doc_id", "left_anti"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    decisions = drop_exact_batch
+    for d in (drop_exact_index, drop_near_index):
+        if d is not None:
+            decisions = decisions.unionAll(d)
+    decisions = decisions.unionAll(drop_near_batch)
+
+    def _sink(df: DataFrame, path: str) -> None:
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    # survivors (full rows) and the decision log
+    _sink(
+        batch.join(survivors_ids.select("doc_id"), "doc_id", "left_semi"),
+        os.path.join(out_dir, "docs"),
+    )
+    _sink(decisions, os.path.join(out_dir, "decisions"))
+
+    # index extension: survivors only; indexed_doc_id is the key the
+    # probe joins report as match ids
+    _sink(
+        survivors_ids.select(
+            F.col("doc_id").alias("indexed_doc_id"), "content_hash"
+        ),
+        os.path.join(index_dir, "digests"),
+    )
+    surv_sigs = sigs.join(
+        survivors_ids.select("doc_id"), "doc_id", "left_semi"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _sink(
+        surv_sigs.select(F.col("doc_id").alias("indexed_doc_id"), *sig_cols),
+        os.path.join(index_dir, "signatures"),
+    )
+    _sink(
+        band_buckets_of(surv_sigs).select(
+            F.col("doc_id").alias("indexed_doc_id"), "band", "bucket"
+        ),
+        os.path.join(index_dir, "bands"),
+    )
+
+    for df in (
+        batch, ranked, rest, rest2, sigs, bands, survivors_ids, surv_sigs,
+        drop_near_batch, drop_exact_index, drop_near_index,
+    ):
+        if df is not None:
+            df.unpersist()
+
+
+def run_incremental_neardedup(
+    spark: SparkSession,
+    docs_in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    index_dir: str,
+    jaccard_tau: float = 0.5,
+):
+    """Watch a directory of document parquet drops; each micro-batch runs
+    :func:`neardedup_process_batch` — exactly-once per input file via the
+    checkpoint plus the batch_id dynamic-overwrite sinks (idempotent
+    replay; see _read_index_part for why probes exclude the probing
+    batch's own partitions). The stream shares the batch family's exact
+    shingle/signature/band expressions (queries/dedup.py shingles_of /
+    minhash_signature_of / band_buckets_of), so the index it accumulates
+    is the same hash family the offline queries audit."""
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(docs_in_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        neardedup_process_batch(
+            spark, batch_df, batch_id, out_dir, index_dir, jaccard_tau
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
