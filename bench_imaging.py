@@ -338,26 +338,6 @@ def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
     # was not measured. Ratios stay recorded for the forensic trail, and
     # a None verdict contributes nothing to the streak memory — exactly
     # like a pre-r9 round without a machine verdict.
-    mem = result.get("first_touch_gb_s")
-    import bench as _bench
-
-    if mem is not None and mem < _bench.MEM_FAULT_FLOOR_GB_S:
-        out["host_memory"] = {
-            "first_touch_gb_s": mem,
-            "floor_gb_s": _bench.MEM_FAULT_FLOOR_GB_S,
-        }
-        out["ok"] = None  # the 2x backstop measured the same invalid run
-        out["verdict"] = None
-        out["verdict_gate"] = (
-            f"inactive: host memory-fault throughput {mem} GB/s is below "
-            f"the {_bench.MEM_FAULT_FLOOR_GB_S} GB/s floor (lazily-backed "
-            "VM memory: first-touch page faults go through the hypervisor "
-            "backend; healthy hosts measure 1-3 GB/s). The pipeline "
-            "streams fresh multi-GB allocations, so this run measured the "
-            "page backend, not the kernel — re-run on a host above the "
-            "floor before adjudicating."
-        )
-        return out
     if not stats:
         out["verdict"] = None
         out["verdict_gate"] = (
@@ -412,6 +392,41 @@ def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
         )
         if out["verdict"] == "regressed":
             out["ok"] = False  # the statistic gate has teeth, not just 2x
+        # Host memory-fault capability (r10 forensics): on a lazily-backed
+        # VM (first-touch below bench.MEM_FAULT_FLOOR_GB_S; healthy hosts
+        # measure 1-3 GB/s, the floored r10 host 0.01-0.05) the run
+        # measured the hypervisor's page backend as much as the kernel.
+        # The pathology biases ONE direction only — fresh-page stalls can
+        # make the kernel look slower, never faster — so the gate is
+        # EXCULPATORY-ONLY: an `ok` on a floored host is conservative,
+        # valid evidence and stands (measured live: the uniform run read
+        # 1.036x pin at 0.18 GB/s first-touch); a NON-ok on a floored
+        # host cannot distinguish kernel from host and goes inactive
+        # (verdict None — indeterminate, no streak contribution, never a
+        # false `regressed`). Metric verdicts and ratios stay recorded
+        # for the forensic trail.
+        mem = result.get("first_touch_gb_s")
+        import bench as _bench
+
+        if mem is not None and mem < _bench.MEM_FAULT_FLOOR_GB_S:
+            out["host_memory"] = {
+                "first_touch_gb_s": mem,
+                "floor_gb_s": _bench.MEM_FAULT_FLOOR_GB_S,
+            }
+            if out["verdict"] not in (None, "ok"):
+                out["verdict"] = None
+                if not (broken_run or broken_pin):
+                    out["ok"] = None  # the 2x backstop saw the same invalid run
+                out["verdict_gate"] = (
+                    f"inactive: host memory-fault throughput {mem} GB/s is "
+                    f"below the {_bench.MEM_FAULT_FLOOR_GB_S} GB/s floor "
+                    "(lazily-backed VM memory: first-touch page faults go "
+                    "through the hypervisor backend; healthy hosts measure "
+                    "1-3 GB/s) and the run read non-ok — kernel and host "
+                    "are indistinguishable here; re-run on a host above "
+                    "the floor before adjudicating. An ok verdict would "
+                    "have stood: degraded memory only biases slower."
+                )
         # Gate memory, mirrored from bench.py (r10): consecutive non-ok
         # verdicts across this mode's prior driver rounds
         # (BENCH_IMAGING_{MODE}_r{N}.json) plus the current run; a streak

@@ -332,6 +332,19 @@ def test_imaging_gate_inactive_on_floored_memory_host(tmp_path):
     g3 = _drift_gate("skew", res_old, pin_dir=str(tmp_path))
     assert g3["verdict"] == "regressed"
 
+    # EXCULPATORY-ONLY: an ok on a floored host stands (degraded memory
+    # can only bias the kernel slower, so the green is conservative) —
+    # measured live: the r10 uniform run read 1.036x pin at 0.18 GB/s
+    res_ok = {
+        "patches_per_sec": 295.0, "payload_mb_per_sec": 8.9,
+        "first_touch_gb_s": 0.02,
+    }
+    g4 = _drift_gate("skew", res_ok, pin_dir=str(tmp_path))
+    assert g4["verdict"] == "ok"
+    assert g4["verdict_gate"] == "active"
+    assert g4["host_memory"]["first_touch_gb_s"] == 0.02  # still recorded
+    assert g4["consecutive_non_ok"] == 0  # streak memory runs for ok
+
 
 def test_host_memory_probe_returns_best_of_fresh_attempts():
     v = bench.host_memory_probe(size_mb=8, attempts=2)
