@@ -55,6 +55,11 @@ from bench_imaging import DRIFT_GATE_METRICS, PIN_FILES, pin_stats  # noqa: E402
 RUN_KEYS = (
     "value", "wall_sec", "patches_per_sec", "payload_mb_per_sec",
     "n_patches", "key_parity_ok", "host_probe_sec", "host_probe_start_end",
+    # r10: recorded when present (older runs lack it) — the memory-fault
+    # capability of the host the pin was taken on. A pin taken below
+    # bench.MEM_FAULT_FLOOR_GB_S would encode backend-throttled rates as
+    # the baseline, so pinning refuses floored runs (checked in derive).
+    "first_touch_gb_s",
 )
 
 
@@ -63,6 +68,27 @@ def derive(runs: list[dict]) -> dict:
     fresh pins and --recompute, so the pin is always the derivation of
     its own recorded measurement."""
     probes = [r["host_probe_sec"] for r in runs]
+    # Refuse to pin from a memory-floored host (r10): rates measured
+    # below bench.MEM_FAULT_FLOOR_GB_S encode the hypervisor's lazy page
+    # backend as the baseline — every later healthy run would read as an
+    # improbable improvement and a real regression would hide inside the
+    # inflated band. Runs without the field (pre-r10 records) pass: their
+    # rates were sanity-checked by the rounds that pinned them.
+    import bench as _bench
+
+    floored = [
+        r["first_touch_gb_s"]
+        for r in runs
+        if r.get("first_touch_gb_s") is not None
+        and r["first_touch_gb_s"] < _bench.MEM_FAULT_FLOOR_GB_S
+    ]
+    if floored:
+        raise SystemExit(
+            f"refusing to pin: run(s) measured first-touch {floored} GB/s, "
+            f"below the {_bench.MEM_FAULT_FLOOR_GB_S} GB/s memory-fault "
+            "floor — this host's rates are backend-throttled, not a "
+            "baseline (see BENCH_IMAGING_SKEW_r10.json forensics)"
+        )
     stats = {
         m: pin_stats([r[m] for r in runs]) for m in DRIFT_GATE_METRICS
     }

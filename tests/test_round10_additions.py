@@ -352,3 +352,27 @@ def test_host_memory_probe_returns_best_of_fresh_attempts():
     # the floor must sit well below any plausible healthy reading of this
     # tiny probe, and well above the measured pathological readings
     assert 0.05 < bench.MEM_FAULT_FLOOR_GB_S < 1.0
+
+
+def test_pin_refuses_memory_floored_runs():
+    """A pin derived from backend-throttled rates would make every later
+    healthy run read as an improvement and hide real regressions in the
+    inflated band — derive() refuses floored runs loudly. Pre-r10 runs
+    without the field pass (their rates were sanity-checked by the
+    rounds that pinned them)."""
+    import pytest
+    from pin_imaging_baseline import derive
+
+    base = {
+        "value": 1.0, "wall_sec": 100.0, "patches_per_sec": 300.0,
+        "payload_mb_per_sec": 9.0, "n_patches": 1000,
+        "key_parity_ok": True, "host_probe_sec": 0.024,
+        "host_probe_start_end": [0.024, 0.024],
+    }
+    healthy = [dict(base, first_touch_gb_s=1.5) for _ in range(5)]
+    assert derive(healthy)["patches_per_sec"] == 300.0
+    legacy = [dict(base) for _ in range(5)]  # pre-r10: no field
+    assert derive(legacy)["patches_per_sec"] == 300.0
+    floored = healthy[:4] + [dict(base, first_touch_gb_s=0.02)]
+    with pytest.raises(SystemExit, match="refusing to pin"):
+        derive(floored)
