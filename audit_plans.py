@@ -153,6 +153,15 @@ def main() -> None:
             "scans and how many carry pushed filters, whole-stage-codegen "
             "span count, Arrow (pandas) stages, single-partition windows "
             "(0 by policy except bounded post-aggregation frames).\n\n"
+            "Determinism: each row is audited standalone (cache cleared "
+            "between queries), but counts record ONE observed AQE outcome "
+            "— a query whose intermediate sizes straddle an AQE "
+            "join-strategy threshold can legitimately print "
+            "adjacent-integer variants run-to-run (measured r11, fresh "
+            "standalone sessions: ann_truncated_recall_eval flips 2<->4 "
+            "exch / 13<->15 codegen as AQE picks shuffled vs broadcast "
+            "for its near-threshold hit-join; both plans are valid "
+            "runtime adaptations, not audit leakage).\n\n"
             "| query | exch | rexch | BHJ | SMJ | NLJ | scans | pushed | codegen | arrow | spwin |\n"
             "|---|---|---|---|---|---|---|---|---|---|---|\n"
         )

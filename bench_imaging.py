@@ -181,6 +181,13 @@ def main() -> None:
     mem_probe = host_memory_probe()
     probe_start = host_probe()
     t0 = time.time()
+    # mem probe is re-taken AFTER the pipeline (see below): this host's
+    # lazy page backend sleeps after ~45 s idle and wakes under sustained
+    # touching (measured r11: 0.005 GB/s cold -> 2-4 GB/s while
+    # continuously probed), so a single warm start-probe on a host that
+    # floors mid-run would hand the gate a false `regressed`. The gate
+    # keys on the MIN of the two probes — exculpatory if EITHER side saw
+    # the floor.
     # volume_batch_scope: the Arrow batch shrink is live while the collect
     # executes the imaging plan and restored when the job completes, so a
     # session reused after this driver sees the default batch size.
@@ -193,6 +200,7 @@ def main() -> None:
         )
     wall = time.time() - t0
     probe_end = host_probe()
+    mem_probe_end = host_memory_probe()
 
     n_patches = sum(r["n"] for r in stats)
     by_res = {r["resolution"]: r["n"] for r in stats}
@@ -216,7 +224,10 @@ def main() -> None:
         # load spike DURING the run that the median would average away
         "host_probe_sec": round(median([probe_start, probe_end]), 5),
         "host_probe_start_end": [probe_start, probe_end],
-        "first_touch_gb_s": mem_probe,
+        # gate key: the WORSE of the start/end memory probes — a backend
+        # that slept through the run shows the floor on at least one side
+        "first_touch_gb_s": min(mem_probe, mem_probe_end),
+        "first_touch_start_end": [mem_probe, mem_probe_end],
     }
     if big_shape:
         result["big_shape"] = list(big_shape)
@@ -237,18 +248,25 @@ PIN_FILES = {
 
 def load_imaging_verdict_history(
     mode: str, pin_dir: str | None = None
-) -> list[tuple[int, str]]:
+) -> list[tuple[int, str | None]]:
     """(round, verdict) from each prior driver round of this mode —
     ``BENCH_IMAGING_{MODE}_r{N}.json`` files at the repo root (or
-    ``pin_dir`` in tests), ascending. Rounds without a machine verdict
-    (pre-r9: drift_gate.verdict None/absent) contribute nothing — absent
-    history is indeterminate, and bench.consecutive_non_ok treats the
-    missing round as a streak break anyway."""
+    ``pin_dir`` in tests), ascending. A round is recorded iff its
+    drift_gate carries an explicit ``verdict`` key: a str is an ACTIVE
+    adjudication, ``None`` is an INACTIVE one (the gate declined —
+    memory-floored host, broken measurement, stats-less pin). Rounds
+    without the key at all (pre-r9) contribute nothing — absent history
+    is indeterminate. Recording inactive rounds explicitly (r11, r10
+    verdict demand #1) serves both streaks: they BREAK the non-ok streak
+    (unknown must never escalate — previously they were dropped from the
+    list, silently splicing the non-ok rounds on either side together)
+    and they EXTEND the inactive streak (N consecutive unmeasured rounds
+    is itself the finding)."""
     import glob as _glob
     import re as _re
 
     here = pin_dir or os.path.dirname(os.path.abspath(__file__))
-    out: list[tuple[int, str]] = []
+    out: list[tuple[int, str | None]] = []
     pat = f"BENCH_IMAGING_{mode.upper()}_r*.json"
     for fn in _glob.glob(os.path.join(here, pat)):
         m = _re.fullmatch(
@@ -261,10 +279,60 @@ def load_imaging_verdict_history(
                 d = json.load(f)
         except (OSError, ValueError):
             continue
-        v = (d.get("drift_gate") or {}).get("verdict")
-        if isinstance(v, str):
-            out.append((int(m.group(1)), v))
+        g = d.get("drift_gate") or {}
+        if "verdict" in g:
+            v = g["verdict"]
+            out.append((int(m.group(1)), v if isinstance(v, str) else None))
     return sorted(out)
+
+
+# Inactive-streak escalation (r11, closing the r10 blind spot): the
+# memory-capability gate adjudicates a floored-host non-ok as verdict
+# None — correctly, the kernel was not measured — but a None verdict
+# contributes nothing to the non-ok streak, so N consecutive floored
+# rounds never escalated: the exact hole the r9 bench gate had, reborn
+# one level up. The inactive streak is the inverse asymmetry: it counts
+# consecutive UNMEASURED rounds (current + immediately-prior recorded
+# rounds whose verdict is None, any inactivity cause), and at
+# ESCALATE_INACTIVE_AT the run may no longer ride as "indeterminate,
+# try again next round".
+ESCALATE_INACTIVE_AT = 2
+INACTIVE_ESCALATION_POLICY = (
+    f"{ESCALATE_INACTIVE_AT}+ consecutive inactive gate verdicts: this "
+    "mode has gone that many driver rounds unmeasured — re-run on a host "
+    "whose memory probe clears bench.MEM_FAULT_FLOOR_GB_S (poll "
+    "host_memory_probe and run in the same session) or record a "
+    "documented environment fix; indeterminate rounds must not "
+    "accumulate silently"
+)
+
+
+def consecutive_inactive(
+    current_inactive: bool, history: list[tuple[int, str | None]]
+) -> int:
+    """Streak of consecutive unmeasured rounds: 1 for the current run (if
+    its gate is inactive) plus the immediately-prior recorded rounds whose
+    verdict is None, newest first. Any ACTIVE verdict (ok or not) resets,
+    and a GAP in recorded round numbers breaks the walk — a round with no
+    record is unknown history and must never extend a streak (the rule
+    consecutive_non_ok states for absent queries, here enforceable
+    because imaging history keys by round number). The newest recorded
+    round is taken as adjacent to the current run — the same assumption
+    bench.consecutive_non_ok makes about its newest history entry.
+    Property-tested in tests/test_gate_properties.py."""
+    if not current_inactive:
+        return 0
+    n = 1
+    prev: int | None = None
+    for rnd, v in sorted(history, reverse=True):
+        if prev is not None and rnd != prev - 1:
+            break
+        if v is None:
+            n += 1
+            prev = rnd
+        else:
+            break
+    return n
 
 
 def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
@@ -415,8 +483,15 @@ def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
             }
             if out["verdict"] not in (None, "ok"):
                 out["verdict"] = None
-                if not (broken_run or broken_pin):
-                    out["ok"] = None  # the 2x backstop saw the same invalid run
+                # Exculpatory-only applies to the 2x backstop too: only a
+                # FAILING backstop is nulled (it saw the same invalid run);
+                # a passing ok=True under slower-only bias is conservative,
+                # valid evidence and stands — e.g. a noise-band verdict at
+                # ratio < 2 (r10 ADVICE). broken_run/broken_pin can't reach
+                # this branch (they route to the elif above), so ok is
+                # True/False/None from the ratio gate alone here.
+                if out["ok"] is False:
+                    out["ok"] = None
                 out["verdict_gate"] = (
                     f"inactive: host memory-fault throughput {mem} GB/s is "
                     f"below the {_bench.MEM_FAULT_FLOOR_GB_S} GB/s floor "
@@ -427,24 +502,42 @@ def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
                     "the floor before adjudicating. An ok verdict would "
                     "have stood: degraded memory only biases slower."
                 )
-        # Gate memory, mirrored from bench.py (r10): consecutive non-ok
-        # verdicts across this mode's prior driver rounds
-        # (BENCH_IMAGING_{MODE}_r{N}.json) plus the current run; a streak
-        # >= bench.ESCALATE_AT escalates — a rate that settles permanently
-        # one band below its pin is evidence, not weather. Streak algebra
-        # is the SAME audited function (property-tested in
-        # tests/test_gate_properties.py), fed one pseudo-query per mode.
-        if out["verdict"] is not None:
-            import bench
+    # Gate memory, mirrored from bench.py (r10): consecutive non-ok
+    # verdicts across this mode's prior driver rounds
+    # (BENCH_IMAGING_{MODE}_r{N}.json) plus the current run; a streak
+    # >= bench.ESCALATE_AT escalates — a rate that settles permanently
+    # one band below its pin is evidence, not weather. Streak algebra
+    # is the SAME audited function (property-tested in
+    # tests/test_gate_properties.py), fed one pseudo-query per mode.
+    # History rounds whose verdict was None feed in as the marker string
+    # "inactive" — not in NON_OK_VERDICTS, so an unmeasured round BREAKS
+    # a non-ok streak instead of silently splicing its neighbors (the
+    # pre-r11 loader dropped such rounds from the list entirely, which
+    # would have joined the non-ok rounds on either side of a floored
+    # round into one streak).
+    if "verdict" in out:
+        import bench
 
+        history = load_imaging_verdict_history(mode, pin_dir)
+        if out["verdict"] is not None:
             hist = [
-                (rnd, {"rate": v})
-                for rnd, v in load_imaging_verdict_history(mode, pin_dir)
+                (rnd, {"rate": v if v is not None else "inactive"})
+                for rnd, v in history
             ]
             streaks = bench.consecutive_non_ok({"rate": out["verdict"]}, hist)
             out["consecutive_non_ok"] = streaks.get("rate", 0)
             if out["consecutive_non_ok"] >= bench.ESCALATE_AT:
                 out["escalation"] = bench.ESCALATION_POLICY
+        # Inactive-streak memory (r11, r10 verdict demand #1): N
+        # consecutive unmeasured rounds is a finding, not weather — at
+        # ESCALATE_INACTIVE_AT the round owes a healthy-host measurement
+        # or a documented environment fix. Counted for every emitted
+        # verdict (an active one resets it to 0 via current_inactive).
+        out["consecutive_inactive"] = consecutive_inactive(
+            out["verdict"] is None, history
+        )
+        if out["consecutive_inactive"] >= ESCALATE_INACTIVE_AT:
+            out["escalation"] = INACTIVE_ESCALATION_POLICY
     notes = []
     probe_pair = result.get("host_probe_start_end") or [None, None]
     if all(probe_pair) and max(probe_pair) / min(probe_pair) > 2:

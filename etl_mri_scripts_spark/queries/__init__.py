@@ -44,123 +44,117 @@ from . import tpch_shapes  # noqa: E402,F401
 from . import pipeline_analytics  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 
-# Round-10 window layout (r9 verdict demand #1 + #4): the pre-listed r10
-# cut from the r9 round, regenerated by rotate_window.py on the r1-r9
-# CORRECTNESS history — 5 sentinels + 2 re-checks + 43 freshness rows.
-# The re-checks are the two queries whose implementation changed in r10
-# (changed code never rides a stale green row):
-# dedup_pagerank_representatives (shared persisted edge list for PR+CC
-# labels and loop-invariant out-degree decoration, the census finding)
-# and text_perplexity_proxy (window-free bigram formation). The two last
-# pre-listed freshness rows (join_semi_customers_with_urgent_orders,
-# join_left_customer_order_counts) moved to the r11 queue head to make
-# room. After this window lands, no query's latest driver row is older
-# than r6 except join_left_customer_order_counts (r6, first in the r11
-# queue). The commented tail is the r11 cut pre-listed (demand #4) —
-# next round uncomment, don't re-derive. Any further r10 code change
-# must add its name to the head before the round closes. Layout
-# generated by rotate_window.py and amended per re-check.
+# Round-11 window layout (r10 verdict demands #3 + #5): the pre-listed r11
+# cut from the r10 round, regenerated this round by rotate_window.py on the
+# r1-r10 CORRECTNESS history and verified identical to the pre-list — 5
+# sentinels + 45 freshness rows (the 18 r6-latest queries headed by
+# join_left_customer_order_counts, padded with the 27 stalest r7 rows).
+# ZERO re-checks: no registered query's implementation changed in r11 (the
+# round's code changes are gate/bench tooling, streaming index probing and
+# tests — none behind a queries() entry). After this window lands, no
+# query's latest driver row is older than r7; precisely 16 queries remain
+# at r7 (pack_sequences_bestfit .. two_phase_robust_normalize), all
+# pre-listed at the head of the r12 queue below (uncomment = next round's
+# mechanical cut). Any r11 code change to a registered query must add its
+# name to the head before the round closes.
 _DRIVER_ORDER = [
     "window_tumbling_hourly",  # sentinel
     "dedup_exact_hash",  # sentinel
     "text_token_counts",  # sentinel
     "ann_bruteforce_topk",  # sentinel
     "pricing_summary",  # sentinel
-    "dedup_pagerank_representatives",  # re-check: implementation changed
-    "text_perplexity_proxy",  # re-check: bigram formation rewritten in r10
-    # (window-free adjacent-element explode, BENCH_AB_PERPLEXITY_r10.json
-    # 0.72x) — must re-earn its driver row instead of riding the r7 green
-    "late_lines_priority_by_status",  # freshness: last driver row CORRECTNESS_r05.json
-    "middle_n_selection",  # freshness: last driver row CORRECTNESS_r05.json
-    "pack_sequences_concat",  # freshness: last driver row CORRECTNESS_r05.json
-    "partitioned_dynamic_pruning",  # freshness: last driver row CORRECTNESS_r05.json
-    "sample_stratified_exact",  # freshness: last driver row CORRECTNESS_r05.json
-    "scan_aggregate_pushdown",  # freshness: last driver row CORRECTNESS_r05.json
-    "sketch_countmin_heavy_hitters",  # freshness: last driver row CORRECTNESS_r05.json
-    "sketch_kmv_distinct_by_nation",  # freshness: last driver row CORRECTNESS_r05.json
-    "source_cap_downsample",  # freshness: last driver row CORRECTNESS_r05.json
-    "split_group_consistent",  # freshness: last driver row CORRECTNESS_r05.json
-    "split_hash_bucket",  # freshness: last driver row CORRECTNESS_r05.json
-    "text_bigram_pmi",  # freshness: last driver row CORRECTNESS_r05.json
-    "text_langid_confusion",  # freshness: last driver row CORRECTNESS_r05.json
-    "text_vocabulary_ranked",  # freshness: last driver row CORRECTNESS_r05.json
-    "training_shard_assignment",  # freshness: last driver row CORRECTNESS_r05.json
-    "window_session_10m_gap",  # freshness: last driver row CORRECTNESS_r05.json
-    "window_sliding_hourly_30m",  # freshness: last driver row CORRECTNESS_r05.json
-    "agg_argmax_max_by",  # freshness: last driver row CORRECTNESS_r06.json
-    "agg_count_distinct_rollup",  # freshness: last driver row CORRECTNESS_r06.json
-    "agg_grouping_sets",  # freshness: last driver row CORRECTNESS_r06.json
-    "agg_histogram_width_bucket",  # freshness: last driver row CORRECTNESS_r06.json
-    "agg_minmax_per_group",  # freshness: last driver row CORRECTNESS_r06.json
-    "agg_percentiles_exact",  # freshness: last driver row CORRECTNESS_r06.json
-    "agg_skew_salted_two_stage",  # freshness: last driver row CORRECTNESS_r06.json
-    "agg_stats_moments",  # freshness: last driver row CORRECTNESS_r06.json
-    "ann_ivf_kmeans_topk",  # freshness: last driver row CORRECTNESS_r06.json
-    "ann_ivf_pq_topk",  # freshness: last driver row CORRECTNESS_r06.json
-    "ann_pq_adc_topk",  # freshness: last driver row CORRECTNESS_r06.json
-    "cdc_upsert_latest_wins",  # freshness: last driver row CORRECTNESS_r06.json
-    "conditional_agg_counters",  # freshness: last driver row CORRECTNESS_r06.json
-    "cube_status_priority",  # freshness: last driver row CORRECTNESS_r06.json
-    "data_profile_summary",  # freshness: last driver row CORRECTNESS_r06.json
-    "date_format_monthly_rollup",  # freshness: last driver row CORRECTNESS_r06.json
-    "distinct_sorted_dimension",  # freshness: last driver row CORRECTNESS_r06.json
-    "dq_uniqueness_report",  # freshness: last driver row CORRECTNESS_r06.json
-    "field_target_parse",  # freshness: last driver row CORRECTNESS_r06.json
-    "filter_project_arith",  # freshness: last driver row CORRECTNESS_r06.json
-    "flagship_revenue_by_region_priority",  # freshness: last driver row CORRECTNESS_r06.json
-    "imaging_pipeline_manifest",  # freshness: last driver row CORRECTNESS_r06.json
-    "imaging_pipeline_patches",  # freshness: last driver row CORRECTNESS_r06.json
-    "join_anti_customers_without_orders",  # freshness: last driver row CORRECTNESS_r06.json
-    "join_broadcast_supplier_geo",  # freshness: last driver row CORRECTNESS_r06.json
-    "join_inner_orders_customer",  # freshness: last driver row CORRECTNESS_r06.json
+    "join_left_customer_order_counts",  # freshness: last driver row CORRECTNESS_r06.json
+    "join_semi_customers_with_urgent_orders",  # freshness: last driver row CORRECTNESS_r06.json
+    "join_skew_salted_replicated",  # freshness: last driver row CORRECTNESS_r06.json
+    "join_symmetric_difference_validation",  # freshness: last driver row CORRECTNESS_r06.json
+    "key_build_and_normalize",  # freshness: last driver row CORRECTNESS_r06.json
+    "math_scalar_functions",  # freshness: last driver row CORRECTNESS_r06.json
+    "nation_revenue_share",  # freshness: last driver row CORRECTNESS_r06.json
+    "orders_monthly_growth",  # freshness: last driver row CORRECTNESS_r06.json
+    "path_basename_extract",  # freshness: last driver row CORRECTNESS_r06.json
+    "pivot_event_type_counts",  # freshness: last driver row CORRECTNESS_r06.json
+    "report_unpivot_long",  # freshness: last driver row CORRECTNESS_r06.json
+    "revenue_pareto_share",  # freshness: last driver row CORRECTNESS_r06.json
+    "semi_structured_json_extract",  # freshness: last driver row CORRECTNESS_r06.json
+    "set_except_keys",  # freshness: last driver row CORRECTNESS_r06.json
+    "set_intersect_keys",  # freshness: last driver row CORRECTNESS_r06.json
+    "set_union_distinct_keys",  # freshness: last driver row CORRECTNESS_r06.json
+    "source_jsonl_corrupt_quarantine",  # freshness: last driver row CORRECTNESS_r06.json
+    "split_exact_count_rank",  # freshness: last driver row CORRECTNESS_r06.json
+    "agg_trimmed_winsorized_stats",  # freshness: last driver row CORRECTNESS_r07.json
+    "ann_bucketed_signbit_topk",  # freshness: last driver row CORRECTNESS_r07.json
+    "ann_ivf_by_label_topk",  # freshness: last driver row CORRECTNESS_r07.json
+    "cohort_retention_weekly",  # freshness: last driver row CORRECTNESS_r07.json
+    "corpus_drift_psi",  # freshness: last driver row CORRECTNESS_r07.json
+    "corpus_temperature_mix",  # freshness: last driver row CORRECTNESS_r07.json
+    "crossmodal_quality_topk",  # freshness: last driver row CORRECTNESS_r07.json
+    "curation_funnel",  # freshness: last driver row CORRECTNESS_r07.json
+    "customer_revenue_gini",  # freshness: last driver row CORRECTNESS_r07.json
+    "dedup_cluster_representatives",  # freshness: last driver row CORRECTNESS_r07.json
+    "dedup_edit_distance_verified",  # freshness: last driver row CORRECTNESS_r07.json
+    "dedup_embedding_cosine_pairs",  # freshness: last driver row CORRECTNESS_r07.json
+    "dedup_incremental_delta",  # freshness: last driver row CORRECTNESS_r07.json
+    "dedup_interdoc_segments",  # freshness: last driver row CORRECTNESS_r07.json
+    "dedup_jaccard_dfcap",  # freshness: last driver row CORRECTNESS_r07.json
+    "dedup_keep_canonical",  # freshness: last driver row CORRECTNESS_r07.json
+    "dedup_lsh_verified_pairs",  # freshness: last driver row CORRECTNESS_r07.json
+    "dedup_minhash_lsh_candidates",  # freshness: last driver row CORRECTNESS_r07.json
+    "dedup_ngram_jaccard_pairs_diagnostic",  # freshness: last driver row CORRECTNESS_r07.json
+    "dedup_simhash_16bit",  # freshness: last driver row CORRECTNESS_r07.json
+    "embedding_norm_stats_by_label",  # freshness: last driver row CORRECTNESS_r07.json
+    "events_debounce_collapse",  # freshness: last driver row CORRECTNESS_r07.json
+    "events_funnel_depth",  # freshness: last driver row CORRECTNESS_r07.json
+    "events_gap_fill_forward",  # freshness: last driver row CORRECTNESS_r07.json
+    "events_sessionize_custom",  # freshness: last driver row CORRECTNESS_r07.json
+    "events_step_funnel",  # freshness: last driver row CORRECTNESS_r07.json
+    "events_transition_matrix",  # freshness: last driver row CORRECTNESS_r07.json
     # ===== next-round freshness queue (stalest beyond this
     # window; uncomment = next round's mechanical cut) =====
-    # "join_left_customer_order_counts",  # last driver row CORRECTNESS_r06.json
-    # (displaced by the text_perplexity_proxy re-check row, r10)
-    # "join_semi_customers_with_urgent_orders",  # last driver row CORRECTNESS_r06.json
-    # "join_skew_salted_replicated",  # last driver row CORRECTNESS_r06.json
-    # "join_symmetric_difference_validation",  # last driver row CORRECTNESS_r06.json
-    # "key_build_and_normalize",  # last driver row CORRECTNESS_r06.json
-    # "math_scalar_functions",  # last driver row CORRECTNESS_r06.json
-    # "nation_revenue_share",  # last driver row CORRECTNESS_r06.json
-    # "orders_monthly_growth",  # last driver row CORRECTNESS_r06.json
-    # "path_basename_extract",  # last driver row CORRECTNESS_r06.json
-    # "pivot_event_type_counts",  # last driver row CORRECTNESS_r06.json
-    # "report_unpivot_long",  # last driver row CORRECTNESS_r06.json
-    # "revenue_pareto_share",  # last driver row CORRECTNESS_r06.json
-    # "semi_structured_json_extract",  # last driver row CORRECTNESS_r06.json
-    # "set_except_keys",  # last driver row CORRECTNESS_r06.json
-    # "set_intersect_keys",  # last driver row CORRECTNESS_r06.json
-    # "set_union_distinct_keys",  # last driver row CORRECTNESS_r06.json
-    # "source_jsonl_corrupt_quarantine",  # last driver row CORRECTNESS_r06.json
-    # "split_exact_count_rank",  # last driver row CORRECTNESS_r06.json
-    # "agg_trimmed_winsorized_stats",  # last driver row CORRECTNESS_r07.json
-    # "ann_bucketed_signbit_topk",  # last driver row CORRECTNESS_r07.json
-    # "ann_ivf_by_label_topk",  # last driver row CORRECTNESS_r07.json
-    # "cohort_retention_weekly",  # last driver row CORRECTNESS_r07.json
-    # "corpus_drift_psi",  # last driver row CORRECTNESS_r07.json
-    # "corpus_temperature_mix",  # last driver row CORRECTNESS_r07.json
-    # "crossmodal_quality_topk",  # last driver row CORRECTNESS_r07.json
-    # "curation_funnel",  # last driver row CORRECTNESS_r07.json
-    # "customer_revenue_gini",  # last driver row CORRECTNESS_r07.json
-    # "dedup_cluster_representatives",  # last driver row CORRECTNESS_r07.json
-    # "dedup_edit_distance_verified",  # last driver row CORRECTNESS_r07.json
-    # "dedup_embedding_cosine_pairs",  # last driver row CORRECTNESS_r07.json
-    # "dedup_incremental_delta",  # last driver row CORRECTNESS_r07.json
-    # "dedup_interdoc_segments",  # last driver row CORRECTNESS_r07.json
-    # "dedup_jaccard_dfcap",  # last driver row CORRECTNESS_r07.json
-    # "dedup_keep_canonical",  # last driver row CORRECTNESS_r07.json
-    # "dedup_lsh_verified_pairs",  # last driver row CORRECTNESS_r07.json
-    # "dedup_minhash_lsh_candidates",  # last driver row CORRECTNESS_r07.json
-    # "dedup_ngram_jaccard_pairs_diagnostic",  # last driver row CORRECTNESS_r07.json
-    # "dedup_simhash_16bit",  # last driver row CORRECTNESS_r07.json
-    # "embedding_norm_stats_by_label",  # last driver row CORRECTNESS_r07.json
-    # "events_debounce_collapse",  # last driver row CORRECTNESS_r07.json
-    # "events_funnel_depth",  # last driver row CORRECTNESS_r07.json
-    # "events_gap_fill_forward",  # last driver row CORRECTNESS_r07.json
-    # "events_sessionize_custom",  # last driver row CORRECTNESS_r07.json
-    # "events_step_funnel",  # last driver row CORRECTNESS_r07.json
-    # "events_transition_matrix",  # last driver row CORRECTNESS_r07.json
+    # "pack_sequences_bestfit",  # last driver row CORRECTNESS_r07.json
+    # "scd2_user_state_intervals",  # last driver row CORRECTNESS_r07.json
+    # "shipping_delay_distribution",  # last driver row CORRECTNESS_r07.json
+    # "sql_scalar_subquery_decorrelated",  # last driver row CORRECTNESS_r07.json
+    # "text_chunk_overlapping",  # last driver row CORRECTNESS_r07.json
+    # "text_corpus_stats_by_lang",  # last driver row CORRECTNESS_r07.json
+    # "text_fingerprint_minshingle",  # last driver row CORRECTNESS_r07.json
+    # "text_language_id",  # last driver row CORRECTNESS_r07.json
+    # "text_pii_scrub",  # last driver row CORRECTNESS_r07.json
+    # "text_quality_filter",  # last driver row CORRECTNESS_r07.json
+    # "text_quality_scores",  # last driver row CORRECTNESS_r07.json
+    # "text_repetition_signals",  # last driver row CORRECTNESS_r07.json
+    # "topk_customers_by_revenue",  # last driver row CORRECTNESS_r07.json
+    # "topk_per_group_window",  # last driver row CORRECTNESS_r07.json
+    # "topk_unshipped_orders",  # last driver row CORRECTNESS_r07.json
+    # "two_phase_robust_normalize",  # last driver row CORRECTNESS_r07.json
+    # "bpe_tokenize_counts",  # last driver row CORRECTNESS_r08.json
+    # "bpe_train_merges",  # last driver row CORRECTNESS_r08.json
+    # "cdc_apply_with_deletes",  # last driver row CORRECTNESS_r08.json
+    # "corpus_mix_plan",  # last driver row CORRECTNESS_r08.json
+    # "customer_order_count_distribution",  # last driver row CORRECTNESS_r08.json
+    # "dedup_minhash_signatures",  # last driver row CORRECTNESS_r08.json
+    # "dedup_semantic_keep",  # last driver row CORRECTNESS_r08.json
+    # "dq_lineitem_constraints",  # last driver row CORRECTNESS_r08.json
+    # "dq_referential_integrity",  # last driver row CORRECTNESS_r08.json
+    # "embedding_centroid_similarity",  # last driver row CORRECTNESS_r08.json
+    # "embedding_l2_normalize_hof",  # last driver row CORRECTNESS_r08.json
+    # "embedding_label_centroids",  # last driver row CORRECTNESS_r08.json
+    # "embedding_outlier_distance",  # last driver row CORRECTNESS_r08.json
+    # "embedding_quantize_int8",  # last driver row CORRECTNESS_r08.json
+    # "fk_integrity_audit",  # last driver row CORRECTNESS_r08.json
+    # "hll_sketch_rollup_nation_region",  # last driver row CORRECTNESS_r08.json
+    # "idle_rich_customers_by_nation",  # last driver row CORRECTNESS_r08.json
+    # "imaging_patch_grid",  # last driver row CORRECTNESS_r08.json
+    # "imaging_slice_plan",  # last driver row CORRECTNESS_r08.json
+    # "imaging_triptych_render",  # last driver row CORRECTNESS_r08.json
+    # "ingest_union_schema_drift",  # last driver row CORRECTNESS_r08.json
+    # "join_min_cost_supplier_per_part",  # last driver row CORRECTNESS_r08.json
+    # "join_range_time_bucketed",  # last driver row CORRECTNESS_r08.json
+    # "large_order_customers",  # last driver row CORRECTNESS_r08.json
+    # "late_sole_supplier_orders",  # last driver row CORRECTNESS_r08.json
+    # "multimodal_feature_extract",  # last driver row CORRECTNESS_r08.json
+    # "multimodal_frame_sample",  # last driver row CORRECTNESS_r08.json
+    # "orders_priority_late_exists",  # last driver row CORRECTNESS_r08.json
+    # "promo_revenue_percent",  # last driver row CORRECTNESS_r08.json
 ]
 
 

@@ -745,11 +745,19 @@ def _read_index_part(spark: SparkSession, index_dir: str, name: str, before_batc
     replays batch N — which must NOT see its own earlier partial write
     (every doc would match itself and the replay would emit zero
     survivors). batch_id is a partition column, so the filter is pruning,
-    not a scan."""
-    import os
+    not a scan.
 
-    path = os.path.join(index_dir, name)
-    if not os.path.isdir(path):
+    Existence is probed through Hadoop's FileSystem (resolved for the
+    path's OWN scheme), not ``os.path.isdir``: a driver-local check on an
+    s3://, hdfs:// or other remote index_dir always reads absent, which
+    would silently skip the dedup probe and admit every duplicate (r10
+    ADVICE). A local path resolves to the same answer via
+    LocalFileSystem, so the behavior change is remote-only."""
+    path = index_dir.rstrip("/") + "/" + name
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
         return None
     df = spark.read.parquet(path)
     return df.filter(F.col("batch_id") < before_batch)
@@ -795,6 +803,18 @@ def neardedup_process_batch(
     (|batch| x bucket occupancy), the batch side is the small side of
     every join (broadcast-hinted), and the index scans prune on the
     batch_id partition column plus the band/bucket equi-join keys.
+
+    Determinism assumption on the empty-batch early return: an empty
+    batch writes nothing, so a replay that re-delivers batch N as EMPTY
+    would leave any partial batch_id=N partitions from a crashed earlier
+    attempt in place instead of overwriting them. That is safe here
+    because the checkpointed file source replays each batch_id with the
+    same file set (deterministic batches), so a batch is empty on replay
+    iff it was empty on the first attempt — i.e. iff nothing was ever
+    written for it. A caller feeding NONDETERMINISTIC batches (e.g. a
+    rate-limited or dedup-upstream source) must not reuse this function
+    as-is; the early return would have to write empty partitions for the
+    batch instead (r10 ADVICE).
     """
     import math
     import os

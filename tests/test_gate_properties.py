@@ -166,3 +166,72 @@ def test_pin_epoch_filter_never_lengthens_a_streak(history, since):
         bench.consecutive_non_ok({"q": "noise-band"}, mutated_kept)["q"]
         == filtered
     )
+
+
+# ---------------- inactive-streak algebra (r11) ----------------------------
+
+from bench_imaging import consecutive_inactive  # noqa: E402
+
+imaging_verdict_st = st.one_of(
+    st.none(), st.sampled_from(["ok", "noise-band", "host-tail", "regressed"])
+)
+imaging_history_st = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=30), imaging_verdict_st),
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(st.booleans(), imaging_history_st)
+def test_inactive_streak_is_the_maximal_contiguous_none_prefix(
+    cur_inactive, history
+):
+    """consecutive_inactive == length of the maximal prefix of
+    [current, newest recorded round, ...] that is all-inactive AND
+    contiguous in round numbers (the newest entry assumed adjacent to the
+    current run) — the independent spec restated as a fold, so any
+    reset/gap/order bug diverges."""
+    got = consecutive_inactive(cur_inactive, history)
+    if not cur_inactive:
+        assert got == 0
+        return
+    expect, prev = 1, None
+    for rnd, v in sorted(history, reverse=True):
+        if prev is not None and rnd != prev - 1:
+            break  # unrecorded round between: unknown history, never extends
+        if v is None:
+            expect += 1
+            prev = rnd
+        else:
+            break
+    assert got == expect
+
+
+@given(imaging_history_st)
+def test_active_newest_round_caps_inactive_streak_at_one(history):
+    """One measured round (any active verdict, even `regressed`)
+    discharges the unmeasured-rounds debt: with the newest recorded round
+    active, a current inactive run counts exactly 1."""
+    newest = max((r for r, _ in history), default=0) + 1
+    hist = history + [(newest, "regressed")]
+    assert consecutive_inactive(True, hist) == 1
+
+
+@given(imaging_history_st)
+def test_inactive_history_breaks_non_ok_streak(history):
+    """The r11 feeding convention: history rounds with verdict None enter
+    bench.consecutive_non_ok as the marker string 'inactive', which is
+    not in NON_OK_VERDICTS — so an unmeasured round BREAKS a non-ok
+    streak (pre-r11 those rounds were dropped from the list, splicing
+    their non-ok neighbors into one streak). Spec: the streak never
+    counts past the newest None round."""
+    hist = [
+        (rnd, {"rate": v if v is not None else "inactive"})
+        for rnd, v in history
+    ]
+    streak = bench.consecutive_non_ok({"rate": "regressed"}, hist)["rate"]
+    none_rounds = [r for r, v in history if v is None]
+    if none_rounds:
+        newest_none = max(none_rounds)
+        n_after = sum(1 for r, _ in history if r > newest_none)
+        assert streak <= 1 + n_after

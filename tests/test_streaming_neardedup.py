@@ -171,3 +171,144 @@ def test_replayed_batch_ignores_its_own_partial_index_write(spark, tmp_path):
     sigs = spark.read.parquet(os.path.join(idx, "signatures"))
     assert sigs.count() == 2
     assert sigs.select("indexed_doc_id").distinct().count() == 2
+
+
+# ------------------- stream-vs-batch parity (r11) --------------------------
+# The same corpus through run_incremental_neardedup (3 batches) and through
+# the batch family on the union (dedup_connected_components over the SAME
+# shingle/minhash/band kernels, min-id survivor rule). Where the policies
+# are deterministic they must agree EXACTLY; where they legitimately differ
+# (streaming first-arrival-wins vs batch min-id; an exact copy of a DROPPED
+# doc downgrades to a near-match against the canonical, because dropped
+# docs never enter the index) the difference is asserted explicitly, the
+# way t:test_streaming's attribution/TWA parity tests do.
+
+EXTRA2 = (
+    "orchestral scores from the late romantic period demand enormous "
+    "brass sections layered against divided strings while the conductor "
+    "shapes rubato phrasing through every extended crescendo passage"
+)
+EXTRA3 = (
+    "volcanic soil profiles on terraced hillsides drain quickly after "
+    "seasonal storms letting old vine roots reach mineral layers that "
+    "give the wine its characteristic saline finish and long structure"
+)
+
+# 3 clusters + 3 singletons; ids chosen so ascending batches are
+# {1,2,3} -> {11,12,13} -> {21,22,23}
+_PARITY_DOCS = {
+    1: BASE, 11: NEAR, 21: BASE,            # cluster A (21 = exact copy)
+    2: FRESH, 12: NEAR_FRESH, 22: NEAR_FRESH,  # cluster B (22 = exact copy)
+    3: (
+        "quantum error correction codes stabilize fragile qubit states "
+        "by spreading logical information across entangled physical "
+        "qubits measured through carefully chosen syndrome circuits"
+    ),
+    13: EXTRA2,
+    23: EXTRA3,
+}
+
+
+def _run_stream_over(spark, tmp_path, sub: str, batches) -> tuple[set, dict]:
+    """Feed `batches` (list of id-lists) as successive drops; return the
+    final (survivor set, decisions)."""
+    in_dir = str(tmp_path / sub / "in")
+    out_dir = str(tmp_path / sub / "out")
+    ckpt, idx = str(tmp_path / sub / "ckpt"), str(tmp_path / sub / "idx")
+    os.makedirs(in_dir)
+    for i, ids in enumerate(batches):
+        _write_batch(
+            spark, in_dir, f"drop{i}",
+            [_doc(d, _PARITY_DOCS[d]) for d in ids],
+        )
+        q = run_incremental_neardedup(spark, in_dir + "/*", out_dir, ckpt, idx)
+        q.awaitTermination(120_000)
+    return _survivors(spark, out_dir), _decisions(spark, out_dir)
+
+
+def _batch_family_components(spark, tmp_path) -> dict[int, int]:
+    """doc_id -> component_id from the batch family's connected
+    components over the union corpus (exact-Jaccard verify on the same
+    LSH hash family)."""
+    from etl_mri_scripts_spark.queries.dedup import dedup_connected_components
+
+    sf_dir = str(tmp_path / "union_sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    spark.createDataFrame(
+        [_doc(d, t) for d, t in sorted(_PARITY_DOCS.items())], DOC_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    rows = dedup_connected_components(spark, sf_dir).collect()
+    return {r["doc_id"]: r["component_id"] for r in rows}
+
+
+def test_stream_vs_batch_parity_ascending_ids(spark, tmp_path):
+    """Batches arriving in ascending doc_id order make streaming's
+    first-arrival-wins coincide with the batch family's min-id rule: the
+    survivor sets must be IDENTICAL, and every streamed drop decision
+    must land inside its doc's batch-side component."""
+    comp = _batch_family_components(spark, tmp_path)
+    # batch-side fixture validation: the exact-Jaccard verify clusters
+    # exactly {1,11,21} and {2,12,22}; singletons join no component
+    assert {d for d in comp} == {1, 11, 21, 2, 12, 22}
+    assert comp[1] == comp[11] == comp[21] == 1
+    assert comp[2] == comp[12] == comp[22] == 2
+    batch_survivors = {min(c for c in (1, 11, 21)), min(c for c in (2, 12, 22))} | {
+        3, 13, 23
+    }
+
+    surv, dec = _run_stream_over(
+        spark, tmp_path, "asc", [[1, 2, 3], [11, 12, 13], [21, 22, 23]]
+    )
+    assert surv == batch_survivors == {1, 2, 3, 13, 23}
+    # deterministic decisions, exactly: 21 is an exact hit on indexed 1;
+    # 22 (exact copy of DROPPED 12) legitimately downgrades to a near
+    # match against the CANONICAL 2 — dropped docs never enter the index,
+    # so the digest probe cannot see 12 (the documented stream/batch
+    # divergence in reason labels; the survivor sets still agree)
+    assert dec == {
+        11: ("near", 1),
+        21: ("exact", 1),
+        12: ("near", 2),
+        22: ("near", 2),
+    }
+    # cluster-consistency: every drop's match resolves inside its own
+    # batch-side component
+    for doc_id, (_, match_id) in dec.items():
+        assert comp[doc_id] == comp[match_id]
+
+
+def test_stream_vs_batch_parity_descending_ids(spark, tmp_path):
+    """Batches arriving in DESCENDING id order expose the one legitimate
+    policy difference: streaming keeps the FIRST arrival per cluster
+    (here the largest ids), the batch family keeps the MIN id. Both keep
+    exactly one doc per component and agree on every singleton; the
+    elected canonicals differ exactly on the two clusters."""
+    comp = _batch_family_components(spark, tmp_path)
+    surv, dec = _run_stream_over(
+        spark, tmp_path, "desc", [[21, 22, 23], [11, 12, 13], [1, 2, 3]]
+    )
+    assert surv == {21, 22, 23, 13, 3}  # first-arrival-wins
+    batch_survivors = {1, 2, 3, 13, 23}  # min-id rule
+    # identical singleton treatment
+    singletons = {d for d in _PARITY_DOCS if d not in comp}
+    assert singletons == {3, 13, 23}
+    assert surv & singletons == batch_survivors & singletons
+    # exactly one survivor per component under BOTH policies
+    for c in set(comp.values()):
+        members = {d for d, cc in comp.items() if cc == c}
+        assert len(surv & members) == 1
+        assert len(batch_survivors & members) == 1
+    # the canonical choice is the ONLY divergence
+    assert surv ^ batch_survivors == {1, 2, 21, 22}
+    # decisions: exact where digests matched an indexed doc, near
+    # otherwise; matches stay inside the component
+    assert dec == {
+        11: ("near", 21),
+        1: ("exact", 21),
+        12: ("exact", 22),
+        2: ("near", 22),
+    }
+    for doc_id, (_, match_id) in dec.items():
+        assert comp[doc_id] == comp[match_id]
