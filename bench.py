@@ -483,6 +483,63 @@ def load_driver_verdict_history(
     return sorted(out)
 
 
+# Inactive-streak escalation for the relational gate (r11, mirroring
+# bench_imaging): a query whose verdict reads `inactive` (memory-floored
+# host) contributes nothing to non-ok streaks — correctly — but N
+# consecutive floored rounds would otherwise never demand a measurement.
+ESCALATE_INACTIVE_AT = 2
+INACTIVE_ESCALATION_POLICY = (
+    f"{ESCALATE_INACTIVE_AT}+ consecutive inactive driver verdicts: the "
+    "query has gone that many rounds unmeasured under a memory-floored "
+    "host — re-run bench.py on a host whose first-touch probe clears "
+    "MEM_FAULT_FLOOR_GB_S or record a documented environment finding"
+)
+
+
+def memory_floor_verdicts(
+    verdicts: dict[str, str], mem: float | None
+) -> tuple[dict[str, str], list[str]]:
+    """The exculpatory transform: on a memory-floored host every NON-OK
+    verdict becomes `inactive` (the kernel was not measured); ok and
+    no-pin verdicts pass through untouched (an ok under slower-only bias
+    is conservative, valid evidence). Returns the transformed verdicts
+    and the list of queries that went inactive. A healthy or unknown
+    probe returns the input unchanged."""
+    if mem is None or mem >= MEM_FAULT_FLOOR_GB_S:
+        return verdicts, []
+    floored = sorted(n for n, v in verdicts.items() if v in NON_OK_VERDICTS)
+    if not floored:
+        return verdicts, []
+    return (
+        {n: ("inactive" if n in floored else v) for n, v in verdicts.items()},
+        floored,
+    )
+
+
+def consecutive_inactive_queries(
+    current: dict[str, str], history: list[tuple[int, dict]]
+) -> dict[str, int]:
+    """Streak length per currently-inactive query: 1 for this run plus
+    the consecutive immediately-prior driver rounds that also recorded
+    `inactive` for it. Any other verdict — ok, non-ok, no-pin, absent —
+    breaks the walk (unknown or measured history never extends an
+    unmeasured streak). Same fold shape as consecutive_non_ok; property
+    coverage rides the same test style."""
+    newest_first = [v for _, v in sorted(history, reverse=True)]
+    streaks: dict[str, int] = {}
+    for name, v in current.items():
+        if v != "inactive":
+            continue
+        n = 1
+        for round_verdicts in newest_first:
+            if round_verdicts.get(name) == "inactive":
+                n += 1
+            else:
+                break
+        streaks[name] = n
+    return streaks
+
+
 def consecutive_non_ok(
     current: dict[str, str], history: list[tuple[int, dict]]
 ) -> dict[str, int]:
@@ -695,6 +752,36 @@ def main() -> None:
             # would let "no regressed_queries key" be misread as "no
             # regressions" (r8 review).
             verdicts = query_verdicts(per_q_norm, query_pins or {})
+            # Exculpatory memory-floor gate, extended from the imaging
+            # bench (r11): at the r10 floor depth (0.05 GB/s first-touch)
+            # the pooled-JVM relational bench measured unaffected — the
+            # probe stayed record-only here. At this session's 0.005-0.01
+            # the WHOLE sweep inflates (census 4.1x wall, self-check 2.2x
+            # raw, with per-query ratios uncorrelated with plan shape),
+            # so for a non-ok verdict kernel and host are
+            # indistinguishable, while an ok under slower-only bias is
+            # conservative evidence and stands. Non-ok verdicts on a
+            # floored host are recorded as `inactive` (indeterminate):
+            # not in NON_OK_VERDICTS, so they neither extend nor break
+            # into non-ok streaks — and mirroring the imaging gate,
+            # consecutive inactive rounds escalate at
+            # ESCALATE_INACTIVE_AT so floored rounds can't accumulate
+            # silently.
+            mem = out["noise"]["first_touch_gb_s"]
+            verdicts, floored = memory_floor_verdicts(verdicts, mem)
+            if floored:
+                out["memory_floored"] = {
+                    "first_touch_gb_s": mem,
+                    "floor_gb_s": MEM_FAULT_FLOOR_GB_S,
+                    "inactive_queries": floored,
+                    "note": (
+                        "non-ok verdicts recorded as inactive: the "
+                        "host's lazy page backend was below the "
+                        "first-touch floor, so a slow query is not "
+                        "evidence against the kernel; ok verdicts "
+                        "stand (degraded memory only biases slower)"
+                    ),
+                }
             out["queries_normalized"] = per_q_norm
             out["query_verdicts"] = verdicts
             out["regressed_queries"] = sorted(
@@ -727,6 +814,26 @@ def main() -> None:
                 )
                 if out["escalation_queries"]:
                     out["escalation_policy"] = ESCALATION_POLICY
+                # Inactive streaks (r11): unmeasured rounds are a finding
+                # too — a query that reads `inactive` in
+                # ESCALATE_INACTIVE_AT consecutive driver rounds demands
+                # a healthy-host measurement, mirroring the imaging
+                # gate's consecutive_inactive.
+                inactive_streaks = consecutive_inactive_queries(
+                    verdicts, history
+                )
+                if inactive_streaks:
+                    out["consecutive_inactive"] = inactive_streaks
+                    esc = sorted(
+                        n
+                        for n, k in inactive_streaks.items()
+                        if k >= ESCALATE_INACTIVE_AT
+                    )
+                    if esc:
+                        out["escalation_inactive_queries"] = esc
+                        out["escalation_inactive_policy"] = (
+                            INACTIVE_ESCALATION_POLICY
+                        )
     # The gate key must appear on EVERY path (r8 ADVICE): when the pin's
     # sf differs from the run, the pin file is unreadable, or the probes
     # failed, the normalized block above never runs and the output would

@@ -154,3 +154,89 @@ def test_inactive_escalation_threshold_is_two():
 
 def test_non_ok_and_inactive_escalations_are_distinct_policies():
     assert INACTIVE_ESCALATION_POLICY != bench.ESCALATION_POLICY
+
+
+# -------------------- census host-inflation adjudication -------------------
+
+
+def test_recorded_r11_census_is_fully_adjudicated():
+    """The r11 census ran on a memory-floored host (945 s wall vs 229.7
+    r10): every flag is adjudicated — manually (inherent shapes carried
+    forward) or by the host-inflation rule (clean in the r10 census, no
+    code change in r11) — and the artifact says loudly that the host was
+    floored."""
+    with open(os.path.join(HERE, "BENCH_CENSUS_r11.json")) as f:
+        census = json.load(f)
+    assert census["n_queries"] >= 200
+    assert census["unadjudicated"] == []
+    assert set(census["adjudications"]) == set(census["flagged"])
+    assert census["host_floored"] is True
+    assert not census.get("errors")
+
+
+def test_host_inflation_adjudication_rules(tmp_path):
+    """Auto-adjudication attributes a flag to the host ONLY when the
+    previous census shows the query clean — a query flagged before (or
+    absent) must stay unadjudicated even on a floored host."""
+    from bench_census import host_inflation_adjudications
+
+    prev = {
+        "threshold_sec": 2.0,
+        "queries": {"clean_before": 1.2, "flagged_before": 5.0},
+    }
+    p = tmp_path / "prev.json"
+    p.write_text(json.dumps(prev))
+    auto = host_inflation_adjudications(
+        ["clean_before", "flagged_before", "brand_new"], str(p)
+    )
+    assert set(auto) == {"clean_before"}
+    assert "host" in auto["clean_before"]
+    # missing/invalid previous census -> no auto-adjudication at all
+    assert host_inflation_adjudications(["x"], str(tmp_path / "nope.json")) == {}
+
+
+# --------- relational bench memory-floor gate + inactive streaks -----------
+
+
+def test_memory_floor_verdicts_exculpatory_transform():
+    """On a floored host every non-ok verdict goes inactive; ok/no-pin
+    stand. Healthy or unknown probes change nothing."""
+    v = {
+        "a": "ok", "b": "noise-band", "c": "host-tail",
+        "d": "regressed", "e": "no-pin",
+    }
+    out, floored = bench.memory_floor_verdicts(v, 0.01)
+    assert floored == ["b", "c", "d"]
+    assert out == {
+        "a": "ok", "b": "inactive", "c": "inactive",
+        "d": "inactive", "e": "no-pin",
+    }
+    assert bench.memory_floor_verdicts(v, 1.5) == (v, [])
+    assert bench.memory_floor_verdicts(v, None) == (v, [])
+    # all-ok on a floored host: nothing to transform, no floored record
+    ok_only = {"a": "ok"}
+    assert bench.memory_floor_verdicts(ok_only, 0.01) == (ok_only, [])
+
+
+def test_consecutive_inactive_queries_fold():
+    """Streak == maximal all-inactive prefix of [current, newest, ...];
+    any other verdict (ok, non-ok, no-pin, absent) breaks."""
+    hist = [
+        (8, {"q": "inactive", "r": "inactive"}),
+        (9, {"q": "inactive", "r": "regressed"}),
+        (10, {"q": "inactive"}),  # r absent this round
+    ]
+    cur = {"q": "inactive", "r": "inactive", "s": "inactive", "t": "ok"}
+    streaks = bench.consecutive_inactive_queries(cur, hist)
+    assert streaks == {"q": 4, "r": 1, "s": 1}  # t omitted (not inactive)
+    assert "t" not in streaks
+
+
+def test_inactive_verdicts_break_and_never_extend_non_ok_streaks():
+    """`inactive` is not in NON_OK_VERDICTS: it can neither extend a
+    non-ok streak nor survive as one — the transform composed with the
+    streak fold keeps escalation honest on floored rounds."""
+    assert "inactive" not in bench.NON_OK_VERDICTS
+    hist = [(9, {"q": "regressed"}), (10, {"q": "inactive"})]
+    # current non-ok after an inactive round: streak restarts at 1
+    assert bench.consecutive_non_ok({"q": "regressed"}, hist) == {"q": 1}
