@@ -235,3 +235,35 @@ def test_inactive_history_breaks_non_ok_streak(history):
         newest_none = max(none_rounds)
         n_after = sum(1 for r, _ in history if r > newest_none)
         assert streak <= 1 + n_after
+
+
+verdict_with_nopin_st = st.sampled_from(
+    ["ok", "noise-band", "host-tail", "regressed", "no-pin"]
+)
+verdict_map_st = st.dictionaries(
+    st.text(min_size=1, max_size=8), verdict_with_nopin_st, max_size=8
+)
+mem_st = st.one_of(
+    st.none(), st.floats(min_value=0.0, max_value=5.0, allow_nan=False)
+)
+
+
+@given(verdict_map_st, mem_st)
+def test_memory_floor_transform_properties(verdicts, mem):
+    """memory_floor_verdicts: on a floored probe the output carries NO
+    non-ok verdict (each became `inactive`) and every ok/no-pin is
+    untouched; on a healthy/unknown probe it is the identity; and it is
+    idempotent (a second application changes nothing)."""
+    out, floored = bench.memory_floor_verdicts(verdicts, mem)
+    assert set(out) == set(verdicts)
+    if mem is None or mem >= bench.MEM_FAULT_FLOOR_GB_S:
+        assert out == verdicts and floored == []
+    else:
+        assert sorted(floored) == sorted(
+            n for n, v in verdicts.items() if v in bench.NON_OK_VERDICTS
+        )
+        for n, v in verdicts.items():
+            assert out[n] == ("inactive" if v in bench.NON_OK_VERDICTS else v)
+        assert not set(out.values()) & bench.NON_OK_VERDICTS
+    again, floored2 = bench.memory_floor_verdicts(out, mem)
+    assert again == out and floored2 == []
