@@ -44,117 +44,116 @@ from . import tpch_shapes  # noqa: E402,F401
 from . import pipeline_analytics  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 
-# Round-11 window layout (r10 verdict demands #3 + #5): the pre-listed r11
-# cut from the r10 round, regenerated this round by rotate_window.py on the
-# r1-r10 CORRECTNESS history and verified identical to the pre-list — 5
-# sentinels + 45 freshness rows (the 18 r6-latest queries headed by
-# join_left_customer_order_counts, padded with the 27 stalest r7 rows).
-# ZERO re-checks: no registered query's implementation changed in r11 (the
-# round's code changes are gate/bench tooling, streaming index probing and
-# tests — none behind a queries() entry). After this window lands, no
-# query's latest driver row is older than r7; precisely 16 queries remain
-# at r7 (pack_sequences_bestfit .. two_phase_robust_normalize), all
-# pre-listed at the head of the r12 queue below (uncomment = next round's
-# mechanical cut). Any r11 code change to a registered query must add its
-# name to the head before the round closes.
+# Round-12 window layout (r11 verdict demand #3): the pre-listed r12 cut
+# from the r11 round, regenerated this round by rotate_window.py on the
+# r1-r11 CORRECTNESS history and verified identical to the pre-list — 5
+# sentinels + 45 freshness rows (the 16 r7-latest queries headed by
+# pack_sequences_bestfit, padded with the 29 stalest r8 rows). ZERO
+# re-checks: no registered query's implementation changed in r12 as of
+# this rotation (the round's code changes are bench/gate tooling — the
+# CPU-time auxiliary metric — none behind a queries() entry). After this
+# window lands, no query's latest driver row is older than r8; the
+# stalest names beyond the window are pre-listed below (uncomment = next
+# round's mechanical cut). Any r12 code change to a registered query must
+# add its name to the head before the round closes.
 _DRIVER_ORDER = [
     "window_tumbling_hourly",  # sentinel
     "dedup_exact_hash",  # sentinel
     "text_token_counts",  # sentinel
     "ann_bruteforce_topk",  # sentinel
     "pricing_summary",  # sentinel
-    "join_left_customer_order_counts",  # freshness: last driver row CORRECTNESS_r06.json
-    "join_semi_customers_with_urgent_orders",  # freshness: last driver row CORRECTNESS_r06.json
-    "join_skew_salted_replicated",  # freshness: last driver row CORRECTNESS_r06.json
-    "join_symmetric_difference_validation",  # freshness: last driver row CORRECTNESS_r06.json
-    "key_build_and_normalize",  # freshness: last driver row CORRECTNESS_r06.json
-    "math_scalar_functions",  # freshness: last driver row CORRECTNESS_r06.json
-    "nation_revenue_share",  # freshness: last driver row CORRECTNESS_r06.json
-    "orders_monthly_growth",  # freshness: last driver row CORRECTNESS_r06.json
-    "path_basename_extract",  # freshness: last driver row CORRECTNESS_r06.json
-    "pivot_event_type_counts",  # freshness: last driver row CORRECTNESS_r06.json
-    "report_unpivot_long",  # freshness: last driver row CORRECTNESS_r06.json
-    "revenue_pareto_share",  # freshness: last driver row CORRECTNESS_r06.json
-    "semi_structured_json_extract",  # freshness: last driver row CORRECTNESS_r06.json
-    "set_except_keys",  # freshness: last driver row CORRECTNESS_r06.json
-    "set_intersect_keys",  # freshness: last driver row CORRECTNESS_r06.json
-    "set_union_distinct_keys",  # freshness: last driver row CORRECTNESS_r06.json
-    "source_jsonl_corrupt_quarantine",  # freshness: last driver row CORRECTNESS_r06.json
-    "split_exact_count_rank",  # freshness: last driver row CORRECTNESS_r06.json
-    "agg_trimmed_winsorized_stats",  # freshness: last driver row CORRECTNESS_r07.json
-    "ann_bucketed_signbit_topk",  # freshness: last driver row CORRECTNESS_r07.json
-    "ann_ivf_by_label_topk",  # freshness: last driver row CORRECTNESS_r07.json
-    "cohort_retention_weekly",  # freshness: last driver row CORRECTNESS_r07.json
-    "corpus_drift_psi",  # freshness: last driver row CORRECTNESS_r07.json
-    "corpus_temperature_mix",  # freshness: last driver row CORRECTNESS_r07.json
-    "crossmodal_quality_topk",  # freshness: last driver row CORRECTNESS_r07.json
-    "curation_funnel",  # freshness: last driver row CORRECTNESS_r07.json
-    "customer_revenue_gini",  # freshness: last driver row CORRECTNESS_r07.json
-    "dedup_cluster_representatives",  # freshness: last driver row CORRECTNESS_r07.json
-    "dedup_edit_distance_verified",  # freshness: last driver row CORRECTNESS_r07.json
-    "dedup_embedding_cosine_pairs",  # freshness: last driver row CORRECTNESS_r07.json
-    "dedup_incremental_delta",  # freshness: last driver row CORRECTNESS_r07.json
-    "dedup_interdoc_segments",  # freshness: last driver row CORRECTNESS_r07.json
-    "dedup_jaccard_dfcap",  # freshness: last driver row CORRECTNESS_r07.json
-    "dedup_keep_canonical",  # freshness: last driver row CORRECTNESS_r07.json
-    "dedup_lsh_verified_pairs",  # freshness: last driver row CORRECTNESS_r07.json
-    "dedup_minhash_lsh_candidates",  # freshness: last driver row CORRECTNESS_r07.json
-    "dedup_ngram_jaccard_pairs_diagnostic",  # freshness: last driver row CORRECTNESS_r07.json
-    "dedup_simhash_16bit",  # freshness: last driver row CORRECTNESS_r07.json
-    "embedding_norm_stats_by_label",  # freshness: last driver row CORRECTNESS_r07.json
-    "events_debounce_collapse",  # freshness: last driver row CORRECTNESS_r07.json
-    "events_funnel_depth",  # freshness: last driver row CORRECTNESS_r07.json
-    "events_gap_fill_forward",  # freshness: last driver row CORRECTNESS_r07.json
-    "events_sessionize_custom",  # freshness: last driver row CORRECTNESS_r07.json
-    "events_step_funnel",  # freshness: last driver row CORRECTNESS_r07.json
-    "events_transition_matrix",  # freshness: last driver row CORRECTNESS_r07.json
+    "pack_sequences_bestfit",  # freshness: last driver row CORRECTNESS_r07.json
+    "scd2_user_state_intervals",  # freshness: last driver row CORRECTNESS_r07.json
+    "shipping_delay_distribution",  # freshness: last driver row CORRECTNESS_r07.json
+    "sql_scalar_subquery_decorrelated",  # freshness: last driver row CORRECTNESS_r07.json
+    "text_chunk_overlapping",  # freshness: last driver row CORRECTNESS_r07.json
+    "text_corpus_stats_by_lang",  # freshness: last driver row CORRECTNESS_r07.json
+    "text_fingerprint_minshingle",  # freshness: last driver row CORRECTNESS_r07.json
+    "text_language_id",  # freshness: last driver row CORRECTNESS_r07.json
+    "text_pii_scrub",  # freshness: last driver row CORRECTNESS_r07.json
+    "text_quality_filter",  # freshness: last driver row CORRECTNESS_r07.json
+    "text_quality_scores",  # freshness: last driver row CORRECTNESS_r07.json
+    "text_repetition_signals",  # freshness: last driver row CORRECTNESS_r07.json
+    "topk_customers_by_revenue",  # freshness: last driver row CORRECTNESS_r07.json
+    "topk_per_group_window",  # freshness: last driver row CORRECTNESS_r07.json
+    "topk_unshipped_orders",  # freshness: last driver row CORRECTNESS_r07.json
+    "two_phase_robust_normalize",  # freshness: last driver row CORRECTNESS_r07.json
+    "bpe_tokenize_counts",  # freshness: last driver row CORRECTNESS_r08.json
+    "bpe_train_merges",  # freshness: last driver row CORRECTNESS_r08.json
+    "cdc_apply_with_deletes",  # freshness: last driver row CORRECTNESS_r08.json
+    "corpus_mix_plan",  # freshness: last driver row CORRECTNESS_r08.json
+    "customer_order_count_distribution",  # freshness: last driver row CORRECTNESS_r08.json
+    "dedup_minhash_signatures",  # freshness: last driver row CORRECTNESS_r08.json
+    "dedup_semantic_keep",  # freshness: last driver row CORRECTNESS_r08.json
+    "dq_lineitem_constraints",  # freshness: last driver row CORRECTNESS_r08.json
+    "dq_referential_integrity",  # freshness: last driver row CORRECTNESS_r08.json
+    "embedding_centroid_similarity",  # freshness: last driver row CORRECTNESS_r08.json
+    "embedding_l2_normalize_hof",  # freshness: last driver row CORRECTNESS_r08.json
+    "embedding_label_centroids",  # freshness: last driver row CORRECTNESS_r08.json
+    "embedding_outlier_distance",  # freshness: last driver row CORRECTNESS_r08.json
+    "embedding_quantize_int8",  # freshness: last driver row CORRECTNESS_r08.json
+    "fk_integrity_audit",  # freshness: last driver row CORRECTNESS_r08.json
+    "hll_sketch_rollup_nation_region",  # freshness: last driver row CORRECTNESS_r08.json
+    "idle_rich_customers_by_nation",  # freshness: last driver row CORRECTNESS_r08.json
+    "imaging_patch_grid",  # freshness: last driver row CORRECTNESS_r08.json
+    "imaging_slice_plan",  # freshness: last driver row CORRECTNESS_r08.json
+    "imaging_triptych_render",  # freshness: last driver row CORRECTNESS_r08.json
+    "ingest_union_schema_drift",  # freshness: last driver row CORRECTNESS_r08.json
+    "join_min_cost_supplier_per_part",  # freshness: last driver row CORRECTNESS_r08.json
+    "join_range_time_bucketed",  # freshness: last driver row CORRECTNESS_r08.json
+    "large_order_customers",  # freshness: last driver row CORRECTNESS_r08.json
+    "late_sole_supplier_orders",  # freshness: last driver row CORRECTNESS_r08.json
+    "multimodal_feature_extract",  # freshness: last driver row CORRECTNESS_r08.json
+    "multimodal_frame_sample",  # freshness: last driver row CORRECTNESS_r08.json
+    "orders_priority_late_exists",  # freshness: last driver row CORRECTNESS_r08.json
+    "promo_revenue_percent",  # freshness: last driver row CORRECTNESS_r08.json
     # ===== next-round freshness queue (stalest beyond this
     # window; uncomment = next round's mechanical cut) =====
-    # "pack_sequences_bestfit",  # last driver row CORRECTNESS_r07.json
-    # "scd2_user_state_intervals",  # last driver row CORRECTNESS_r07.json
-    # "shipping_delay_distribution",  # last driver row CORRECTNESS_r07.json
-    # "sql_scalar_subquery_decorrelated",  # last driver row CORRECTNESS_r07.json
-    # "text_chunk_overlapping",  # last driver row CORRECTNESS_r07.json
-    # "text_corpus_stats_by_lang",  # last driver row CORRECTNESS_r07.json
-    # "text_fingerprint_minshingle",  # last driver row CORRECTNESS_r07.json
-    # "text_language_id",  # last driver row CORRECTNESS_r07.json
-    # "text_pii_scrub",  # last driver row CORRECTNESS_r07.json
-    # "text_quality_filter",  # last driver row CORRECTNESS_r07.json
-    # "text_quality_scores",  # last driver row CORRECTNESS_r07.json
-    # "text_repetition_signals",  # last driver row CORRECTNESS_r07.json
-    # "topk_customers_by_revenue",  # last driver row CORRECTNESS_r07.json
-    # "topk_per_group_window",  # last driver row CORRECTNESS_r07.json
-    # "topk_unshipped_orders",  # last driver row CORRECTNESS_r07.json
-    # "two_phase_robust_normalize",  # last driver row CORRECTNESS_r07.json
-    # "bpe_tokenize_counts",  # last driver row CORRECTNESS_r08.json
-    # "bpe_train_merges",  # last driver row CORRECTNESS_r08.json
-    # "cdc_apply_with_deletes",  # last driver row CORRECTNESS_r08.json
-    # "corpus_mix_plan",  # last driver row CORRECTNESS_r08.json
-    # "customer_order_count_distribution",  # last driver row CORRECTNESS_r08.json
-    # "dedup_minhash_signatures",  # last driver row CORRECTNESS_r08.json
-    # "dedup_semantic_keep",  # last driver row CORRECTNESS_r08.json
-    # "dq_lineitem_constraints",  # last driver row CORRECTNESS_r08.json
-    # "dq_referential_integrity",  # last driver row CORRECTNESS_r08.json
-    # "embedding_centroid_similarity",  # last driver row CORRECTNESS_r08.json
-    # "embedding_l2_normalize_hof",  # last driver row CORRECTNESS_r08.json
-    # "embedding_label_centroids",  # last driver row CORRECTNESS_r08.json
-    # "embedding_outlier_distance",  # last driver row CORRECTNESS_r08.json
-    # "embedding_quantize_int8",  # last driver row CORRECTNESS_r08.json
-    # "fk_integrity_audit",  # last driver row CORRECTNESS_r08.json
-    # "hll_sketch_rollup_nation_region",  # last driver row CORRECTNESS_r08.json
-    # "idle_rich_customers_by_nation",  # last driver row CORRECTNESS_r08.json
-    # "imaging_patch_grid",  # last driver row CORRECTNESS_r08.json
-    # "imaging_slice_plan",  # last driver row CORRECTNESS_r08.json
-    # "imaging_triptych_render",  # last driver row CORRECTNESS_r08.json
-    # "ingest_union_schema_drift",  # last driver row CORRECTNESS_r08.json
-    # "join_min_cost_supplier_per_part",  # last driver row CORRECTNESS_r08.json
-    # "join_range_time_bucketed",  # last driver row CORRECTNESS_r08.json
-    # "large_order_customers",  # last driver row CORRECTNESS_r08.json
-    # "late_sole_supplier_orders",  # last driver row CORRECTNESS_r08.json
-    # "multimodal_feature_extract",  # last driver row CORRECTNESS_r08.json
-    # "multimodal_frame_sample",  # last driver row CORRECTNESS_r08.json
-    # "orders_priority_late_exists",  # last driver row CORRECTNESS_r08.json
-    # "promo_revenue_percent",  # last driver row CORRECTNESS_r08.json
+    # "sample_hash_bernoulli",  # last driver row CORRECTNESS_r08.json
+    # "sample_weighted_exact",  # last driver row CORRECTNESS_r08.json
+    # "small_quantity_revenue_below_avg",  # last driver row CORRECTNESS_r08.json
+    # "source_csv_roundtrip",  # last driver row CORRECTNESS_r08.json
+    # "source_jsonl_roundtrip",  # last driver row CORRECTNESS_r08.json
+    # "supplier_value_share_threshold",  # last driver row CORRECTNESS_r08.json
+    # "text_tfidf_top_terms",  # last driver row CORRECTNESS_r08.json
+    # "top_supplier_revenue_tiesafe",  # last driver row CORRECTNESS_r08.json
+    # "vocab_zipf_slope",  # last driver row CORRECTNESS_r08.json
+    # "window_first_last_nth",  # last driver row CORRECTNESS_r08.json
+    # "window_lag_lead_delta",  # last driver row CORRECTNESS_r08.json
+    # "window_moving_avg_frame",  # last driver row CORRECTNESS_r08.json
+    # "window_rank_variants",  # last driver row CORRECTNESS_r08.json
+    # "window_running_cumulative",  # last driver row CORRECTNESS_r08.json
+    # "window_time_range_frame",  # last driver row CORRECTNESS_r08.json
+    # "agg_median_abs_deviation",  # last driver row CORRECTNESS_r09.json
+    # "ann_recall_eval",  # last driver row CORRECTNESS_r09.json
+    # "ann_signbit_multiprobe_topk",  # last driver row CORRECTNESS_r09.json
+    # "ann_truncated_recall_eval",  # last driver row CORRECTNESS_r09.json
+    # "corpus_epochs_budget",  # last driver row CORRECTNESS_r09.json
+    # "corpus_importance_weights",  # last driver row CORRECTNESS_r09.json
+    # "customer_rfm_segments",  # last driver row CORRECTNESS_r09.json
+    # "dedup_connected_components",  # last driver row CORRECTNESS_r09.json
+    # "dedup_containment_pairs",  # last driver row CORRECTNESS_r09.json
+    # "dedup_keep_best_quality",  # last driver row CORRECTNESS_r09.json
+    # "dedup_lsh_quality_eval",  # last driver row CORRECTNESS_r09.json
+    # "dedup_rate_by_source",  # last driver row CORRECTNESS_r09.json
+    # "dedup_split_leakage_matrix",  # last driver row CORRECTNESS_r09.json
+    # "dedup_triangle_count",  # last driver row CORRECTNESS_r09.json
+    # "dedup_url_canonical",  # last driver row CORRECTNESS_r09.json
+    # "disjunctive_bracket_revenue",  # last driver row CORRECTNESS_r09.json
+    # "docs_compaction_plan",  # last driver row CORRECTNESS_r09.json
+    # "embedding_dimension_variance",  # last driver row CORRECTNESS_r09.json
+    # "events_conversion_latency",  # last driver row CORRECTNESS_r09.json
+    # "events_daily_anomaly",  # last driver row CORRECTNESS_r09.json
+    # "events_last_touch_attribution",  # last driver row CORRECTNESS_r09.json
+    # "events_time_weighted_avg",  # last driver row CORRECTNESS_r09.json
+    # "excess_volume_suppliers",  # last driver row CORRECTNESS_r09.json
+    # "feature_zscore_standardize",  # last driver row CORRECTNESS_r09.json
+    # "forecast_revenue_discount_band",  # last driver row CORRECTNESS_r09.json
+    # "histogram_equi_depth",  # last driver row CORRECTNESS_r09.json
+    # "image_dhash_near_dup",  # last driver row CORRECTNESS_r09.json
+    # "imaging_key_parity_gate",  # last driver row CORRECTNESS_r09.json
+    # "imaging_snr_metrics",  # last driver row CORRECTNESS_r09.json
+    # "join_asof_last_view",  # last driver row CORRECTNESS_r09.json
 ]
 
 
