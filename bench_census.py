@@ -267,10 +267,15 @@ def main() -> int:
         "first_touch_start_end": [mem_start, mem_end],
     }
     adjud = {n: ADJUDICATIONS[n] for n in flagged if n in ADJUDICATIONS}
-    if out["first_touch_gb_s"] < bench.MEM_FAULT_FLOOR_GB_S and args.prev:
-        auto = host_inflation_adjudications(flagged, args.prev)
+    # host_floored is set whenever the probe is below the floor (r12, r11
+    # ADVICE): the "artifact says loudly that the host was floored"
+    # contract must not depend on --prev being supplied; only the
+    # auto-adjudication needs a previous census to compare against.
+    if out["first_touch_gb_s"] < bench.MEM_FAULT_FLOOR_GB_S:
         out["host_floored"] = True
-        adjud.update({n: v for n, v in auto.items() if n not in adjud})
+        if args.prev:
+            auto = host_inflation_adjudications(flagged, args.prev)
+            adjud.update({n: v for n, v in auto.items() if n not in adjud})
     out |= {
         "adjudications": adjud,
         "unadjudicated": [n for n in flagged if n not in adjud],

@@ -735,6 +735,24 @@ def session_finalizer_stream(
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
 
+def _abs_local(path: str) -> str:
+    """Absolutize a scheme-less relative path against the Python CWD
+    (r12, r11 ADVICE): the Hadoop existence probe resolves relative
+    paths against the FileSystem working directory while
+    spark.read/write.parquet resolve them via Spark's own
+    defaultFS/user.dir rules — a Python-side os.chdir moves one anchor
+    but not the other, so a relative index_dir could pass the probe yet
+    read (or write) a different location. Absolutizing at entry pins
+    probe, reads and writes to the same directory — the behavior the
+    old os.path.isdir probe had. URI-qualified and absolute paths pass
+    through untouched."""
+    import os
+
+    if "://" not in path and not os.path.isabs(path):
+        return os.path.abspath(path)
+    return path
+
+
 def _read_index_part(spark: SparkSession, index_dir: str, name: str, before_batch: int):
     """One index table (digests/signatures/bands), restricted to
     partitions written by batches STRICTLY BEFORE the probing batch.
@@ -752,8 +770,13 @@ def _read_index_part(spark: SparkSession, index_dir: str, name: str, before_batc
     s3://, hdfs:// or other remote index_dir always reads absent, which
     would silently skip the dedup probe and admit every duplicate (r10
     ADVICE). A local path resolves to the same answer via
-    LocalFileSystem, so the behavior change is remote-only."""
-    path = index_dir.rstrip("/") + "/" + name
+    LocalFileSystem, so the behavior change is remote-only.
+
+    A scheme-less RELATIVE index_dir is absolutized against the Python
+    CWD before either resolution path sees it (_abs_local, r12 —
+    neardedup_process_batch normalizes its write side with the same
+    helper, so probe, read and write always name one directory)."""
+    path = _abs_local(index_dir).rstrip("/") + "/" + name
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -825,6 +848,11 @@ def neardedup_process_batch(
 
     if batch_df.isEmpty():
         return
+    # One anchor for probe/read/write: a relative dir left raw here would
+    # have the Spark writes resolve via the JVM's user.dir while the
+    # Hadoop probe follows the FileSystem working directory (see
+    # _abs_local) — normalize both dirs once at entry.
+    out_dir, index_dir = _abs_local(out_dir), _abs_local(index_dir)
     min_agree = int(math.ceil(jaccard_tau * N_MINHASH))
     sig_cols = [f"m{s}" for s in range(N_MINHASH)]
 

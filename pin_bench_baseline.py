@@ -47,6 +47,46 @@ from statistics import median
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
+CPU_PIN_NOTE = (
+    "query_cpu_pins pin the floor-INSENSITIVE auxiliary statistic: each "
+    "query's RAW system-wide user+nice CPU seconds per sample "
+    "(bench.read_user_cpu_sec; median of the in-run samples, matching "
+    "queries_cpu_user_sec). No positional normalization — host weather "
+    "is exactly what the statistic is insensitive to (measured r12, "
+    "FINDINGS_HOST_MEMORY.md: the lazy page backend's fault cost lands "
+    "in stime/off-CPU, never utime), which is also why these MAY be "
+    "pinned on a memory-floored host. bench.py consults them "
+    "advisory-only, for the cpu_corroboration of memory-floored "
+    "verdicts; they never replace the wall-side query_pins."
+)
+
+
+def derive_query_cpu_pins(
+    run_cpu: list[dict[str, float]]
+) -> dict[str, dict] | None:
+    """Per-query {median, spread, tail} over the RAW cpu_user seconds
+    across pin runs — the same trim/tail recipe as the wall-side
+    query_pins so bench.query_verdicts adjudicates both axes with one
+    band algebra. None when any run lacks the cpu record entirely (an
+    axis pinned from fewer runs than the wall stats would compare a
+    live run against a different population)."""
+    if not run_cpu or any(not rc for rc in run_cpu):
+        return None
+    names = sorted({n for rc in run_cpu for n in rc})
+    pins: dict[str, dict] = {}
+    for n in names:
+        samples = sorted(rc[n] for rc in run_cpu if n in rc)
+        if not samples:
+            continue
+        med_all = median(samples)
+        trimmed = samples[1:-1] if len(samples) >= 4 else samples
+        pins[n] = {
+            "median": round(median(trimmed), 4),
+            "spread": round(trimmed[-1] - trimmed[0], 4),
+            "tail": round(max(samples[-1] - med_all, 0.0), 4),
+        }
+    return pins or None
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -66,6 +106,18 @@ def main() -> int:
             "round's driver bench runs). --recompute carries the existing "
             "pin_round through unchanged: re-deriving statistics from the "
             "same recorded runs is not a new pin epoch."
+        ),
+    )
+    ap.add_argument(
+        "--cpu-augment",
+        action="store_true",
+        help=(
+            "run bench.py --runs times and merge ONLY the cpu-axis pins "
+            "(query_cpu_pins over each run's queries_cpu_user_sec) into "
+            "the existing baseline, leaving every wall statistic "
+            "untouched. Allowed on a memory-floored host — the cpu "
+            "statistic is floor-insensitive (CPU_PIN_NOTE) — which is "
+            "why this path exists: wall re-pins are refused there."
         ),
     )
     ap.add_argument(
@@ -95,6 +147,69 @@ def main() -> int:
 
     runs: list[dict] = []
     prev_pin = None
+    if args.cpu_augment:
+        try:
+            with open(args.out) as f:
+                pin = json.load(f)
+        except (OSError, ValueError):
+            print("--cpu-augment needs an existing baseline to merge "
+                  "into; take a full pin first", file=sys.stderr)
+            return 1
+        if pin.get("headline") != list(HEADLINE):
+            print("pin headline order differs from live HEADLINE — the "
+                  "cpu pins would cover a different query set than the "
+                  "wall pins; re-pin fully instead", file=sys.stderr)
+            return 1
+        cpu_records: list[dict] = []
+        for i in range(args.runs):
+            print(f"cpu-augment run {i + 1}/{args.runs} ...",
+                  file=sys.stderr, flush=True)
+            proc = subprocess.run(
+                [sys.executable, os.path.join(HERE, "bench.py")],
+                capture_output=True, text=True, check=True, cwd=HERE,
+            )
+            run = json.loads(proc.stdout.strip().splitlines()[-1])
+            if run.get("errors"):
+                print(f"run {i + 1} had errors: {run['errors']}",
+                      file=sys.stderr)
+                return 1
+            if run.get("sf") != pin.get("sf"):
+                print(f"run sf {run.get('sf')} differs from pin sf "
+                      f"{pin.get('sf')}", file=sys.stderr)
+                return 1
+            if not run.get("queries_cpu_user_sec"):
+                print(f"run {i + 1} carries no queries_cpu_user_sec "
+                      "(unreadable /proc?) — cannot pin the cpu axis",
+                      file=sys.stderr)
+                return 1
+            cpu_records.append(run["queries_cpu_user_sec"])
+            print(f"  total={run['value']}s "
+                  f"cpu_total={round(sum(run['queries_cpu_user_sec'].values()), 2)}s "
+                  f"first_touch={run['noise'].get('first_touch_gb_s')}GB/s",
+                  file=sys.stderr, flush=True)
+        cpu_pins = derive_query_cpu_pins(cpu_records)
+        if cpu_pins is None:
+            print("cpu records incomplete; not pinning", file=sys.stderr)
+            return 1
+        pin["query_cpu_pins"] = cpu_pins
+        pin["cpu_pin_note"] = CPU_PIN_NOTE + (
+            f" Augmented from {len(cpu_records)} dedicated runs"
+            + (f" ({args.note})" if args.note else "")
+            + "; wall statistics untouched."
+        )
+        pin["run_queries_cpu"] = cpu_records
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(pin, f, indent=1)
+        os.replace(tmp, args.out)
+        print(json.dumps({
+            "query_cpu_pins": len(cpu_pins),
+            "cpu_total_median": round(
+                median(sum(rc.values()) for rc in cpu_records), 2
+            ),
+        }))
+        return 0
+
     if args.recompute:
         with open(args.out) as f:
             prev_pin = json.load(f)
@@ -295,6 +410,25 @@ def main() -> int:
         ),
         "run_queries": [r["queries"] for r in runs],
     }
+    # r12 cpu axis: a full pin whose runs all carry queries_cpu_user_sec
+    # pins it too (no separate --cpu-augment pass needed on a healthy
+    # host). --recompute carries the existing cpu fields through
+    # unchanged: its reconstructed runs have no cpu records, and
+    # re-deriving wall statistics is not a new cpu measurement.
+    if args.recompute:
+        for k in ("query_cpu_pins", "cpu_pin_note", "run_queries_cpu"):
+            if prev_pin and k in prev_pin:
+                out[k] = prev_pin[k]
+    else:
+        cpu_pins_full = derive_query_cpu_pins(
+            [r.get("queries_cpu_user_sec") or {} for r in runs]
+        )
+        if cpu_pins_full:
+            out["query_cpu_pins"] = cpu_pins_full
+            out["cpu_pin_note"] = CPU_PIN_NOTE
+            out["run_queries_cpu"] = [
+                r["queries_cpu_user_sec"] for r in runs
+            ]
     # Atomic replace: args.out may be the --recompute INPUT (the only
     # copy of the raw measurement) — a truncating open('w') interrupted
     # mid-dump would destroy it (r8 review).

@@ -60,7 +60,34 @@ RUN_KEYS = (
     # bench.MEM_FAULT_FLOOR_GB_S would encode backend-throttled rates as
     # the baseline, so pinning refuses floored runs (checked in derive).
     "first_touch_gb_s",
+    # r12: the floor-insensitive cpu axis (bench.read_user_cpu_sec) —
+    # recorded so full pins on healthy hosts also carry cpu_stats.
+    "cpu_user_sec", "patches_per_cpu_user_sec",
 )
+
+CPU_METRIC = "patches_per_cpu_user_sec"
+CPU_PIN_NOTE = (
+    "cpu_stats pin the floor-INSENSITIVE auxiliary rate (patches per "
+    "system-wide user-CPU-second, bench.read_user_cpu_sec): the lazy "
+    "page backend's fault cost is accounted to stime/off-CPU, never "
+    "utime (measured r12, FINDINGS_HOST_MEMORY.md: cold 256 MB "
+    "first-touch fill = 10.17 s wall / 10.12 stime / 0.048 utime; "
+    "resident re-fill 0.075 s all-utime), so unlike the wall rates this "
+    "statistic MAY be pinned on a floored host — a healthy host would "
+    "pin the same band. The drift gate consults it advisory-only "
+    "(cpu_verdict / cpu_corroboration / cpu_regressed), never in place "
+    "of the wall verdict."
+)
+
+
+def derive_cpu_stats(runs: list[dict]) -> dict | None:
+    """{median, spread, tail} of the cpu-axis rate across runs carrying
+    it, or None when any run lacks the field (a partial pin would gate
+    live runs against a band derived from a different run population
+    than the wall stats — all-or-nothing keeps the two axes honest)."""
+    if not runs or any(not r.get(CPU_METRIC) for r in runs):
+        return None
+    return {CPU_METRIC: pin_stats([r[CPU_METRIC] for r in runs])}
 
 
 def derive(runs: list[dict]) -> dict:
@@ -92,8 +119,15 @@ def derive(runs: list[dict]) -> dict:
     stats = {
         m: pin_stats([r[m] for r in runs]) for m in DRIFT_GATE_METRICS
     }
+    # r12: a full pin whose runs all carry the cpu axis pins it too, so
+    # healthy-host re-pins never need a separate --cpu-augment pass.
+    cpu_extra = {}
+    cpu_stats = derive_cpu_stats(runs)
+    if cpu_stats is not None:
+        cpu_extra = {"cpu_stats": cpu_stats, "cpu_pin_note": CPU_PIN_NOTE}
     med = lambda k: round(median(r[k] for r in runs), 2)
     return {
+        **cpu_extra,
         "patches_per_sec": med("patches_per_sec"),
         "payload_mb_per_sec": med("payload_mb_per_sec"),
         "wall_sec_median": med("wall_sec"),
@@ -138,6 +172,24 @@ def main() -> int:
         help="override the pin file path (tests; default: the mode's "
              "real pin at the repo root)",
     )
+    ap.add_argument(
+        "--save-runs-dir", default=None,
+        help="with --cpu-augment: also save each run's FULL bench JSON "
+             "to this directory (cpu_run_1.json ...) so a round record "
+             "can be derived from the final run (re-adjudicated against "
+             "the augmented pin) without paying another full run.",
+    )
+    ap.add_argument(
+        "--cpu-augment", action="store_true",
+        help="run the bench --runs times and merge ONLY the cpu-axis "
+             "statistics (cpu_stats over patches_per_cpu_user_sec) into "
+             "the existing pin, leaving every wall statistic untouched. "
+             "Allowed on a memory-floored host — the cpu rate is the "
+             "floor-insensitive statistic (see CPU_PIN_NOTE) — which is "
+             "exactly why this path exists: the wall re-pin refusal "
+             "would otherwise leave the cpu axis unpinnable forever on "
+             "a host that never clears the floor.",
+    )
     args = ap.parse_args()
 
     out_path = args.out or os.path.join(HERE, PIN_FILES[args.mode])
@@ -147,6 +199,70 @@ def main() -> int:
             prev = json.load(f)
     except (OSError, ValueError):
         pass
+
+    if args.cpu_augment:
+        if not prev:
+            print("--cpu-augment needs an existing pin to merge into; "
+                  "take a full pin on a healthy host first", file=sys.stderr)
+            return 1
+        if args.runs < 5:
+            print("r9 protocol requires >= 5 runs (spread/tail need the "
+                  "trim to mean anything)", file=sys.stderr)
+            return 1
+        cpu_runs = []
+        env = {**os.environ, "SPARK_GRAFT_IMG_MODE": args.mode}
+        for i in range(args.runs):
+            print(f"{args.mode} cpu-augment run {i + 1}/{args.runs} ...",
+                  file=sys.stderr, flush=True)
+            proc = subprocess.run(
+                [sys.executable, os.path.join(HERE, "bench_imaging.py")],
+                capture_output=True, text=True, check=True, cwd=HERE, env=env,
+            )
+            run = json.loads(proc.stdout.strip().splitlines()[-1])
+            if not run.get("key_parity_ok"):
+                print(f"run {i + 1} failed key parity — not pinning",
+                      file=sys.stderr)
+                return 1
+            if not run.get(CPU_METRIC):
+                print(f"run {i + 1} carries no {CPU_METRIC} (unreadable "
+                      "/proc?) — cannot pin the cpu axis", file=sys.stderr)
+                return 1
+            cpu_runs.append(run)
+            if args.save_runs_dir:
+                os.makedirs(args.save_runs_dir, exist_ok=True)
+                with open(os.path.join(
+                    args.save_runs_dir, f"cpu_run_{i + 1}.json"
+                ), "w") as f:
+                    json.dump(run, f)
+            print(
+                f"  wall={run['wall_sec']}s patches/s={run['patches_per_sec']} "
+                f"cpu_user={run.get('cpu_user_sec')}s "
+                f"patches/cpu_user_s={run[CPU_METRIC]} "
+                f"first_touch={run.get('first_touch_gb_s')}GB/s",
+                file=sys.stderr, flush=True,
+            )
+        cpu_stats = derive_cpu_stats(cpu_runs)
+        assert cpu_stats is not None  # every run checked above
+        prev["cpu_stats"] = cpu_stats
+        prev["cpu_pin_note"] = CPU_PIN_NOTE + (
+            f" Augmented from {len(cpu_runs)} dedicated runs"
+            + (f" ({args.note})" if args.note else "")
+            + "; wall statistics untouched."
+        )
+        prev["cpu_runs"] = [
+            {k: r.get(k) for k in (
+                "wall_sec", "patches_per_sec", "cpu_user_sec", CPU_METRIC,
+                "first_touch_gb_s", "first_touch_start_end",
+                "host_probe_sec", "key_parity_ok",
+            )}
+            for r in cpu_runs
+        ]
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(prev, f, indent=1)
+        os.replace(tmp, out_path)
+        print(json.dumps({"mode": args.mode, "cpu_stats": cpu_stats}))
+        return 0
 
     if args.recompute:
         if not prev or not prev.get("runs"):

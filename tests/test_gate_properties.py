@@ -118,13 +118,29 @@ history_st = st.lists(
 )
 
 
+def _contiguous_prefix_verdicts(history):
+    """Independent restatement of the r12 contiguity rule: history
+    verdicts newest-first, stopping at the first gap in round numbers
+    (the newest entry assumed adjacent to the current run)."""
+    out, prev = [], None
+    for rnd, v in sorted(history, reverse=True):
+        if prev is not None and rnd != prev - 1:
+            break
+        out.append(v)
+        prev = rnd
+    return out
+
+
 @given(verdict_st, history_st)
 def test_streak_is_the_maximal_non_ok_prefix(cur, history):
     """consecutive_non_ok("q") == length of the maximal all-non-ok prefix
-    of [current, newest round, next-newest, ...] — the independent spec
-    restated: any reset/break/skip bug diverges from this fold."""
+    of [current, newest round, next-newest, ...] that is CONTIGUOUS in
+    round numbers (r12: an unrecorded round between two recorded ones is
+    unknown history and breaks the walk, exactly as
+    bench_imaging.consecutive_inactive does) — the independent spec
+    restated: any reset/break/skip/gap bug diverges from this fold."""
     streaks = bench.consecutive_non_ok({"q": cur}, history)
-    seq = [cur] + [v["q"] for _, v in sorted(history, reverse=True)]
+    seq = [cur] + [v["q"] for v in _contiguous_prefix_verdicts(history)]
     expect = 0
     for v in seq:
         if v in bench.NON_OK_VERDICTS:
@@ -135,6 +151,65 @@ def test_streak_is_the_maximal_non_ok_prefix(cur, history):
         assert "q" not in streaks
     else:
         assert streaks["q"] == expect
+
+
+@given(verdict_st, history_st)
+def test_inactive_queries_streak_is_the_contiguous_inactive_prefix(
+    cur, history
+):
+    """consecutive_inactive_queries("q") == length of the maximal
+    all-`inactive` prefix of [current, newest, ...] contiguous in round
+    numbers — same fold, same gap rule, inverted marker."""
+    hist = [
+        (r, {"q": "inactive" if v["q"] == "no-pin" else v["q"]})
+        for r, v in history  # reuse no-pin slots as inactive markers
+    ]
+    cur_v = "inactive" if cur == "no-pin" else cur
+    streaks = bench.consecutive_inactive_queries({"q": cur_v}, hist)
+    if cur_v != "inactive":
+        assert "q" not in streaks
+        return
+    expect = 1
+    for v in _contiguous_prefix_verdicts(hist):
+        if v["q"] == "inactive":
+            expect += 1
+        else:
+            break
+    assert streaks["q"] == expect
+
+
+@given(history_st)
+def test_round_gap_never_splices_streaks(history):
+    """Deleting any single NON-NEWEST round from history (simulating an
+    unparseable BENCH_rN.json) can only SHORTEN or preserve both streak
+    folds, never lengthen them — the r11 verdict's splice hole, stated
+    as the property that closes it. The newest round is exempt: both
+    folds assume the newest recorded round is adjacent to the current
+    run (bench.py cannot know its own round number), so deleting IT
+    re-anchors the walk on the next-newest block — a different history,
+    not a splice."""
+    inactive_hist = [(r, {"q": "inactive"}) for r, _ in history]
+    nonok_hist = [(r, {"q": "regressed"}) for r, _ in history]
+    full_inact = bench.consecutive_inactive_queries(
+        {"q": "inactive"}, inactive_hist
+    )["q"]
+    full_nonok = bench.consecutive_non_ok({"q": "regressed"}, nonok_hist)["q"]
+    newest = max((r for r, _ in history), default=None)
+    for i in range(len(history)):
+        if history[i][0] == newest:
+            continue
+        gapped_i = inactive_hist[:i] + inactive_hist[i + 1:]
+        gapped_n = nonok_hist[:i] + nonok_hist[i + 1:]
+        assert (
+            bench.consecutive_inactive_queries({"q": "inactive"}, gapped_i)[
+                "q"
+            ]
+            <= full_inact
+        )
+        assert (
+            bench.consecutive_non_ok({"q": "regressed"}, gapped_n)["q"]
+            <= full_nonok
+        )
 
 
 @given(history_st)

@@ -1,0 +1,276 @@
+"""Round-12 additions (r11 verdict demand #1 + ADVICE):
+
+- the floor-insensitive CPU axis: bench.read_user_cpu_sec (system-wide
+  user+nice seconds) feeds patches_per_cpu_user_sec (imaging) and
+  queries_cpu_user_sec (relational) — throughput statistics the lazy
+  page backend's fault path cannot inflate, because that cost is
+  accounted to STIME, never utime (getrusage evidence in
+  FINDINGS_HOST_MEMORY.md; the measurement recipe is locked below).
+- the imaging drift gate consults the cpu axis advisory-only: a
+  memory-floored (inactive) wall verdict with a within-band cpu rate
+  reads "cpu-corroborated ok" and resolves the inactive escalation
+  in-file; a cpu rate beyond everything its pin saw is a REAL finding
+  (cpu_regressed) despite the floor.
+- pin derivations: pin_imaging_baseline.derive_cpu_stats and
+  pin_bench_baseline.derive_query_cpu_pins (same trim/tail recipe as
+  the wall pins, all-or-nothing across runs).
+- bench.py gate fixes (ADVICE): memory probe taken BEFORE the sweep and
+  gated on min(start, end); round-gap contiguity in both streak folds
+  (property-tested in test_gate_properties.py).
+
+No Spark session needed — pure-Python stat/format work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import bench
+from bench_imaging import PIN_FILES, _drift_gate
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# ------------------- the measurement primitive -----------------------------
+
+
+def test_read_user_cpu_sec_monotone_under_user_work():
+    """The clock exists, is positive, and advances under a pure-user
+    busy loop by at least roughly the loop's process time — the minimal
+    liveness contract the cpu-axis metrics stand on."""
+    import resource
+
+    a = bench.read_user_cpu_sec()
+    assert a is not None and a > 0
+    # Burn >= 0.2 s of USER time specifically: on this VM clock_gettime
+    # is a real trap (half of a process_time-gated loop lands in stime),
+    # so the bound must come from ru_utime with chunked pure-user work
+    # between the rusage calls.
+    r0 = resource.getrusage(resource.RUSAGE_SELF).ru_utime
+    x = 0
+    while resource.getrusage(resource.RUSAGE_SELF).ru_utime - r0 < 0.2:
+        for _ in range(100_000):
+            x += 1
+    b = bench.read_user_cpu_sec()
+    assert b is not None
+    # system-wide counter: other processes only ADD, so the delta is a
+    # lower-bounded superset of our own 0.2 s of user time (allow jiffy
+    # granularity slack)
+    assert b - a >= 0.15
+
+
+def test_fault_cost_is_stime_not_utime():
+    """The empirical basis of the r12 cpu axis, locked as a test: a
+    FRESH-buffer fill's user-CPU cost is within a small factor of the
+    resident re-fill's (same store instructions), regardless of how
+    long the wall clock says the faulting took. On the floored host the
+    r12 session measured 10.17 s wall / 10.12 stime / 0.048 utime cold
+    vs 0.075 s all-utime resident (FINDINGS_HOST_MEMORY.md); on a
+    healthy host both sides are small. Either way utime(first) must not
+    carry the fault path."""
+    import resource
+
+    import numpy as np
+
+    n = int(64e6 // 8)  # 64 MB — small enough to stay fast even floored
+    a = np.empty(n)
+    r0 = resource.getrusage(resource.RUSAGE_SELF)
+    a[:] = 1.0  # first touch: every page through the fault path
+    r1 = resource.getrusage(resource.RUSAGE_SELF)
+    a[:] = 2.0  # resident re-fill: pure user work
+    r2 = resource.getrusage(resource.RUSAGE_SELF)
+    utime_first = r1.ru_utime - r0.ru_utime
+    utime_resident = r2.ru_utime - r1.ru_utime
+    # the fault path may consume arbitrary stime/wall; utime must stay
+    # within jiffy noise of the resident fill's user cost
+    assert utime_first <= utime_resident + 0.1
+
+
+# ------------------- imaging gate: cpu corroboration ----------------------
+
+
+def _pin(tmp_path, cpu_median=5000.0):
+    pin = {
+        "patches_per_sec": 300.0, "payload_mb_per_sec": 9.0,
+        "stats": {
+            "patches_per_sec": {"median": 300.0, "spread": 20.0, "tail": 30.0},
+            "payload_mb_per_sec": {"median": 9.0, "spread": 0.6, "tail": 0.9},
+        },
+        "cpu_stats": {
+            "patches_per_cpu_user_sec": {
+                "median": cpu_median, "spread": 300.0, "tail": 500.0,
+            },
+        },
+    }
+    (tmp_path / PIN_FILES["skew"]).write_text(json.dumps(pin))
+    return pin
+
+
+def test_floored_nonok_with_cpu_in_band_reads_cpu_corroborated_ok(tmp_path):
+    """Wall rate 2.5x slow on a floored host -> verdict None (inactive),
+    but the cpu rate inside its pinned band corroborates the kernel:
+    the gate says so explicitly and machine-readably."""
+    _pin(tmp_path)
+    res = {
+        "patches_per_sec": 120.0, "payload_mb_per_sec": 3.6,
+        "first_touch_gb_s": 0.02,
+        "patches_per_cpu_user_sec": 4900.0,  # within median-spread
+    }
+    g = _drift_gate("skew", res, pin_dir=str(tmp_path))
+    assert g["verdict"] is None  # wall stays unmeasured — advisory only
+    assert g["cpu_verdict"] == "ok"
+    assert g["cpu_corroboration"] == "ok"
+    assert "cpu-corroborated ok" in g["verdict_gate"]
+    assert "cpu_regressed" not in g
+
+
+def test_floored_nonok_with_cpu_regressed_is_a_real_finding(tmp_path):
+    """A cpu rate beyond everything its pin saw (below median - tail -
+    slack) cannot be excused by the memory floor — extra user-CPU per
+    patch is kernel, not host."""
+    _pin(tmp_path)
+    res = {
+        "patches_per_sec": 120.0, "payload_mb_per_sec": 3.6,
+        "first_touch_gb_s": 0.02,
+        "patches_per_cpu_user_sec": 2000.0,  # far beyond tail + slack
+    }
+    g = _drift_gate("skew", res, pin_dir=str(tmp_path))
+    assert g["verdict"] is None
+    assert g["cpu_verdict"] == "regressed"
+    assert g["cpu_regressed"] is True
+    assert "cpu_regressed" in g["verdict_gate"]
+    assert "cpu_corroboration" not in g
+
+
+def test_cpu_axis_never_changes_wall_verdict_or_ok(tmp_path):
+    """Advisory-only: on a HEALTHY host the wall verdict adjudicates as
+    before whatever the cpu axis says; cpu_verdict is recorded, nothing
+    else moves."""
+    _pin(tmp_path)
+    res = {
+        "patches_per_sec": 120.0, "payload_mb_per_sec": 3.6,
+        "first_touch_gb_s": 1.8,
+        "patches_per_cpu_user_sec": 4900.0,  # cpu fine, wall regressed
+    }
+    g = _drift_gate("skew", res, pin_dir=str(tmp_path))
+    assert g["verdict"] == "regressed"
+    assert g["ok"] is False
+    assert g["cpu_verdict"] == "ok"
+    assert "cpu_corroboration" not in g  # only floored runs need it
+
+
+def test_cpu_corroborated_ok_resolves_inactive_escalation(tmp_path):
+    """The r12 third arm: at ESCALATE_INACTIVE_AT consecutive unmeasured
+    rounds, a cpu-corroborated ok discharges the escalation in-file
+    (escalation_resolution) instead of demanding a healthy host the
+    sandbox may never provide; a cpu-regressed run records the opposite
+    resolution. Without a cpu signal the escalation stands bare."""
+    _pin(tmp_path)
+    (tmp_path / "BENCH_IMAGING_SKEW_r11.json").write_text(
+        json.dumps({"drift_gate": {"verdict": None}})
+    )
+    base = {
+        "patches_per_sec": 120.0, "payload_mb_per_sec": 3.6,
+        "first_touch_gb_s": 0.02,
+    }
+    g = _drift_gate(
+        "skew", dict(base, patches_per_cpu_user_sec=4900.0),
+        pin_dir=str(tmp_path),
+    )
+    assert g["consecutive_inactive"] >= 2 and "escalation" in g
+    assert g["escalation_resolution"].startswith("resolved by the floor")
+    g2 = _drift_gate(
+        "skew", dict(base, patches_per_cpu_user_sec=2000.0),
+        pin_dir=str(tmp_path),
+    )
+    assert g2["escalation_resolution"].startswith("NOT resolved")
+    g3 = _drift_gate("skew", dict(base), pin_dir=str(tmp_path))
+    assert "escalation" in g3 and "escalation_resolution" not in g3
+
+
+def test_cpu_rate_without_cpu_pin_reads_no_cpu_pin(tmp_path):
+    """A run carrying the cpu metric against a pin without cpu_stats
+    must say the axis is unpinned, never silently skip it."""
+    pin = {
+        "patches_per_sec": 300.0, "payload_mb_per_sec": 9.0,
+        "stats": {
+            "patches_per_sec": {"median": 300.0, "spread": 20.0, "tail": 30.0},
+            "payload_mb_per_sec": {"median": 9.0, "spread": 0.6, "tail": 0.9},
+        },
+    }
+    (tmp_path / PIN_FILES["skew"]).write_text(json.dumps(pin))
+    res = {
+        "patches_per_sec": 310.0, "payload_mb_per_sec": 9.1,
+        "patches_per_cpu_user_sec": 4900.0,
+    }
+    g = _drift_gate("skew", res, pin_dir=str(tmp_path))
+    assert g["verdict"] == "ok"
+    assert g["cpu_verdict"] == "no-cpu-pin"
+
+
+# ------------------------ pin derivations ---------------------------------
+
+
+def test_derive_cpu_stats_all_or_nothing():
+    from pin_imaging_baseline import derive_cpu_stats
+
+    runs = [
+        {"patches_per_cpu_user_sec": v} for v in (4800, 5000, 5200, 4700, 5600)
+    ]
+    stats = derive_cpu_stats(runs)["patches_per_cpu_user_sec"]
+    # sorted: 4700 4800 5000 5200 5600; trim -> 4800 5000 5200
+    assert stats["median"] == 5000
+    assert stats["spread"] == 400
+    assert stats["tail"] == 300  # all-runs median 5000 - worst 4700
+    assert derive_cpu_stats(runs + [{}]) is None  # one run without it
+    assert derive_cpu_stats([]) is None
+
+
+def test_derive_query_cpu_pins_recipe_and_all_or_nothing():
+    from pin_bench_baseline import derive_query_cpu_pins
+
+    run_cpu = [
+        {"q": 1.0, "r": 2.0},
+        {"q": 1.2, "r": 2.2},
+        {"q": 1.1, "r": 1.9},
+        {"q": 1.4, "r": 2.1},
+        {"q": 1.3, "r": 2.0},
+    ]
+    pins = derive_query_cpu_pins(run_cpu)
+    # q sorted: 1.0 1.1 1.2 1.3 1.4; trimmed 1.1 1.2 1.3
+    assert pins["q"] == {"median": 1.2, "spread": 0.2, "tail": 0.2}
+    assert pins["r"]["median"] == 2.0
+    assert derive_query_cpu_pins(run_cpu + [{}]) is None
+    assert derive_query_cpu_pins([]) is None
+
+
+def test_load_query_cpu_pins(tmp_path):
+    p = tmp_path / "pin.json"
+    assert bench.load_query_cpu_pins(str(p)) is None  # missing file
+    p.write_text(json.dumps({"sf": 0.1}))
+    assert bench.load_query_cpu_pins(str(p)) is None  # pre-r12 pin
+    p.write_text(json.dumps({"query_cpu_pins": {"q": {"median": 1.0}}}))
+    assert bench.load_query_cpu_pins(str(p)) == {"q": {"median": 1.0}}
+
+
+def test_cpu_corroboration_uses_the_same_band_algebra():
+    """bench.query_verdicts adjudicates cpu times with the same
+    graduated bands as wall times — one audited band algebra for both
+    axes (a cpu time inside median+spread is ok; beyond
+    median+tail+slack is regressed)."""
+    pins = {"q": {"median": 2.0, "spread": 0.2, "tail": 0.4}}
+    assert bench.query_verdicts({"q": 2.1}, pins)["q"] == "ok"
+    assert bench.query_verdicts({"q": 9.0}, pins)["q"] == "regressed"
+
+
+# ------------------- census host_floored contract (ADVICE) ----------------
+
+
+def test_census_source_sets_host_floored_without_prev():
+    """The r12 fix is structural (host_floored no longer nested under
+    `and args.prev`): assert the source shape so a regression to the
+    old nesting is caught without running a full census."""
+    src = open(os.path.join(HERE, "bench_census.py")).read()
+    assert "bench.MEM_FAULT_FLOOR_GB_S and args.prev" not in src
+    assert 'out["host_floored"] = True' in src

@@ -149,6 +149,27 @@ def test_within_batch_near_dup_min_id_wins(spark, tmp_path):
     assert idx_ids == {5}
 
 
+def test_relative_dirs_resolve_to_one_anchor(spark, tmp_path, monkeypatch):
+    """A scheme-less RELATIVE index_dir/out_dir is absolutized against
+    the Python CWD at entry (r12, r11 ADVICE): the Hadoop existence
+    probe and Spark's read/write resolve relative paths against
+    DIFFERENT working directories (FileSystem working dir vs the JVM's
+    user.dir, which a Python os.chdir never moves), so without the
+    normalization a relative path could pass the probe yet read or
+    write elsewhere. With it, batch 1 must find batch 0's index — the
+    dedup hit proves probe, write and read named one directory — and
+    everything lands under the chdir target, not the JVM's CWD."""
+    monkeypatch.chdir(tmp_path)
+    b0 = spark.createDataFrame([_doc(1, BASE)], DOC_SCHEMA)
+    neardedup_process_batch(spark, b0, 0, "rel_out", "rel_idx")
+    b1 = spark.createDataFrame([_doc(2, BASE)], DOC_SCHEMA)
+    neardedup_process_batch(spark, b1, 1, "rel_out", "rel_idx")
+    out_abs = str(tmp_path / "rel_out")
+    assert _survivors(spark, out_abs) == {1}
+    assert _decisions(spark, out_abs) == {2: ("exact", 1)}
+    assert (tmp_path / "rel_idx" / "digests").is_dir()
+
+
 def test_replayed_batch_ignores_its_own_partial_index_write(spark, tmp_path):
     """foreachBatch is at-least-once: a crash between the index write for
     batch N and the offset commit replays batch N. The probe excludes
