@@ -173,6 +173,22 @@ def main() -> int:
              "real pin at the repo root)",
     )
     ap.add_argument(
+        "--from-runs-dir", default=None,
+        help="with --cpu-augment: derive the cpu stats from the full "
+             "bench JSONs already saved in this directory (cpu_run_*.json "
+             "from an earlier --save-runs-dir session) instead of running "
+             "the bench again — the cpu twin of --recompute.",
+    )
+    ap.add_argument(
+        "--allow-fewer-runs", action="store_true",
+        help="with --cpu-augment: accept fewer than 5 runs, recording the "
+             "pin as PROVISIONAL (cpu_pin_provisional) with the run count "
+             "and the --note as rationale. Exists for hosts whose wall "
+             "cost makes the 5-run protocol unaffordable (r12: a floored "
+             "skew run cost >1h); the first session that can afford it "
+             "must re-augment at full protocol.",
+    )
+    ap.add_argument(
         "--save-runs-dir", default=None,
         help="with --cpu-augment: also save each run's FULL bench JSON "
              "to this directory (cpu_run_1.json ...) so a round record "
@@ -205,13 +221,37 @@ def main() -> int:
             print("--cpu-augment needs an existing pin to merge into; "
                   "take a full pin on a healthy host first", file=sys.stderr)
             return 1
-        if args.runs < 5:
-            print("r9 protocol requires >= 5 runs (spread/tail need the "
-                  "trim to mean anything)", file=sys.stderr)
-            return 1
         cpu_runs = []
+        if args.from_runs_dir:
+            import glob as _glob
+
+            for fn in sorted(_glob.glob(
+                os.path.join(args.from_runs_dir, "cpu_run_*.json")
+            )):
+                with open(fn) as f:
+                    run = json.load(f)
+                if run.get("mode") != args.mode:
+                    print(f"{fn} is a {run.get('mode')!r} run, not "
+                          f"{args.mode!r}", file=sys.stderr)
+                    return 1
+                cpu_runs.append(run)
+            if not cpu_runs:
+                print(f"no cpu_run_*.json in {args.from_runs_dir}",
+                      file=sys.stderr)
+                return 1
+            print(f"deriving cpu stats from {len(cpu_runs)} recorded runs",
+                  file=sys.stderr)
+        if len(cpu_runs or range(args.runs)) < 5 and not args.allow_fewer_runs:
+            print("r9 protocol requires >= 5 runs (spread/tail need the "
+                  "trim to mean anything); pass --allow-fewer-runs to "
+                  "record a PROVISIONAL pin with rationale", file=sys.stderr)
+            return 1
+        if args.allow_fewer_runs and not args.note:
+            print("--allow-fewer-runs demands a --note rationale",
+                  file=sys.stderr)
+            return 1
         env = {**os.environ, "SPARK_GRAFT_IMG_MODE": args.mode}
-        for i in range(args.runs):
+        for i in range(0 if args.from_runs_dir else args.runs):
             print(f"{args.mode} cpu-augment run {i + 1}/{args.runs} ...",
                   file=sys.stderr, flush=True)
             proc = subprocess.run(
@@ -241,6 +281,15 @@ def main() -> int:
                 f"first_touch={run.get('first_touch_gb_s')}GB/s",
                 file=sys.stderr, flush=True,
             )
+        for i, run in enumerate(cpu_runs):
+            if not run.get("key_parity_ok"):
+                print(f"recorded run {i + 1} failed key parity — not "
+                      "pinning", file=sys.stderr)
+                return 1
+            if not run.get(CPU_METRIC):
+                print(f"recorded run {i + 1} carries no {CPU_METRIC}",
+                      file=sys.stderr)
+                return 1
         cpu_stats = derive_cpu_stats(cpu_runs)
         assert cpu_stats is not None  # every run checked above
         prev["cpu_stats"] = cpu_stats
@@ -249,6 +298,21 @@ def main() -> int:
             + (f" ({args.note})" if args.note else "")
             + "; wall statistics untouched."
         )
+        if len(cpu_runs) < 5:
+            prev["cpu_pin_provisional"] = {
+                "n_runs": len(cpu_runs),
+                "rationale": args.note,
+                "obligation": (
+                    "below the 5-run protocol: spread/tail are "
+                    "untrimmed (n<4 uses all samples; n=1 pins zero "
+                    "spread/tail, leaving only the 15% noise slack as "
+                    "the band). The first session that can afford it "
+                    "must re-augment at full protocol; until then "
+                    "treat cpu_verdicts from this pin as provisional."
+                ),
+            }
+        else:
+            prev.pop("cpu_pin_provisional", None)
         prev["cpu_runs"] = [
             {k: r.get(k) for k in (
                 "wall_sec", "patches_per_sec", "cpu_user_sec", CPU_METRIC,

@@ -264,6 +264,51 @@ def test_cpu_corroboration_uses_the_same_band_algebra():
     assert bench.query_verdicts({"q": 9.0}, pins)["q"] == "regressed"
 
 
+# --------------- re-adjudication tool (round-record derivation) -----------
+
+
+def test_readjudicate_replays_gate_against_current_pin(tmp_path, monkeypatch):
+    """The tool recomputes drift_gate on a recorded run against the
+    CURRENT pin and stamps provenance — so a run measured before a
+    --cpu-augment can become the round record with the cpu axis
+    consulted. Wall numbers must pass through untouched."""
+    import subprocess
+    import sys
+
+    _pin(tmp_path)
+    run = {
+        "mode": "skew",
+        "patches_per_sec": 120.0, "payload_mb_per_sec": 3.6,
+        "first_touch_gb_s": 0.02,
+        "patches_per_cpu_user_sec": 4900.0,
+        "drift_gate": {"stale": True},
+    }
+    rp = tmp_path / "cpu_run_5.json"
+    rp.write_text(json.dumps(run))
+    out_p = tmp_path / "BENCH_IMAGING_SKEW_rTEST.json"
+    # run from tmp_path-as-pin-dir: the tool resolves the pin at the repo
+    # root, so instead call the gate path it uses directly for the
+    # pin_dir-parameterized assertion...
+    from bench_imaging import _drift_gate as dg
+
+    replayed = dict(run)
+    replayed["drift_gate"] = dg("skew", replayed, pin_dir=str(tmp_path))
+    assert replayed["drift_gate"]["cpu_corroboration"] == "ok"
+    assert replayed["patches_per_sec"] == 120.0
+    # and the CLI wrapper end-to-end (against the real repo pin — only
+    # provenance and non-crash are asserted, the real pin's verdict is
+    # host-dependent)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(HERE, "readjudicate_imaging_run.py"),
+         "--mode", "skew", "--run", str(rp), "--out", str(out_p)],
+        capture_output=True, text=True, check=True,
+    )
+    rec = json.loads(out_p.read_text())
+    assert rec["readjudicated"]["source_run"] == "cpu_run_5.json"
+    assert rec["patches_per_sec"] == 120.0
+    assert "drift_gate" in rec and rec["drift_gate"] != {"stale": True}
+
+
 # ------------------- census host_floored contract (ADVICE) ----------------
 
 
