@@ -155,7 +155,20 @@ def host_inflation_adjudications(
     absent) in the previous census too stays unadjudicated — the floor
     must never absolve a genuinely new structural cost. Callers must
     separately confirm the query's code is unchanged since the previous
-    census (the round rotation's re-check list is that record)."""
+    census (the round rotation's re-check list is that record).
+
+    CHAINED absolution (r12): consecutive floored censuses would
+    otherwise trap every once-host-flagged query forever — its
+    prev-census time is over the prev threshold *because that census
+    was floored too*, so the clean-before rule can never fire again
+    even though the prev census's own adjudication already attributed
+    the flag to the host. A flag whose prev-census adjudication is
+    itself a host-inflation absolution therefore chains: the evidence
+    anchor stays the last HEALTHY census (named in the chained
+    message), and the chain still breaks for genuinely new costs (a
+    query flagged in the prev census WITHOUT a host adjudication —
+    structurally slow, or manually adjudicated as inherent — does not
+    chain)."""
     try:
         with open(prev_path) as f:
             prev = json.load(f)
@@ -164,6 +177,7 @@ def host_inflation_adjudications(
     prev_times, prev_th = prev.get("queries", {}), prev.get("threshold_sec")
     if not prev_times or prev_th is None:
         return {}
+    prev_adjud = prev.get("adjudications", {}) or {}
     out = {}
     for n in flagged:
         t_prev = prev_times.get(n)
@@ -174,6 +188,15 @@ def host_inflation_adjudications(
                 f"census's {prev_th}s threshold — with no code change "
                 f"since; the flag is the host's lazy page backend, not "
                 f"the plan. Deferred to a healthy-host census."
+            )
+        elif str(prev_adjud.get(n, "")).startswith("host-inflated"):
+            out[n] = (
+                f"host-inflated (chained): flagged at {t_prev}s in "
+                f"{os.path.basename(prev_path)}, where its own "
+                "adjudication already attributed the flag to the "
+                "memory-floored host (anchored on the last healthy "
+                "census named there); no code change since. Deferred "
+                "to a healthy-host census."
             )
     return out
 

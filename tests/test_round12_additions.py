@@ -312,6 +312,51 @@ def test_readjudicate_replays_gate_against_current_pin(tmp_path, monkeypatch):
 # ------------------- census host_floored contract (ADVICE) ----------------
 
 
+def test_host_inflation_chained_absolution(tmp_path):
+    """Consecutive floored censuses: a flag whose prev-census
+    adjudication was itself a host-inflation absolution chains through
+    (the prev time is over the prev threshold only because that census
+    was floored too); a prev flag WITHOUT a host adjudication — an
+    inherent-shape manual entry, or unadjudicated — must NOT chain."""
+    from bench_census import host_inflation_adjudications
+
+    prev = {
+        "threshold_sec": 2.0,
+        "queries": {
+            "clean_before": 1.2,
+            "chained_ok": 5.0,
+            "inherent": 6.0,
+            "never_adjudicated": 7.0,
+        },
+        "adjudications": {
+            "chained_ok": "host-inflated (memory-floored sweep): ...",
+            "inherent": "inherent: two exact-median sorts by definition",
+        },
+    }
+    p = tmp_path / "prev.json"
+    p.write_text(json.dumps(prev))
+    auto = host_inflation_adjudications(
+        ["clean_before", "chained_ok", "inherent", "never_adjudicated"],
+        str(p),
+    )
+    assert set(auto) == {"clean_before", "chained_ok"}
+    assert auto["chained_ok"].startswith("host-inflated (chained)")
+
+
+def test_recorded_r12_census_is_fully_adjudicated():
+    """The r12 census (floored host, 459 s vs r10's healthy 229.7):
+    every flag adjudicated — manual inherent shapes, one-back host
+    absolutions, or the r12 chained rule — zero errors, host_floored
+    loud."""
+    with open(os.path.join(HERE, "BENCH_CENSUS_r12.json")) as f:
+        census = json.load(f)
+    assert census["n_queries"] >= 200
+    assert census["unadjudicated"] == []
+    assert set(census["adjudications"]) == set(census["flagged"])
+    assert census["host_floored"] is True
+    assert not census.get("errors")
+
+
 def test_census_source_sets_host_floored_without_prev():
     """The r12 fix is structural (host_floored no longer nested under
     `and args.prev`): assert the source shape so a regression to the
