@@ -142,9 +142,90 @@ ADJUDICATIONS: dict[str, str] = {
 }
 
 
+# Quantitative bounds on host absolution (r13; r12 ADVICE + verdict
+# demand #2). Wall: floored-to-floored per-query census ratios measured
+# r11->r12 span 0.04-8.58x (host-absolved flags themselves up to 6.83x),
+# so the wall bound can only be a coarse ceiling — it exists to stop
+# "arbitrarily slower every round" from chaining forever, not to catch a
+# 2x regression. CPU: once a prior census carries queries_cpu_user_sec
+# (r13+), a host-absolved flag's single-run cpu must be non-regressed vs
+# that record — the floor-insensitive check with real teeth. The cpu
+# tolerance is generous because census cpu is single-run WITH each
+# query's Catalyst compile (driver-side user cpu): 1.5x + 1.0 s absorbs
+# compile and sampling jitter while still refusing the >=2x structural
+# costs the census exists to catch; tighten once several census cpu
+# records exist to calibrate from.
+CENSUS_CHAIN_WALL_MAX_X = 10.0
+CENSUS_CPU_CHAIN_REL = 1.5
+CENSUS_CPU_CHAIN_ABS_S = 1.0
+
+
+def _census_round(path: str) -> int | None:
+    m = re.search(r"BENCH_CENSUS_r(\d+)\.json$", os.path.basename(path))
+    return int(m.group(1)) if m else None
+
+
+def _prior_censuses(prev_path: str) -> list[str]:
+    """Census files at or before ``prev_path``'s round, newest first —
+    the search space for healthy anchors and prior cpu records."""
+    rnd = _census_round(prev_path)
+    if rnd is None:
+        return [prev_path]
+    import glob
+
+    out = []
+    for fn in glob.glob(os.path.join(os.path.dirname(
+            os.path.abspath(prev_path)) or HERE, "BENCH_CENSUS_r*.json")):
+        r = _census_round(fn)
+        if r is not None and r <= rnd:
+            out.append((r, fn))
+    return [fn for _, fn in sorted(out, reverse=True)]
+
+
+def find_healthy_anchor(name: str, prev_path: str):
+    """The most recent NON-floored census at/before prev that timed
+    ``name`` — the actual evidence anchor a chained absolution rests on
+    (r13, r12 ADVICE: the chained message claimed the healthy census was
+    'named there' while only naming the immediate previous file).
+    Returns ``(basename, time_sec, threshold_sec)`` or None."""
+    for fn in _prior_censuses(prev_path):
+        try:
+            with open(fn) as f:
+                c = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if c.get("host_floored"):
+            continue
+        t = (c.get("queries") or {}).get(name)
+        if t is not None:
+            return os.path.basename(fn), t, c.get("threshold_sec")
+    return None
+
+
+def find_prior_cpu(name: str, prev_path: str):
+    """The most recent census at/before prev carrying a cpu record for
+    ``name`` (``queries_cpu_user_sec``, r13+). Returns
+    ``(basename, cpu_sec)`` or None. Valid on floored censuses too —
+    user-cpu is the floor-insensitive statistic
+    (FINDINGS_HOST_MEMORY.md)."""
+    for fn in _prior_censuses(prev_path):
+        try:
+            with open(fn) as f:
+                c = json.load(f)
+        except (OSError, ValueError):
+            continue
+        cpu = (c.get("queries_cpu_user_sec") or {}).get(name)
+        if cpu is not None:
+            return os.path.basename(fn), cpu
+    return None
+
+
 def host_inflation_adjudications(
-    flagged: list[str], prev_path: str
-) -> dict[str, str]:
+    flagged: list[str],
+    prev_path: str,
+    times: dict[str, float] | None = None,
+    cpu_times: dict[str, float] | None = None,
+) -> tuple[dict[str, str], dict[str, str]]:
     """Auto-adjudications for a memory-floored sweep (r11): on a host
     whose first-touch throughput is below bench.MEM_FAULT_FLOOR_GB_S the
     WHOLE census inflates (measured r11: 945 s wall vs 229.7 r10, 4.1x,
@@ -164,41 +245,128 @@ def host_inflation_adjudications(
     even though the prev census's own adjudication already attributed
     the flag to the host. A flag whose prev-census adjudication is
     itself a host-inflation absolution therefore chains: the evidence
-    anchor stays the last HEALTHY census (named in the chained
-    message), and the chain still breaks for genuinely new costs (a
-    query flagged in the prev census WITHOUT a host adjudication —
-    structurally slow, or manually adjudicated as inherent — does not
-    chain)."""
+    anchor is the last HEALTHY census (resolved by walking the census
+    files, NAMED with its recorded time — r13, r12 ADVICE), and the
+    chain still breaks for genuinely new costs (a query flagged in the
+    prev census WITHOUT a host adjudication — structurally slow, or
+    manually adjudicated as inherent — does not chain).
+
+    BOUNDED absolution (r13; r12 ADVICE + verdict demand #2): every
+    host absolution — fresh or chained — must now clear two
+    quantitative checks before it lands, otherwise the flag is REFUSED
+    absolution and returned in the second dict (landing in
+    ``unadjudicated`` — a real finding to investigate, not weather):
+
+    1. CPU non-regression: once any prior census carries a cpu record
+       for the query (``queries_cpu_user_sec``, r13+), the current
+       single-run cpu must be within CENSUS_CPU_CHAIN_REL x prior
+       + CENSUS_CPU_CHAIN_ABS_S — the floor cannot inflate user-cpu,
+       so a cpu regression is kernel evidence no absolution may
+       override.
+    2. Wall ceiling (chained path only): the current time must be
+       within CENSUS_CHAIN_WALL_MAX_X of the prev floored time — a
+       coarse stop on drifting arbitrarily slower across consecutive
+       floored censuses (measured floored-to-floored jitter reaches
+       8.6x, so only order-of-magnitude drift trips this).
+
+    Returns ``(adjudications, refused)``."""
     try:
         with open(prev_path) as f:
             prev = json.load(f)
     except (OSError, ValueError):
-        return {}
+        return {}, {}
     prev_times, prev_th = prev.get("queries", {}), prev.get("threshold_sec")
     if not prev_times or prev_th is None:
-        return {}
+        return {}, {}
     prev_adjud = prev.get("adjudications", {}) or {}
-    out = {}
+    times = times or {}
+    cpu_times = cpu_times or {}
+    out: dict[str, str] = {}
+    refused: dict[str, str] = {}
+
+    def cpu_check(n: str) -> str | None:
+        """None = passes (or no prior record); else the refusal text."""
+        prior = find_prior_cpu(n, prev_path)
+        if prior is None:
+            return None
+        src, cpu_prev = prior
+        cpu_now = cpu_times.get(n)
+        if cpu_now is None:
+            return (
+                f"cpu record exists ({cpu_prev}s in {src}) but this "
+                "sweep recorded no cpu for the query — absolution "
+                "requires the floor-insensitive check once it is "
+                "available"
+            )
+        bound = CENSUS_CPU_CHAIN_REL * cpu_prev + CENSUS_CPU_CHAIN_ABS_S
+        if cpu_now > bound:
+            return (
+                f"cpu REGRESSED: {cpu_now}s user-cpu vs {cpu_prev}s in "
+                f"{src} (bound {round(bound, 2)}s = "
+                f"{CENSUS_CPU_CHAIN_REL}x + {CENSUS_CPU_CHAIN_ABS_S}s) "
+                "— the memory floor cannot explain extra user-cpu; "
+                "investigate as a real kernel finding"
+            )
+        return None
+
     for n in flagged:
         t_prev = prev_times.get(n)
+        chained = str(prev_adjud.get(n, "")).startswith("host-inflated")
+        if not ((t_prev is not None and t_prev <= prev_th) or chained):
+            continue  # not absolution-eligible; stays unadjudicated
+        cpu_refusal = cpu_check(n)
+        if cpu_refusal:
+            refused[n] = f"host absolution refused: {cpu_refusal}"
+            continue
+        cpu_prior = find_prior_cpu(n, prev_path)
+        cpu_cite = ""
+        if cpu_prior and cpu_times.get(n) is not None:
+            cpu_cite = (
+                f" CPU corroborates: {cpu_times[n]}s user-cpu vs "
+                f"{cpu_prior[1]}s in {cpu_prior[0]} (non-regressed, the "
+                "floor-insensitive axis)."
+            )
         if t_prev is not None and t_prev <= prev_th:
             out[n] = (
                 f"host-inflated (memory-floored sweep): this query ran "
                 f"{t_prev}s in {os.path.basename(prev_path)} — under that "
                 f"census's {prev_th}s threshold — with no code change "
                 f"since; the flag is the host's lazy page backend, not "
-                f"the plan. Deferred to a healthy-host census."
+                f"the plan.{cpu_cite} Deferred to a healthy-host census."
             )
-        elif str(prev_adjud.get(n, "")).startswith("host-inflated"):
+        else:
+            t_now = times.get(n)
+            if (
+                t_now is not None
+                and t_prev
+                and t_now > CENSUS_CHAIN_WALL_MAX_X * t_prev
+            ):
+                refused[n] = (
+                    f"host absolution refused: {t_now}s is more than "
+                    f"{CENSUS_CHAIN_WALL_MAX_X}x the prev floored time "
+                    f"{t_prev}s — beyond every measured floored-to-"
+                    "floored jitter (max 8.6x); a chained absolution "
+                    "may not cover order-of-magnitude drift"
+                )
+                continue
+            anchor = find_healthy_anchor(n, prev_path)
+            anchor_cite = (
+                f"anchored on the last healthy census: {anchor[1]}s in "
+                f"{anchor[0]} (threshold {anchor[2]}s)"
+                if anchor
+                else "no healthy census has timed this query yet — the "
+                "chain rests on the prev adjudication alone"
+            )
             out[n] = (
                 f"host-inflated (chained): flagged at {t_prev}s in "
                 f"{os.path.basename(prev_path)}, where its own "
                 "adjudication already attributed the flag to the "
-                "memory-floored host (anchored on the last healthy "
-                "census named there); no code change since. Deferred "
-                "to a healthy-host census."
+                f"memory-floored host; {anchor_cite}; within "
+                f"{CENSUS_CHAIN_WALL_MAX_X}x of the prev floored time; "
+                f"no code change since.{cpu_cite} Deferred to a "
+                "healthy-host census."
             )
-    return out
+    return out, refused
 
 
 def main() -> int:
@@ -224,11 +392,24 @@ def main() -> int:
     spark = get_spark("etl-mri-spark-census")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run(name: str) -> float:
+    def run(name: str) -> tuple[float, float | None]:
+        """(wall_sec, cpu_user_sec) for one query. CPU is the system-wide
+        /proc/stat user+nice delta (bench.read_user_cpu_sec) — valid
+        because the census runs queries strictly serially on an otherwise
+        quiet host; it is the floor-insensitive axis the adjudications
+        consult (r13, r12 verdict demand #2)."""
         with arrow_batch_restore(spark):
+            c0 = bench.read_user_cpu_sec()
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            return time.perf_counter() - t0
+            wall = time.perf_counter() - t0
+            c1 = bench.read_user_cpu_sec()
+            cpu = (
+                round(c1 - c0, 2)
+                if c0 is not None and c1 is not None and c1 > c0
+                else None
+            )
+            return wall, cpu
 
     # Headline p95 from the PIN medians (stable, statistic-documented);
     # fall back to the verdict's 2.5 s yardstick when no pin matches.
@@ -258,12 +439,16 @@ def main() -> int:
 
     headline = set(bench.HEADLINE)
     times: dict[str, float] = {}
+    cpu_times: dict[str, float] = {}
     errors: dict[str, str] = {}
     mem_start = bench.host_memory_probe()
     t_census = time.perf_counter()
     for name in QUERIES:
         try:
-            times[name] = round(run(name), 4)
+            wall, cpu = run(name)
+            times[name] = round(wall, 4)
+            if cpu is not None:
+                cpu_times[name] = cpu
         except Exception as exc:  # noqa: BLE001 — census must survive anything
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         spark.catalog.clearCache()
@@ -297,8 +482,15 @@ def main() -> int:
     if out["first_touch_gb_s"] < bench.MEM_FAULT_FLOOR_GB_S:
         out["host_floored"] = True
         if args.prev:
-            auto = host_inflation_adjudications(flagged, args.prev)
+            auto, refused = host_inflation_adjudications(
+                flagged, args.prev, times=times, cpu_times=cpu_times
+            )
             adjud.update({n: v for n, v in auto.items() if n not in adjud})
+            if refused:
+                # Refusals land in `unadjudicated` (no entry in adjud) —
+                # surfaced with their evidence so the census isn't done
+                # until each is investigated as a real finding.
+                out["host_absolution_refused"] = refused
     out |= {
         "adjudications": adjud,
         "unadjudicated": [n for n in flagged if n not in adjud],
@@ -314,6 +506,11 @@ def main() -> int:
             "regression gate."
         ),
         "queries": times,
+        # Per-query user-cpu (r13, r12 verdict demand #2): the census
+        # tail's floor-insensitive signal. Future floored censuses must
+        # cite a non-regressed cpu vs this record before host-absolving
+        # a flag (host_inflation_adjudications.cpu_check).
+        "queries_cpu_user_sec": cpu_times,
     }
     if errors:
         out["errors"] = errors

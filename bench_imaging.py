@@ -534,11 +534,31 @@ def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
     cpu_stats = (pin.get("cpu_stats") or {}).get("patches_per_cpu_user_sec")
     if cpu_rate and cpu_stats and cpu_stats.get("median"):
         out["cpu_stats_pinned"] = cpu_stats
+        # A below-protocol pin (pin_imaging_baseline --allow-fewer-runs)
+        # or a pin whose samples INCLUDE this very run cannot
+        # independently band it (r13, r12 ADVICE: the r12 skew record
+        # compared its 84.32 against a band {median 84.32, spread 0,
+        # tail 0} derived from that same single run — a tautology the
+        # gate output never flagged). Both conditions are surfaced and
+        # qualify any escalation resolution below as provisional.
+        cpu_prov = pin.get("cpu_pin_provisional")
+        if cpu_prov:
+            out["cpu_pin_provisional"] = cpu_prov
+        pin_sample_rates = {
+            r.get("patches_per_cpu_user_sec")
+            for r in (pin.get("cpu_runs") or [])
+        }
+        cpu_self_sample = cpu_rate in pin_sample_rates
+        if cpu_self_sample:
+            out["cpu_pin_self_sample"] = True
+        cpu_independent = not (cpu_prov or cpu_self_sample)
         out["cpu_verdict"] = throughput_verdict(cpu_rate, cpu_stats)
         floored_inactive = out.get("verdict") is None and "host_memory" in out
         if floored_inactive:
             if out["cpu_verdict"] in ("ok", "noise-band"):
-                out["cpu_corroboration"] = "ok"
+                out["cpu_corroboration"] = (
+                    "ok" if cpu_independent else "ok-provisional"
+                )
                 out["verdict_gate"] += (
                     "; cpu-corroborated ok: patches_per_cpu_user_sec "
                     f"{cpu_rate} is within its pinned band "
@@ -546,6 +566,19 @@ def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
                     "insensitive axis measured the kernel this round "
                     "(FINDINGS_HOST_MEMORY.md)"
                 )
+                if not cpu_independent:
+                    out["verdict_gate"] += (
+                        "; PROVISIONAL: the cpu band is not independent "
+                        "of this run ("
+                        + ("below-protocol pin, n_runs="
+                           f"{(cpu_prov or {}).get('n_runs')}"
+                           if cpu_prov else "")
+                        + ("; " if cpu_prov and cpu_self_sample else "")
+                        + ("this run is one of the pin's own samples"
+                           if cpu_self_sample else "")
+                        + ") — corroboration is weaker evidence until a "
+                        "full-protocol pin bands a run it did not include"
+                    )
             elif out["cpu_verdict"] == "regressed":
                 out["cpu_regressed"] = True
                 out["verdict_gate"] += (
@@ -607,6 +640,20 @@ def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
                     "(cpu_verdict above), so the kernel was measured this "
                     "round despite the wall-clock floor; environment "
                     "pathology documented in FINDINGS_HOST_MEMORY.md"
+                )
+            elif out.get("cpu_corroboration") == "ok-provisional":
+                # r13 (r12 ADVICE): an in-band cpu reading against a
+                # band this run helped define — or a below-protocol
+                # band — cannot FULLY discharge the escalation; the
+                # demand for an independent measurement stands.
+                out["escalation_resolution"] = (
+                    "provisionally resolved: patches_per_cpu_user_sec is "
+                    "in-band, but the cpu band is not independent of "
+                    "this run (cpu_pin_provisional / "
+                    "cpu_pin_self_sample above) — the escalation "
+                    "re-resolves when a full-protocol pin bands a run "
+                    "it did not include, or a healthy host measures "
+                    "wall throughput directly"
                 )
             elif out.get("cpu_regressed"):
                 out["escalation_resolution"] = (

@@ -44,116 +44,117 @@ from . import tpch_shapes  # noqa: E402,F401
 from . import pipeline_analytics  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 
-# Round-12 window layout (r11 verdict demand #3): the pre-listed r12 cut
-# from the r11 round, regenerated this round by rotate_window.py on the
-# r1-r11 CORRECTNESS history and verified identical to the pre-list — 5
-# sentinels + 45 freshness rows (the 16 r7-latest queries headed by
-# pack_sequences_bestfit, padded with the 29 stalest r8 rows). ZERO
-# re-checks: no registered query's implementation changed in r12 as of
-# this rotation (the round's code changes are bench/gate tooling — the
-# CPU-time auxiliary metric — none behind a queries() entry). After this
-# window lands, no query's latest driver row is older than r8; the
-# stalest names beyond the window are pre-listed below (uncomment = next
-# round's mechanical cut). Any r12 code change to a registered query must
-# add its name to the head before the round closes.
+# Round-13 window layout (r12 verdict demand #4): the pre-listed r13 cut
+# from the r12 round, regenerated this round by rotate_window.py on the
+# r1-r12 CORRECTNESS history and verified identical to the pre-list — 5
+# sentinels + 45 freshness rows (the 15 stalest r8 rows headed by
+# sample_hash_bernoulli, then the r9 block through join_asof_last_view).
+# ZERO re-checks: no registered query's implementation changed in r13 as
+# of this rotation (the round's code changes are bench/gate/census
+# tooling plus the streaming module's _abs_local scheme fix — none
+# behind a queries() entry). After this window lands, no query's latest
+# driver row is older than r9; the stalest names beyond the window are
+# pre-listed below (uncomment = next round's mechanical cut). Any r13
+# code change to a registered query must add its name to the head before
+# the round closes.
 _DRIVER_ORDER = [
     "window_tumbling_hourly",  # sentinel
     "dedup_exact_hash",  # sentinel
     "text_token_counts",  # sentinel
     "ann_bruteforce_topk",  # sentinel
     "pricing_summary",  # sentinel
-    "pack_sequences_bestfit",  # freshness: last driver row CORRECTNESS_r07.json
-    "scd2_user_state_intervals",  # freshness: last driver row CORRECTNESS_r07.json
-    "shipping_delay_distribution",  # freshness: last driver row CORRECTNESS_r07.json
-    "sql_scalar_subquery_decorrelated",  # freshness: last driver row CORRECTNESS_r07.json
-    "text_chunk_overlapping",  # freshness: last driver row CORRECTNESS_r07.json
-    "text_corpus_stats_by_lang",  # freshness: last driver row CORRECTNESS_r07.json
-    "text_fingerprint_minshingle",  # freshness: last driver row CORRECTNESS_r07.json
-    "text_language_id",  # freshness: last driver row CORRECTNESS_r07.json
-    "text_pii_scrub",  # freshness: last driver row CORRECTNESS_r07.json
-    "text_quality_filter",  # freshness: last driver row CORRECTNESS_r07.json
-    "text_quality_scores",  # freshness: last driver row CORRECTNESS_r07.json
-    "text_repetition_signals",  # freshness: last driver row CORRECTNESS_r07.json
-    "topk_customers_by_revenue",  # freshness: last driver row CORRECTNESS_r07.json
-    "topk_per_group_window",  # freshness: last driver row CORRECTNESS_r07.json
-    "topk_unshipped_orders",  # freshness: last driver row CORRECTNESS_r07.json
-    "two_phase_robust_normalize",  # freshness: last driver row CORRECTNESS_r07.json
-    "bpe_tokenize_counts",  # freshness: last driver row CORRECTNESS_r08.json
-    "bpe_train_merges",  # freshness: last driver row CORRECTNESS_r08.json
-    "cdc_apply_with_deletes",  # freshness: last driver row CORRECTNESS_r08.json
-    "corpus_mix_plan",  # freshness: last driver row CORRECTNESS_r08.json
-    "customer_order_count_distribution",  # freshness: last driver row CORRECTNESS_r08.json
-    "dedup_minhash_signatures",  # freshness: last driver row CORRECTNESS_r08.json
-    "dedup_semantic_keep",  # freshness: last driver row CORRECTNESS_r08.json
-    "dq_lineitem_constraints",  # freshness: last driver row CORRECTNESS_r08.json
-    "dq_referential_integrity",  # freshness: last driver row CORRECTNESS_r08.json
-    "embedding_centroid_similarity",  # freshness: last driver row CORRECTNESS_r08.json
-    "embedding_l2_normalize_hof",  # freshness: last driver row CORRECTNESS_r08.json
-    "embedding_label_centroids",  # freshness: last driver row CORRECTNESS_r08.json
-    "embedding_outlier_distance",  # freshness: last driver row CORRECTNESS_r08.json
-    "embedding_quantize_int8",  # freshness: last driver row CORRECTNESS_r08.json
-    "fk_integrity_audit",  # freshness: last driver row CORRECTNESS_r08.json
-    "hll_sketch_rollup_nation_region",  # freshness: last driver row CORRECTNESS_r08.json
-    "idle_rich_customers_by_nation",  # freshness: last driver row CORRECTNESS_r08.json
-    "imaging_patch_grid",  # freshness: last driver row CORRECTNESS_r08.json
-    "imaging_slice_plan",  # freshness: last driver row CORRECTNESS_r08.json
-    "imaging_triptych_render",  # freshness: last driver row CORRECTNESS_r08.json
-    "ingest_union_schema_drift",  # freshness: last driver row CORRECTNESS_r08.json
-    "join_min_cost_supplier_per_part",  # freshness: last driver row CORRECTNESS_r08.json
-    "join_range_time_bucketed",  # freshness: last driver row CORRECTNESS_r08.json
-    "large_order_customers",  # freshness: last driver row CORRECTNESS_r08.json
-    "late_sole_supplier_orders",  # freshness: last driver row CORRECTNESS_r08.json
-    "multimodal_feature_extract",  # freshness: last driver row CORRECTNESS_r08.json
-    "multimodal_frame_sample",  # freshness: last driver row CORRECTNESS_r08.json
-    "orders_priority_late_exists",  # freshness: last driver row CORRECTNESS_r08.json
-    "promo_revenue_percent",  # freshness: last driver row CORRECTNESS_r08.json
+    "sample_hash_bernoulli",  # freshness: last driver row CORRECTNESS_r08.json
+    "sample_weighted_exact",  # freshness: last driver row CORRECTNESS_r08.json
+    "small_quantity_revenue_below_avg",  # freshness: last driver row CORRECTNESS_r08.json
+    "source_csv_roundtrip",  # freshness: last driver row CORRECTNESS_r08.json
+    "source_jsonl_roundtrip",  # freshness: last driver row CORRECTNESS_r08.json
+    "supplier_value_share_threshold",  # freshness: last driver row CORRECTNESS_r08.json
+    "text_tfidf_top_terms",  # freshness: last driver row CORRECTNESS_r08.json
+    "top_supplier_revenue_tiesafe",  # freshness: last driver row CORRECTNESS_r08.json
+    "vocab_zipf_slope",  # freshness: last driver row CORRECTNESS_r08.json
+    "window_first_last_nth",  # freshness: last driver row CORRECTNESS_r08.json
+    "window_lag_lead_delta",  # freshness: last driver row CORRECTNESS_r08.json
+    "window_moving_avg_frame",  # freshness: last driver row CORRECTNESS_r08.json
+    "window_rank_variants",  # freshness: last driver row CORRECTNESS_r08.json
+    "window_running_cumulative",  # freshness: last driver row CORRECTNESS_r08.json
+    "window_time_range_frame",  # freshness: last driver row CORRECTNESS_r08.json
+    "agg_median_abs_deviation",  # freshness: last driver row CORRECTNESS_r09.json
+    "ann_recall_eval",  # freshness: last driver row CORRECTNESS_r09.json
+    "ann_signbit_multiprobe_topk",  # freshness: last driver row CORRECTNESS_r09.json
+    "ann_truncated_recall_eval",  # freshness: last driver row CORRECTNESS_r09.json
+    "corpus_epochs_budget",  # freshness: last driver row CORRECTNESS_r09.json
+    "corpus_importance_weights",  # freshness: last driver row CORRECTNESS_r09.json
+    "customer_rfm_segments",  # freshness: last driver row CORRECTNESS_r09.json
+    "dedup_connected_components",  # freshness: last driver row CORRECTNESS_r09.json
+    "dedup_containment_pairs",  # freshness: last driver row CORRECTNESS_r09.json
+    "dedup_keep_best_quality",  # freshness: last driver row CORRECTNESS_r09.json
+    "dedup_lsh_quality_eval",  # freshness: last driver row CORRECTNESS_r09.json
+    "dedup_rate_by_source",  # freshness: last driver row CORRECTNESS_r09.json
+    "dedup_split_leakage_matrix",  # freshness: last driver row CORRECTNESS_r09.json
+    "dedup_triangle_count",  # freshness: last driver row CORRECTNESS_r09.json
+    "dedup_url_canonical",  # freshness: last driver row CORRECTNESS_r09.json
+    "disjunctive_bracket_revenue",  # freshness: last driver row CORRECTNESS_r09.json
+    "docs_compaction_plan",  # freshness: last driver row CORRECTNESS_r09.json
+    "embedding_dimension_variance",  # freshness: last driver row CORRECTNESS_r09.json
+    "events_conversion_latency",  # freshness: last driver row CORRECTNESS_r09.json
+    "events_daily_anomaly",  # freshness: last driver row CORRECTNESS_r09.json
+    "events_last_touch_attribution",  # freshness: last driver row CORRECTNESS_r09.json
+    "events_time_weighted_avg",  # freshness: last driver row CORRECTNESS_r09.json
+    "excess_volume_suppliers",  # freshness: last driver row CORRECTNESS_r09.json
+    "feature_zscore_standardize",  # freshness: last driver row CORRECTNESS_r09.json
+    "forecast_revenue_discount_band",  # freshness: last driver row CORRECTNESS_r09.json
+    "histogram_equi_depth",  # freshness: last driver row CORRECTNESS_r09.json
+    "image_dhash_near_dup",  # freshness: last driver row CORRECTNESS_r09.json
+    "imaging_key_parity_gate",  # freshness: last driver row CORRECTNESS_r09.json
+    "imaging_snr_metrics",  # freshness: last driver row CORRECTNESS_r09.json
+    "join_asof_last_view",  # freshness: last driver row CORRECTNESS_r09.json
     # ===== next-round freshness queue (stalest beyond this
     # window; uncomment = next round's mechanical cut) =====
-    # "sample_hash_bernoulli",  # last driver row CORRECTNESS_r08.json
-    # "sample_weighted_exact",  # last driver row CORRECTNESS_r08.json
-    # "small_quantity_revenue_below_avg",  # last driver row CORRECTNESS_r08.json
-    # "source_csv_roundtrip",  # last driver row CORRECTNESS_r08.json
-    # "source_jsonl_roundtrip",  # last driver row CORRECTNESS_r08.json
-    # "supplier_value_share_threshold",  # last driver row CORRECTNESS_r08.json
-    # "text_tfidf_top_terms",  # last driver row CORRECTNESS_r08.json
-    # "top_supplier_revenue_tiesafe",  # last driver row CORRECTNESS_r08.json
-    # "vocab_zipf_slope",  # last driver row CORRECTNESS_r08.json
-    # "window_first_last_nth",  # last driver row CORRECTNESS_r08.json
-    # "window_lag_lead_delta",  # last driver row CORRECTNESS_r08.json
-    # "window_moving_avg_frame",  # last driver row CORRECTNESS_r08.json
-    # "window_rank_variants",  # last driver row CORRECTNESS_r08.json
-    # "window_running_cumulative",  # last driver row CORRECTNESS_r08.json
-    # "window_time_range_frame",  # last driver row CORRECTNESS_r08.json
-    # "agg_median_abs_deviation",  # last driver row CORRECTNESS_r09.json
-    # "ann_recall_eval",  # last driver row CORRECTNESS_r09.json
-    # "ann_signbit_multiprobe_topk",  # last driver row CORRECTNESS_r09.json
-    # "ann_truncated_recall_eval",  # last driver row CORRECTNESS_r09.json
-    # "corpus_epochs_budget",  # last driver row CORRECTNESS_r09.json
-    # "corpus_importance_weights",  # last driver row CORRECTNESS_r09.json
-    # "customer_rfm_segments",  # last driver row CORRECTNESS_r09.json
-    # "dedup_connected_components",  # last driver row CORRECTNESS_r09.json
-    # "dedup_containment_pairs",  # last driver row CORRECTNESS_r09.json
-    # "dedup_keep_best_quality",  # last driver row CORRECTNESS_r09.json
-    # "dedup_lsh_quality_eval",  # last driver row CORRECTNESS_r09.json
-    # "dedup_rate_by_source",  # last driver row CORRECTNESS_r09.json
-    # "dedup_split_leakage_matrix",  # last driver row CORRECTNESS_r09.json
-    # "dedup_triangle_count",  # last driver row CORRECTNESS_r09.json
-    # "dedup_url_canonical",  # last driver row CORRECTNESS_r09.json
-    # "disjunctive_bracket_revenue",  # last driver row CORRECTNESS_r09.json
-    # "docs_compaction_plan",  # last driver row CORRECTNESS_r09.json
-    # "embedding_dimension_variance",  # last driver row CORRECTNESS_r09.json
-    # "events_conversion_latency",  # last driver row CORRECTNESS_r09.json
-    # "events_daily_anomaly",  # last driver row CORRECTNESS_r09.json
-    # "events_last_touch_attribution",  # last driver row CORRECTNESS_r09.json
-    # "events_time_weighted_avg",  # last driver row CORRECTNESS_r09.json
-    # "excess_volume_suppliers",  # last driver row CORRECTNESS_r09.json
-    # "feature_zscore_standardize",  # last driver row CORRECTNESS_r09.json
-    # "forecast_revenue_discount_band",  # last driver row CORRECTNESS_r09.json
-    # "histogram_equi_depth",  # last driver row CORRECTNESS_r09.json
-    # "image_dhash_near_dup",  # last driver row CORRECTNESS_r09.json
-    # "imaging_key_parity_gate",  # last driver row CORRECTNESS_r09.json
-    # "imaging_snr_metrics",  # last driver row CORRECTNESS_r09.json
-    # "join_asof_last_view",  # last driver row CORRECTNESS_r09.json
+    # "join_bucketed_colocated",  # last driver row CORRECTNESS_r09.json
+    # "join_key_skew_diagnostic",  # last driver row CORRECTNESS_r09.json
+    # "label_entropy_by_source",  # last driver row CORRECTNESS_r09.json
+    # "lineitem_numeric_correlations",  # last driver row CORRECTNESS_r09.json
+    # "nation_market_share_in_region",  # last driver row CORRECTNESS_r09.json
+    # "nation_pair_shipping_volume",  # last driver row CORRECTNESS_r09.json
+    # "orders_crosstab_chi2",  # last driver row CORRECTNESS_r09.json
+    # "partitioned_write_pruned_read",  # last driver row CORRECTNESS_r09.json
+    # "profit_by_supp_nation_year",  # last driver row CORRECTNESS_r09.json
+    # "returned_item_revenue_customers",  # last driver row CORRECTNESS_r09.json
+    # "source_orc_roundtrip",  # last driver row CORRECTNESS_r09.json
+    # "supplier_count_by_part_attrs",  # last driver row CORRECTNESS_r09.json
+    # "text_adaptive_quality_threshold",  # last driver row CORRECTNESS_r09.json
+    # "text_blocklist_scrub",  # last driver row CORRECTNESS_r09.json
+    # "text_decontaminate_overlap",  # last driver row CORRECTNESS_r09.json
+    # "agg_argmax_max_by",  # last driver row CORRECTNESS_r10.json
+    # "agg_count_distinct_rollup",  # last driver row CORRECTNESS_r10.json
+    # "agg_grouping_sets",  # last driver row CORRECTNESS_r10.json
+    # "agg_histogram_width_bucket",  # last driver row CORRECTNESS_r10.json
+    # "agg_minmax_per_group",  # last driver row CORRECTNESS_r10.json
+    # "agg_percentiles_exact",  # last driver row CORRECTNESS_r10.json
+    # "agg_skew_salted_two_stage",  # last driver row CORRECTNESS_r10.json
+    # "agg_stats_moments",  # last driver row CORRECTNESS_r10.json
+    # "ann_ivf_kmeans_topk",  # last driver row CORRECTNESS_r10.json
+    # "ann_ivf_pq_topk",  # last driver row CORRECTNESS_r10.json
+    # "ann_pq_adc_topk",  # last driver row CORRECTNESS_r10.json
+    # "cdc_upsert_latest_wins",  # last driver row CORRECTNESS_r10.json
+    # "conditional_agg_counters",  # last driver row CORRECTNESS_r10.json
+    # "cube_status_priority",  # last driver row CORRECTNESS_r10.json
+    # "data_profile_summary",  # last driver row CORRECTNESS_r10.json
+    # "date_format_monthly_rollup",  # last driver row CORRECTNESS_r10.json
+    # "dedup_pagerank_representatives",  # last driver row CORRECTNESS_r10.json
+    # "distinct_sorted_dimension",  # last driver row CORRECTNESS_r10.json
+    # "dq_uniqueness_report",  # last driver row CORRECTNESS_r10.json
+    # "field_target_parse",  # last driver row CORRECTNESS_r10.json
+    # "filter_project_arith",  # last driver row CORRECTNESS_r10.json
+    # "flagship_revenue_by_region_priority",  # last driver row CORRECTNESS_r10.json
+    # "imaging_pipeline_manifest",  # last driver row CORRECTNESS_r10.json
+    # "imaging_pipeline_patches",  # last driver row CORRECTNESS_r10.json
+    # "join_anti_customers_without_orders",  # last driver row CORRECTNESS_r10.json
+    # "join_broadcast_supplier_geo",  # last driver row CORRECTNESS_r10.json
+    # "join_inner_orders_customer",  # last driver row CORRECTNESS_r10.json
+    # "late_lines_priority_by_status",  # last driver row CORRECTNESS_r10.json
+    # "middle_n_selection",  # last driver row CORRECTNESS_r10.json
+    # "pack_sequences_concat",  # last driver row CORRECTNESS_r10.json
 ]
 
 

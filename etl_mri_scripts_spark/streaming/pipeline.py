@@ -745,10 +745,21 @@ def _abs_local(path: str) -> str:
     read (or write) a different location. Absolutizing at entry pins
     probe, reads and writes to the same directory — the behavior the
     old os.path.isdir probe had. URI-qualified and absolute paths pass
+    through untouched.
+
+    Scheme detection matches the URI grammar (r13, r12 ADVICE), not a
+    '://' substring: Hadoop Path accepts authority-less scheme forms
+    like 'file:relative/dir', which the substring test misclassified as
+    local-relative and rewrote to '/cwd/file:relative' — silently
+    changing what the probe and Spark resolve. Any RFC-3986 scheme
+    prefix (ALPHA *(ALPHA / DIGIT / '+' / '-' / '.') ':') now passes
     through untouched."""
     import os
+    import re
 
-    if "://" not in path and not os.path.isabs(path):
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", path) is None and not os.path.isabs(
+        path
+    ):
         return os.path.abspath(path)
     return path
 

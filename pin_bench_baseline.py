@@ -121,6 +121,32 @@ def main() -> int:
         ),
     )
     ap.add_argument(
+        "--aux-cpu-augment",
+        action="store_true",
+        help=(
+            "run `bench.py --aux-only` --runs times and merge ONLY the "
+            "aux-set cpu pins (aux_query_cpu_pins over each run's "
+            "aux_queries_cpu_user_sec) into the existing baseline — the "
+            "census promotion path (r13): the five census outliers get "
+            "floor-insensitive cpu bands now, wall pins when a healthy "
+            "host permits the full HEADLINE re-pin. Allowed on a "
+            "memory-floored host for the same reason as --cpu-augment."
+        ),
+    )
+    ap.add_argument(
+        "--allow-fewer-runs",
+        action="store_true",
+        help=(
+            "with --cpu-augment: accept fewer than 5 runs, stamping the "
+            "pin PROVISIONAL (cpu_pin_provisional) with the run count and "
+            "the --note as rationale — mirroring pin_imaging_baseline "
+            "(r13, r12 ADVICE: '--cpu-augment --runs 1' previously "
+            "recorded zero-spread/zero-tail query_cpu_pins silently "
+            "indistinguishable from full-protocol pins). The first "
+            "session that can afford it must re-augment at full protocol."
+        ),
+    )
+    ap.add_argument(
         "--recompute",
         action="store_true",
         help=(
@@ -147,6 +173,87 @@ def main() -> int:
 
     runs: list[dict] = []
     prev_pin = None
+    if args.aux_cpu_augment:
+        try:
+            with open(args.out) as f:
+                pin = json.load(f)
+        except (OSError, ValueError):
+            print("--aux-cpu-augment needs an existing baseline to merge "
+                  "into; take a full pin first", file=sys.stderr)
+            return 1
+        if args.runs < 5 and not args.allow_fewer_runs:
+            print("r9 protocol requires >= 5 runs; pass --allow-fewer-"
+                  "runs to record a PROVISIONAL pin with rationale",
+                  file=sys.stderr)
+            return 1
+        if args.allow_fewer_runs and not args.note:
+            print("--allow-fewer-runs demands a --note rationale",
+                  file=sys.stderr)
+            return 1
+        from bench import AUX_CPU_QUERIES
+
+        aux_records: list[dict] = []
+        for i in range(args.runs):
+            print(f"aux-cpu run {i + 1}/{args.runs} ...",
+                  file=sys.stderr, flush=True)
+            proc = subprocess.run(
+                [sys.executable, os.path.join(HERE, "bench.py"),
+                 "--aux-only"],
+                capture_output=True, text=True, check=True, cwd=HERE,
+            )
+            run = json.loads(proc.stdout.strip().splitlines()[-1])
+            if run.get("aux_errors"):
+                print(f"run {i + 1} had errors: {run['aux_errors']}",
+                      file=sys.stderr)
+                return 1
+            if run.get("sf") != pin.get("sf"):
+                print(f"run sf {run.get('sf')} differs from pin sf "
+                      f"{pin.get('sf')}", file=sys.stderr)
+                return 1
+            cpu = run.get("aux_queries_cpu_user_sec") or {}
+            if set(cpu) != set(AUX_CPU_QUERIES):
+                print(f"run {i + 1} cpu record covers {sorted(cpu)} — "
+                      f"expected exactly {AUX_CPU_QUERIES}",
+                      file=sys.stderr)
+                return 1
+            aux_records.append(cpu)
+            print(f"  aux_cpu={json.dumps(cpu)}", file=sys.stderr,
+                  flush=True)
+        aux_pins = derive_query_cpu_pins(aux_records)
+        if aux_pins is None:
+            print("aux cpu records incomplete; not pinning",
+                  file=sys.stderr)
+            return 1
+        pin["aux_query_cpu_pins"] = aux_pins
+        pin["aux_cpu_pin_note"] = (
+            "Floor-insensitive cpu bands for the census-promoted aux set "
+            "(bench.AUX_CPU_QUERIES): RAW system-wide cpu_user seconds, "
+            "median-of-3 per run, pinned with the same trim/tail recipe "
+            "as query_cpu_pins from "
+            f"{len(aux_records)} dedicated `bench.py --aux-only` runs"
+            + (f" ({args.note})" if args.note else "")
+            + ". Wall pins deferred to the first healthy-host HEADLINE "
+            "re-pin (positional normalization forbids mid-list "
+            "insertions)."
+        )
+        if len(aux_records) < 5:
+            pin["aux_cpu_pin_provisional"] = {
+                "n_runs": len(aux_records),
+                "rationale": args.note,
+                "obligation": (
+                    "below the 5-run protocol; re-augment at full "
+                    "protocol in the first session that can afford it"
+                ),
+            }
+        else:
+            pin.pop("aux_cpu_pin_provisional", None)
+        pin["run_aux_queries_cpu"] = aux_records
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(pin, f, indent=1)
+        os.replace(tmp, args.out)
+        print(json.dumps({"aux_query_cpu_pins": aux_pins}))
+        return 0
     if args.cpu_augment:
         try:
             with open(args.out) as f:
@@ -159,6 +266,20 @@ def main() -> int:
             print("pin headline order differs from live HEADLINE — the "
                   "cpu pins would cover a different query set than the "
                   "wall pins; re-pin fully instead", file=sys.stderr)
+            return 1
+        # r9 protocol guard, mirrored from pin_imaging_baseline (r13,
+        # r12 ADVICE): spread/tail need >= 5 runs for the trim to mean
+        # anything; fewer is only accepted explicitly, with rationale,
+        # and leaves a machine-readable provisional marker.
+        if args.runs < 5 and not args.allow_fewer_runs:
+            print("r9 protocol requires >= 5 runs (spread/tail need the "
+                  "trim to mean anything); pass --allow-fewer-runs to "
+                  "record a PROVISIONAL pin with rationale",
+                  file=sys.stderr)
+            return 1
+        if args.allow_fewer_runs and not args.note:
+            print("--allow-fewer-runs demands a --note rationale",
+                  file=sys.stderr)
             return 1
         cpu_records: list[dict] = []
         for i in range(args.runs):
@@ -197,6 +318,21 @@ def main() -> int:
             + (f" ({args.note})" if args.note else "")
             + "; wall statistics untouched."
         )
+        if len(cpu_records) < 5:
+            pin["cpu_pin_provisional"] = {
+                "n_runs": len(cpu_records),
+                "rationale": args.note,
+                "obligation": (
+                    "below the 5-run protocol: spread/tail are untrimmed "
+                    "(n<4 uses all samples; n=1 pins zero spread/tail, "
+                    "leaving only the cpu noise slack as the band). The "
+                    "first session that can afford it must re-augment at "
+                    "full protocol; until then treat cpu verdicts from "
+                    "this pin as provisional."
+                ),
+            }
+        else:
+            pin.pop("cpu_pin_provisional", None)
         pin["run_queries_cpu"] = cpu_records
         tmp = args.out + ".tmp"
         with open(tmp, "w") as f:

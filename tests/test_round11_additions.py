@@ -186,13 +186,16 @@ def test_host_inflation_adjudication_rules(tmp_path):
     }
     p = tmp_path / "prev.json"
     p.write_text(json.dumps(prev))
-    auto = host_inflation_adjudications(
+    auto, refused = host_inflation_adjudications(
         ["clean_before", "flagged_before", "brand_new"], str(p)
     )
     assert set(auto) == {"clean_before"}
     assert "host" in auto["clean_before"]
+    assert refused == {}
     # missing/invalid previous census -> no auto-adjudication at all
-    assert host_inflation_adjudications(["x"], str(tmp_path / "nope.json")) == {}
+    assert host_inflation_adjudications(
+        ["x"], str(tmp_path / "nope.json")
+    ) == ({}, {})
 
 
 # --------- relational bench memory-floor gate + inactive streaks -----------

@@ -335,12 +335,13 @@ def test_host_inflation_chained_absolution(tmp_path):
     }
     p = tmp_path / "prev.json"
     p.write_text(json.dumps(prev))
-    auto = host_inflation_adjudications(
+    auto, refused = host_inflation_adjudications(
         ["clean_before", "chained_ok", "inherent", "never_adjudicated"],
         str(p),
     )
     assert set(auto) == {"clean_before", "chained_ok"}
     assert auto["chained_ok"].startswith("host-inflated (chained)")
+    assert refused == {}
 
 
 def test_recorded_r12_census_is_fully_adjudicated():
