@@ -9,12 +9,24 @@ Prints ONE JSON line. Env:
   SPARK_GRAFT_CPUS        local[N]
   SPARK_GRAFT_IMG_VOLS    number of (small) volumes, default 8
   SPARK_GRAFT_IMG_SHAPE   small-volume shape, default "192,192,48"
-  SPARK_GRAFT_IMG_MODE    "uniform" (default) or "skew"
+  SPARK_GRAFT_IMG_MODE    "uniform" (default), "skew", or "skewsmall"
   SPARK_GRAFT_IMG_BIG_SHAPE  skew mode's single big volume, default
                           "960,840,640" — the reference's worst case
                           (show_images.py:21-23, SURVEY §4 fan-out risk):
                           a 2.06 GB float32 volume fanning out into
-                          ~2,100 slices of ~3.2 MB.
+                          ~2,100 slices of ~3.2 MB. "skewsmall" defaults
+                          it to "360,315,240" instead (same 24:21:16
+                          aspect, ~8% of the voxels): the SAME slab-wise
+                          code path (synthetic_volume_slabs ->
+                          explode_slab_slices) and kernel mix at a cost
+                          the 5-run cpu-pin protocol can afford on a
+                          memory-floored host (r13, r12 verdict demand
+                          #1: the full-geometry skew cpu pin was n=1
+                          provisional because one floored run cost
+                          5726 s — this mode gives the skew path an
+                          independently banded cpu signal until a
+                          healthy host affords the full-geometry
+                          protocol).
 
 Skew mode ingests that one big volume SLAB-WISE (synthetic_volume_slabs
 -> explode_slab_slices) and unions its slices with the small monolithic
@@ -144,8 +156,11 @@ def main() -> None:
         int(x) for x in os.environ.get("SPARK_GRAFT_IMG_SHAPE", "192,192,48").split(",")
     )
     mode = os.environ.get("SPARK_GRAFT_IMG_MODE", "uniform")
-    if mode not in ("uniform", "skew"):
-        raise SystemExit(f"SPARK_GRAFT_IMG_MODE must be 'uniform' or 'skew', got {mode!r}")
+    if mode not in ("uniform", "skew", "skewsmall"):
+        raise SystemExit(
+            "SPARK_GRAFT_IMG_MODE must be 'uniform', 'skew' or "
+            f"'skewsmall', got {mode!r}"
+        )
     spark = get_spark("bench-imaging")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -154,12 +169,15 @@ def main() -> None:
     n_slices = _slices_for(n_vols, shape)
     big_shape: tuple[int, int, int] | None = None
     slabs = None
-    if mode == "skew":
+    if mode in ("skew", "skewsmall"):
         from etl_mri_scripts_spark.sources.volumes import synthetic_volume_slabs
 
+        default_big = "960,840,640" if mode == "skew" else "360,315,240"
         big_shape = tuple(
             int(x)
-            for x in os.environ.get("SPARK_GRAFT_IMG_BIG_SHAPE", "960,840,640").split(",")
+            for x in os.environ.get(
+                "SPARK_GRAFT_IMG_BIG_SHAPE", default_big
+            ).split(",")
         )
         slabs = synthetic_volume_slabs(
             spark, 1, big_shape, seed=11, pmin=cfg.pmin, pmax=cfg.pmax
@@ -257,6 +275,7 @@ DRIFT_GATE_MAX = 2.0
 PIN_FILES = {
     "uniform": "BENCH_IMAGING_SELF_BASELINE.json",
     "skew": "BENCH_IMAGING_SKEW_SELF_BASELINE.json",
+    "skewsmall": "BENCH_IMAGING_SKEWSMALL_SELF_BASELINE.json",
 }
 
 

@@ -159,7 +159,9 @@ def derive(runs: list[dict]) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=("uniform", "skew"), default="skew")
+    ap.add_argument(
+        "--mode", choices=("uniform", "skew", "skewsmall"), default="skew"
+    )
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--note", default="")
     ap.add_argument(
@@ -178,6 +180,15 @@ def main() -> int:
              "bench JSONs already saved in this directory (cpu_run_*.json "
              "from an earlier --save-runs-dir session) instead of running "
              "the bench again — the cpu twin of --recompute.",
+    )
+    ap.add_argument(
+        "--bootstrap-cpu-only", action="store_true",
+        help="with --cpu-augment: when no pin exists for the mode, "
+             "create a CPU-ONLY pin (no wall statistics — the drift "
+             "gate reads wall indeterminate until a healthy-host full "
+             "pin lands). For modes introduced on a floored host, where "
+             "the full pin path's floor refusal would otherwise leave "
+             "the mode unpinnable on every axis.",
     )
     ap.add_argument(
         "--allow-fewer-runs", action="store_true",
@@ -218,9 +229,29 @@ def main() -> int:
 
     if args.cpu_augment:
         if not prev:
-            print("--cpu-augment needs an existing pin to merge into; "
-                  "take a full pin on a healthy host first", file=sys.stderr)
-            return 1
+            if not args.bootstrap_cpu_only:
+                print("--cpu-augment needs an existing pin to merge into; "
+                      "take a full pin on a healthy host first (or pass "
+                      "--bootstrap-cpu-only for a mode that has never "
+                      "been wall-pinnable on this host)", file=sys.stderr)
+                return 1
+            # CPU-only bootstrap (r13): a NEW mode on a permanently
+            # floored host can never take the wall pin first (the full
+            # pin path refuses floored hosts by design), yet its cpu
+            # axis is exactly the statistic that IS pinnable there.
+            # The resulting pin has no wall rate fields, so the drift
+            # gate reads wall ok=None (indeterminate, deferred to the
+            # first healthy-host full pin) while cpu_verdict adjudicates
+            # normally.
+            prev = {
+                "mode": args.mode,
+                "cpu_only_pin": True,
+                "note": (
+                    "cpu-only pin: wall statistics deferred to the "
+                    "first healthy-host full pin (pin tools refuse "
+                    "floored wall pins; FINDINGS_HOST_MEMORY.md)"
+                ),
+            }
         cpu_runs = []
         if args.from_runs_dir:
             import glob as _glob
@@ -292,6 +323,14 @@ def main() -> int:
                 return 1
         cpu_stats = derive_cpu_stats(cpu_runs)
         assert cpu_stats is not None  # every run checked above
+        if prev.get("cpu_only_pin"):
+            # Record the geometry the cpu band was measured at — a
+            # cpu-only pin has no wall stats to carry it, and the band
+            # is only comparable against runs of the same shape.
+            for k in ("n_volumes", "shape", "big_shape", "n_slices",
+                      "n_patches"):
+                if cpu_runs[-1].get(k) is not None:
+                    prev[k] = cpu_runs[-1][k]
         prev["cpu_stats"] = cpu_stats
         prev["cpu_pin_note"] = CPU_PIN_NOTE + (
             f" Augmented from {len(cpu_runs)} dedicated runs"

@@ -37,7 +37,9 @@ sys.path.insert(0, HERE)
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=("uniform", "skew"), required=True)
+    ap.add_argument(
+        "--mode", choices=("uniform", "skew", "skewsmall"), required=True
+    )
     ap.add_argument("--run", required=True, help="full bench_imaging JSON")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()

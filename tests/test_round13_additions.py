@@ -378,3 +378,43 @@ def test_abs_local_scheme_grammar():
     # a colon later in the path is NOT a scheme
     got = _abs_local("dir/with:colon")
     assert os.path.isabs(got) and got.endswith("/dir/with:colon")
+
+
+# ------------------- skewsmall mode + cpu-only pins ------------------------
+
+
+def test_skewsmall_mode_registered():
+    """The reduced-geometry skew variant (r12 verdict demand #1 option
+    b) is a first-class mode: its own pin file and driver-record
+    naming, so the gate history machinery works unchanged."""
+    assert PIN_FILES["skewsmall"] == "BENCH_IMAGING_SKEWSMALL_SELF_BASELINE.json"
+    src = open(os.path.join(HERE, "bench_imaging.py")).read()
+    assert '"360,315,240"' in src  # same 24:21:16 aspect as 960,840,640
+
+
+def test_cpu_only_pin_reads_wall_indeterminate_cpu_active(tmp_path):
+    """A --bootstrap-cpu-only pin carries no wall rate fields: the
+    drift gate must read the wall side as indeterminate (ok=None, never
+    False) while the cpu verdict adjudicates normally against
+    cpu_stats."""
+    pin = {
+        "mode": "skewsmall",
+        "cpu_only_pin": True,
+        "cpu_stats": {
+            "patches_per_cpu_user_sec": {
+                "median": 50.0, "spread": 2.0, "tail": 3.0,
+            },
+        },
+        "cpu_runs": [{"patches_per_cpu_user_sec": 49.0}],
+    }
+    (tmp_path / PIN_FILES["skewsmall"]).write_text(json.dumps(pin))
+    res = {
+        "patches_per_sec": 40.0, "payload_mb_per_sec": 1.2,
+        "first_touch_gb_s": 0.02,
+        "patches_per_cpu_user_sec": 50.5,
+    }
+    g = _drift_gate("skewsmall", res, pin_dir=str(tmp_path))
+    assert g["ok"] is None  # no wall rates pinned -> indeterminate
+    assert g["cpu_verdict"] == "ok"
+    assert "cpu_pin_provisional" not in g
+    assert "cpu_pin_self_sample" not in g
