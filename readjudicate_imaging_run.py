@@ -53,13 +53,20 @@ def main() -> int:
               file=sys.stderr)
         return 1
     result["drift_gate"] = _drift_gate(args.mode, result)
+    in_sample = result["drift_gate"].get("cpu_pin_self_sample", False)
     result["readjudicated"] = {
         "note": (
             "drift_gate recomputed by readjudicate_imaging_run.py against "
-            f"the current {PIN_FILES[args.mode]} (post --cpu-augment); "
-            "all measured values are the recorded run's own. The run is "
-            "one of the samples its cpu band was derived from — see the "
-            "tool docstring for the in-sample caveat."
+            f"the current {PIN_FILES[args.mode]}; all measured values are "
+            "the recorded run's own. "
+            + (
+                "The run is one of the samples its cpu band was derived "
+                "from — the gate surfaces this (cpu_pin_self_sample) and "
+                "downgrades any corroboration to provisional."
+                if in_sample
+                else "The run is NOT among the pin's cpu samples — the "
+                "band is independent of it."
+            )
         ),
         "source_run": os.path.basename(args.run),
     }
