@@ -393,9 +393,45 @@ def main() -> int:
             if run.get("errors"):
                 print(f"run {i + 1} had errors: {run['errors']}", file=sys.stderr)
                 return 1
+            # Floored-host wall-pin refusal (r13 — closes a gap vs the
+            # imaging twin, which has refused since r10): rates measured
+            # below bench.MEM_FAULT_FLOOR_GB_S encode the hypervisor's
+            # lazy page backend, not the kernel; a pin taken there would
+            # rebase the gate onto the pathology. --recompute is
+            # unaffected (it re-derives from runs already accepted) and
+            # --cpu-augment is exempt by design (floor-insensitive).
+            from bench import MEM_FAULT_FLOOR_GB_S
+
+            ft = (run.get("noise") or {}).get("first_touch_gb_s")
+            if ft is not None and ft < MEM_FAULT_FLOOR_GB_S:
+                print(
+                    f"run {i + 1} measured first-touch {ft} GB/s, below "
+                    f"the {MEM_FAULT_FLOOR_GB_S} GB/s memory-fault floor "
+                    "(FINDINGS_HOST_MEMORY.md) — refusing to wall-pin on "
+                    "a floored host; use --cpu-augment for the "
+                    "floor-insensitive axis",
+                    file=sys.stderr,
+                )
+                return 1
             runs.append(run)
             print(f"  total={run['value']}s probes={run['noise']['probes_start_mid_end']}",
                   file=sys.stderr, flush=True)
+
+    # Standing reminder for the first healthy-host full re-pin (r13):
+    # the census-promoted aux set rides cpu-only until a wall re-pin can
+    # absorb it into HEADLINE (mid-list insertion invalidates positional
+    # pins, so the fold must coincide with a full pin). Loud, not fatal.
+    from bench import AUX_CPU_QUERIES
+
+    aux_missing = [n for n in AUX_CPU_QUERIES if n not in HEADLINE]
+    if aux_missing:
+        print(
+            "NOTE: this full pin is the moment to fold the aux cpu set "
+            f"into HEADLINE ({aux_missing}); they are currently measured "
+            "cpu-only after the sweep. Append them to bench.HEADLINE and "
+            "re-run this pin so they get wall pins too.",
+            file=sys.stderr,
+        )
 
     sf = runs[0]["sf"]
     names = sorted({n for r in runs for n in r["queries"]})
