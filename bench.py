@@ -362,6 +362,44 @@ def cpu_noise_slack(pin_median: float) -> float:
     return max(CPU_NOISE_REL_BAND * pin_median, CPU_NOISE_ABS_FLOOR_S)
 
 
+# User-CPU inflation episodes (r13, FINDINGS_HOST_MEMORY.md second
+# pathology): the host intermittently slows ALL retired user-space work
+# up to ~3.6x (SMT/neighbor contention; steal reads 0), inflating every
+# query's cpu_user at once. A kernel regression from a code change hits
+# specific queries; a majority of the adjudicated set regressing in the
+# SAME sweep is the episode's signature.
+CPU_WEATHER_MIN_REGRESSED = 3
+CPU_WEATHER_REGRESSED_FRAC = 0.5
+
+
+def cpu_weather_suspected(cpu_verdicts: dict) -> dict | None:
+    """Advisory episode flag over a sweep's per-query cpu verdicts:
+    non-None when >= CPU_WEATHER_MIN_REGRESSED queries AND >=
+    CPU_WEATHER_REGRESSED_FRAC of the adjudicated set read `regressed`
+    together. The per-query verdicts stand as recorded — the flag routes
+    the reviewer to solo_cpu_measure.py re-sampling on a quieter window
+    before treating correlated regressions as kernel findings."""
+    regressed = [n for n, v in cpu_verdicts.items() if v == "regressed"]
+    adjudicated = [n for n, v in cpu_verdicts.items() if v != "no-pin"]
+    if (
+        len(regressed) >= CPU_WEATHER_MIN_REGRESSED
+        and adjudicated
+        and len(regressed) >= CPU_WEATHER_REGRESSED_FRAC * len(adjudicated)
+    ):
+        return {
+            "regressed": len(regressed),
+            "adjudicated": len(adjudicated),
+            "note": (
+                "correlated cpu regression across the floored set on an "
+                "unchanged tree — consistent with a user-cpu inflation "
+                "episode (FINDINGS_HOST_MEMORY.md second pathology); "
+                "re-sample via solo_cpu_measure.py before adjudicating "
+                "as kernel findings"
+            ),
+        }
+    return None
+
+
 def validate_query_pins(
     base: dict, headline: list[str]
 ) -> tuple[dict | None, str | None]:
@@ -1075,6 +1113,9 @@ def main() -> None:
                     )
                     if cpu_regressed:
                         out["cpu_regressed_queries"] = cpu_regressed
+                        weather = cpu_weather_suspected(cpu_v)
+                        if weather:
+                            out["cpu_weather_suspected"] = weather
             out["queries_normalized"] = per_q_norm
             out["query_verdicts"] = verdicts
             out["regressed_queries"] = sorted(

@@ -272,6 +272,14 @@ def main() -> None:
 # 192x192 one) — the drift gate compares only the shape-neutral rates.
 DRIFT_GATE_METRICS = ("patches_per_sec", "payload_mb_per_sec")
 DRIFT_GATE_MAX = 2.0
+# User-CPU inflation episode marker (r13, FINDINGS_HOST_MEMORY.md second
+# pathology): a run whose fixed single-thread probe exceeds this ratio
+# over the pin runs' own probe median carries independent evidence that
+# user-space work itself was slowed — a non-ok cpu verdict then reads
+# "cpu-weather" (indeterminate), never "regressed". 1.75 sits between
+# the quiet population's spread (0.016-0.026 s, max ratio ~1.4 over its
+# median) and the measured episode excursion (2.8-9.7x).
+CPU_WEATHER_PROBE_RATIO = 1.75
 PIN_FILES = {
     "uniform": "BENCH_IMAGING_SELF_BASELINE.json",
     "skew": "BENCH_IMAGING_SKEW_SELF_BASELINE.json",
@@ -442,7 +450,12 @@ def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
     if not stats:
         out["verdict"] = None
         out["verdict_gate"] = (
-            "inactive: pin has no stats (pre-r9 pin); "
+            "inactive: cpu-only pin — wall statistics deferred to the "
+            "first healthy-host full pin (pin tools refuse floored wall "
+            "pins; FINDINGS_HOST_MEMORY.md); the cpu verdict below is "
+            "the round's kernel measurement"
+            if pin.get("cpu_only_pin")
+            else "inactive: pin has no stats (pre-r9 pin); "
             "re-pin with pin_imaging_baseline.py"
         )
     elif broken_run or broken_pin:
@@ -553,6 +566,37 @@ def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
     cpu_stats = (pin.get("cpu_stats") or {}).get("patches_per_cpu_user_sec")
     if cpu_rate and cpu_stats and cpu_stats.get("median"):
         out["cpu_stats_pinned"] = cpu_stats
+        # User-CPU inflation episodes (r13, FINDINGS_HOST_MEMORY.md
+        # second pathology): the host intermittently slows retired
+        # user-space work up to ~3.6x (SMT/neighbor contention; steal
+        # reads 0), which deflates patches_per_cpu_user_sec without any
+        # kernel change. The run's own fixed single-thread probe is the
+        # independent marker: pure user CPU, so the memory floor can't
+        # touch it, but an episode slows it with everything else
+        # (measured: 0.046-0.158 s vs the 0.017-0.021 s quiet range
+        # during the r13 episode). A non-ok cpu verdict under a probe
+        # excursion > CPU_WEATHER_PROBE_RATIO x the pin runs' own probe
+        # median downgrades to indeterminate "cpu-weather" — like the
+        # memory floor, the episode can fake a regression but never
+        # mask one, so `ok`/`noise-band` always stand. Probes sample
+        # only the run's edges and can miss bursts (episode run 1
+        # carried normal probes), so a non-ok with NORMAL probes still
+        # stands — re-sampled via solo_cpu_measure.py per the findings
+        # doc before it is treated as a kernel finding.
+        probe_refs = [
+            r.get("host_probe_sec")
+            for r in (pin.get("cpu_runs") or [])
+            if r.get("host_probe_sec")
+        ]
+        probe_ref = (
+            median(probe_refs) if probe_refs else pin.get("host_probe_pin")
+        )
+        probe_pair = [p for p in (result.get("host_probe_start_end") or []) if p]
+        cpu_weather = bool(
+            probe_ref
+            and probe_pair
+            and max(probe_pair) / probe_ref > CPU_WEATHER_PROBE_RATIO
+        )
         # A below-protocol pin (pin_imaging_baseline --allow-fewer-runs)
         # or a pin whose samples INCLUDE this very run cannot
         # independently band it (r13, r12 ADVICE: the r12 skew record
@@ -572,6 +616,15 @@ def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
             out["cpu_pin_self_sample"] = True
         cpu_independent = not (cpu_prov or cpu_self_sample)
         out["cpu_verdict"] = throughput_verdict(cpu_rate, cpu_stats)
+        if cpu_weather and out["cpu_verdict"] in ("host-tail", "regressed"):
+            out["cpu_verdict_raw"] = out["cpu_verdict"]
+            out["cpu_verdict"] = "cpu-weather"
+            out["cpu_weather"] = {
+                "probe_observed_max": max(probe_pair),
+                "probe_pin_median": probe_ref,
+                "ratio": round(max(probe_pair) / probe_ref, 3),
+                "threshold": CPU_WEATHER_PROBE_RATIO,
+            }
         floored_inactive = out.get("verdict") is None and "host_memory" in out
         if floored_inactive:
             if out["cpu_verdict"] in ("ok", "noise-band"):
@@ -598,6 +651,17 @@ def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
                         + ") — corroboration is weaker evidence until a "
                         "full-protocol pin bands a run it did not include"
                     )
+            elif out["cpu_verdict"] == "cpu-weather":
+                out["verdict_gate"] += (
+                    "; cpu axis indeterminate: patches_per_cpu_user_sec "
+                    f"{cpu_rate} read {out['cpu_verdict_raw']} but the "
+                    "run's own single-thread probe ran "
+                    f"{out['cpu_weather']['ratio']}x its pinned median — "
+                    "a user-cpu inflation episode "
+                    "(FINDINGS_HOST_MEMORY.md second pathology) deflates "
+                    "the rate without any kernel change; re-run on a "
+                    "quieter window before adjudicating"
+                )
             elif out["cpu_verdict"] == "regressed":
                 out["cpu_regressed"] = True
                 out["verdict_gate"] += (
@@ -606,7 +670,9 @@ def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
                     f"(median {cpu_stats['median']}, tail "
                     f"{cpu_stats.get('tail')}) — the memory floor cannot "
                     "explain extra user-CPU per patch; investigate as a "
-                    "real kernel finding"
+                    "real kernel finding (FINDINGS second pathology "
+                    "caveat: probes can miss an inflation burst — "
+                    "re-sample with solo runs before treating as kernel)"
                 )
     elif cpu_rate and "verdict" in out:
         out["cpu_verdict"] = "no-cpu-pin"
@@ -680,6 +746,14 @@ def _drift_gate(mode: str, result: dict, pin_dir: str | None = None) -> dict:
                     "is a real kernel finding, not host weather; "
                     "adjudicate with an interleaved A/B before anything "
                     "else this round"
+                )
+            elif out.get("cpu_verdict") == "cpu-weather":
+                out["escalation_resolution"] = (
+                    "NOT resolved: the cpu axis was itself weathered "
+                    "this round (user-cpu inflation episode, probe "
+                    "excursion recorded in cpu_weather) — the round "
+                    "carries as unmeasured on both axes; re-run on a "
+                    "quieter window (FINDINGS_HOST_MEMORY.md)"
                 )
     notes = []
     probe_pair = result.get("host_probe_start_end") or [None, None]

@@ -418,3 +418,175 @@ def test_cpu_only_pin_reads_wall_indeterminate_cpu_active(tmp_path):
     assert g["cpu_verdict"] == "ok"
     assert "cpu_pin_provisional" not in g
     assert "cpu_pin_self_sample" not in g
+
+
+# ---------------- r13: user-cpu inflation episodes (cpu-weather) -----------
+# FINDINGS_HOST_MEMORY.md second pathology: the host intermittently slows
+# retired user-space work up to ~3.6x, deflating work/cpu-s rates with no
+# kernel change. The run's own single-thread probe is the independent
+# marker in the imaging gate; correlated regression across the floored
+# set is the relational sweep's.
+
+
+def _weather_pin(tmp_path, probe=0.017):
+    pin = {
+        "patches_per_sec": 300.0,
+        "payload_mb_per_sec": 9.0,
+        "stats": {
+            "patches_per_sec": {"median": 300.0, "spread": 20.0, "tail": 30.0},
+            "payload_mb_per_sec": {"median": 9.0, "spread": 0.6, "tail": 0.9},
+        },
+        "cpu_stats": {
+            "patches_per_cpu_user_sec": {
+                "median": 90.0, "spread": 6.0, "tail": 8.0,
+            },
+        },
+        "cpu_runs": [
+            {"patches_per_cpu_user_sec": 88.0 + i, "host_probe_sec": probe}
+            for i in range(5)
+        ],
+    }
+    (tmp_path / PIN_FILES["skew"]).write_text(json.dumps(pin))
+    return pin
+
+
+def test_cpu_weather_downgrades_non_ok_cpu_verdict(tmp_path):
+    """A deep cpu 'regression' on a run whose own probe ran >1.75x the
+    pin runs' probe median reads cpu-weather (indeterminate), never
+    cpu_regressed — the r13 episode (runs 1-3: rate 23-26 vs quiet
+    83-99, run 3 probe 0.046/0.158 vs 0.017) must not fake a kernel
+    finding."""
+    _weather_pin(tmp_path)
+    res = {
+        "patches_per_sec": 120.0, "payload_mb_per_sec": 3.6,
+        "first_touch_gb_s": 0.02,
+        "patches_per_cpu_user_sec": 24.0,
+        "host_probe_start_end": [0.046, 0.158],
+    }
+    g = _drift_gate("skew", res, pin_dir=str(tmp_path))
+    assert g["cpu_verdict"] == "cpu-weather"
+    assert g["cpu_verdict_raw"] == "regressed"
+    assert g["cpu_weather"]["ratio"] > 1.75
+    assert "cpu_regressed" not in g
+
+
+def test_cpu_weather_never_touches_ok(tmp_path):
+    """Inflation only LOWERS rates, so an in-band cpu verdict stands even
+    under a probe excursion — exculpatory-only, like the memory floor."""
+    _weather_pin(tmp_path)
+    res = {
+        "patches_per_sec": 120.0, "payload_mb_per_sec": 3.6,
+        "first_touch_gb_s": 0.02,
+        "patches_per_cpu_user_sec": 89.5,
+        "host_probe_start_end": [0.046, 0.158],
+    }
+    g = _drift_gate("skew", res, pin_dir=str(tmp_path))
+    assert g["cpu_verdict"] == "ok"
+    assert g["cpu_corroboration"] == "ok"
+    assert "cpu_weather" not in g
+
+
+def test_cpu_regression_with_normal_probes_stands(tmp_path):
+    """Probes can miss an episode burst (run 1 carried normal probes), so
+    a non-ok with normal probes is NOT auto-excused — it stands as
+    cpu_regressed, with the findings doc demanding solo re-sampling."""
+    _weather_pin(tmp_path)
+    res = {
+        "patches_per_sec": 120.0, "payload_mb_per_sec": 3.6,
+        "first_touch_gb_s": 0.02,
+        "patches_per_cpu_user_sec": 24.0,
+        "host_probe_start_end": [0.017, 0.018],
+    }
+    g = _drift_gate("skew", res, pin_dir=str(tmp_path))
+    assert g["cpu_verdict"] == "regressed"
+    assert g["cpu_regressed"] is True
+    assert "cpu_weather" not in g
+
+
+def test_cpu_weather_escalation_not_resolved(tmp_path):
+    """Under an inactive escalation, a cpu-weather round carries as
+    unmeasured on BOTH axes — the resolution text says so instead of
+    resolving or claiming a kernel finding."""
+    _weather_pin(tmp_path)
+    for rnd in (11, 12):
+        (tmp_path / f"BENCH_IMAGING_SKEW_r{rnd}.json").write_text(
+            json.dumps({"drift_gate": {"verdict": None}})
+        )
+    res = {
+        "patches_per_sec": 120.0, "payload_mb_per_sec": 3.6,
+        "first_touch_gb_s": 0.02,
+        "patches_per_cpu_user_sec": 24.0,
+        "host_probe_start_end": [0.046, 0.158],
+    }
+    g = _drift_gate("skew", res, pin_dir=str(tmp_path))
+    assert g["consecutive_inactive"] >= 2
+    assert "NOT resolved" in g["escalation_resolution"]
+    assert "cpu-weather" in g["escalation_resolution"] or "weathered" in g[
+        "escalation_resolution"
+    ]
+
+
+def test_cpu_weather_requires_probe_reference(tmp_path):
+    """No probe record in the pin runs and no host_probe_pin -> the
+    marker cannot fire; verdicts adjudicate exactly as before."""
+    pin = _weather_pin(tmp_path)
+    for r in pin["cpu_runs"]:
+        del r["host_probe_sec"]
+    (tmp_path / PIN_FILES["skew"]).write_text(json.dumps(pin))
+    res = {
+        "patches_per_sec": 120.0, "payload_mb_per_sec": 3.6,
+        "first_touch_gb_s": 0.02,
+        "patches_per_cpu_user_sec": 24.0,
+        "host_probe_start_end": [0.046, 0.158],
+    }
+    g = _drift_gate("skew", res, pin_dir=str(tmp_path))
+    assert g["cpu_verdict"] == "regressed"
+    assert "cpu_weather" not in g
+
+
+def test_relational_cpu_weather_flag_thresholds():
+    """Correlated regression across the floored set flags the episode;
+    isolated regressions never do."""
+    import bench
+
+    # 4 of 6 adjudicated regressed -> flagged
+    v = {f"q{i}": "regressed" for i in range(4)}
+    v.update({"q4": "ok", "q5": "noise-band"})
+    flag = bench.cpu_weather_suspected(v)
+    assert flag and flag["regressed"] == 4 and flag["adjudicated"] == 6
+    # 2 regressed (below min count) -> not flagged
+    v2 = {"a": "regressed", "b": "regressed", "c": "ok", "d": "ok"}
+    assert bench.cpu_weather_suspected(v2) is None
+    # 3 regressed but only 30% of adjudicated -> not flagged
+    v3 = {f"q{i}": "regressed" for i in range(3)}
+    v3.update({f"r{i}": "ok" for i in range(7)})
+    assert bench.cpu_weather_suspected(v3) is None
+    # no-pin rows don't count toward the adjudicated denominator
+    v4 = {f"q{i}": "regressed" for i in range(3)}
+    v4.update({f"r{i}": "no-pin" for i in range(7)})
+    v4.update({f"s{i}": "ok" for i in range(2)})
+    assert bench.cpu_weather_suspected(v4) is not None
+
+
+def test_cpu_only_pin_gate_message_names_the_deferral(tmp_path):
+    """A cpu-only pin's wall-side inactive message must say the wall pin
+    is deferred — not claim a 'pre-r9 pin' that needs re-pinning."""
+    pin = {
+        "mode": "skewsmall",
+        "cpu_only_pin": True,
+        "cpu_stats": {
+            "patches_per_cpu_user_sec": {
+                "median": 50.0, "spread": 2.0, "tail": 3.0,
+            },
+        },
+        "cpu_runs": [{"patches_per_cpu_user_sec": 49.0}],
+    }
+    (tmp_path / PIN_FILES["skewsmall"]).write_text(json.dumps(pin))
+    res = {
+        "patches_per_sec": 40.0, "payload_mb_per_sec": 1.2,
+        "first_touch_gb_s": 0.02,
+        "patches_per_cpu_user_sec": 50.5,
+    }
+    g = _drift_gate("skewsmall", res, pin_dir=str(tmp_path))
+    assert "cpu-only pin" in g["verdict_gate"]
+    assert "pre-r9" not in g["verdict_gate"]
