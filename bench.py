@@ -1,8 +1,20 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+contract JSON line LAST: {"metric": ..., "value": total_sec, "unit":
+"sec", "queries": {name: sec}, "sf": ...}.
+
+Output layout (r13 measurement-contract fix): the driver stores only the
+LAST ~2000 characters of stdout and parses the final JSON line out of
+that window. Since r5 the single output line had grown (noise block,
+per-query gate verdicts, cpu axis) past 2000 chars, so the driver
+recorded ``parsed: null`` for every round r5-r12 — the kernel's own
+numbers never reached the driver artifact. The full diagnostics object
+(unchanged keys, 4-dp times) is now printed FIRST on its own line, and a
+COMPACT contract line (metric/value/unit/queries/sf only, 3-dp query
+times, no spaces) is printed LAST so it always fits the driver's parse
+window. pin_bench_baseline.py reads the diagnostics line; the driver
+reads the compact line. Both lines report the same run.
 
 Each query is materialized through the noop sink so the full plan executes
 (scan -> shuffle -> agg -> sort) without driver-side collection overhead.
@@ -734,6 +746,46 @@ def consecutive_non_ok(
     return streaks
 
 
+# The driver keeps only the last ~2000 characters of bench stdout and
+# parses the final JSON line found there (verified against the r2-r4
+# artifacts, which parsed, vs r5-r12, whose single line had grown past
+# the window and recorded `parsed: null`). The contract line must
+# therefore stay comfortably under this budget INCLUDING its newline.
+CONTRACT_LINE_BUDGET = 1950
+
+
+def contract_line(
+    metric: str,
+    value: float,
+    queries: dict[str, float],
+    sf: float,
+    partial: bool = False,
+) -> str:
+    """The driver-contract JSON line: exactly the keys the round driver
+    parses ({metric, value, unit, queries, sf}), compact separators, and
+    per-query times rounded to 3 dp (falling to 2 dp only if the line
+    would still overflow the driver's tail window — name count decides,
+    not value magnitude). The full-resolution times always precede this
+    line in the diagnostics object."""
+    for nd in (3, 2, 1, 0):
+        doc: dict = {
+            "metric": metric,
+            "value": round(value, 4),
+            "unit": "sec",
+            "queries": {
+                k: (int(round(v)) if nd == 0 else round(v, nd))
+                for k, v in queries.items()
+            },
+            "sf": sf,
+        }
+        if partial:
+            doc["partial"] = True
+        line = json.dumps(doc, separators=(",", ":"))
+        if len(line) <= CONTRACT_LINE_BUDGET:
+            return line
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -1235,7 +1287,14 @@ def main() -> None:
         )
     if errors:
         out["errors"] = errors
+    # Diagnostics line first (full structure, 4-dp times — the "old
+    # numbers" the optimization-round rules require keeping), then the
+    # compact contract line LAST so the driver's ~2000-char tail window
+    # always contains one complete, parseable JSON line (r13 fix; r5-r12
+    # driver artifacts all read `parsed: null` because the diagnostics
+    # had outgrown the window).
     print(json.dumps(out))
+    print(contract_line(out["metric"], total, times, sf, partial=bool(errors)))
     spark.stop()
 
 

@@ -601,7 +601,7 @@ def connected_component_labels(edges: DataFrame) -> DataFrame:
     pointer-jumping / large-star-small-star variant, not a bigger cap."""
     labels = (
         edges.select(F.col("s").alias("node")).distinct().withColumn("lab", F.col("node"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # materialized by the first certificate
 
     def _label_sum(df: DataFrame) -> int:
         return df.agg(F.sum(F.col("lab").cast("decimal(38,0)"))).collect()[0][0]
@@ -616,7 +616,10 @@ def connected_component_labels(edges: DataFrame) -> DataFrame:
             .unionAll(labels)
             .groupBy("node")
             .agg(F.min("lab").alias("lab"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        # lazy checkpoint: the label-sum certificate below is the action
+        # that materializes (and truncates) this pass — one job per pass
+        # instead of the former checkpoint-job + certificate-job (r13)
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
             return labels
@@ -655,7 +658,7 @@ def connected_component_labels_jump(edges: DataFrame) -> DataFrame:
     reaching it indicates a bug, not a deep graph."""
     labels = (
         edges.select(F.col("s").alias("node")).distinct().withColumn("lab", F.col("node"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # materialized by the first certificate
 
     def _label_sum(df: DataFrame) -> int:
         return df.agg(F.sum(F.col("lab").cast("decimal(38,0)"))).collect()[0][0]
@@ -678,7 +681,8 @@ def connected_component_labels_jump(edges: DataFrame) -> DataFrame:
                 F.col("x.node").alias("node"),
                 F.least(F.col("x.lab"), F.col("y.lab")).alias("lab"),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        # materialized by the certificate action below (r13, as above)
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
             return labels
@@ -796,7 +800,7 @@ def connected_component_labels_auto(edges: DataFrame) -> DataFrame:
     toward the same fixpoint."""
     labels = (
         edges.select(F.col("s").alias("node")).distinct().withColumn("lab", F.col("node"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # materialized by the first certificate
 
     def _label_sum(df: DataFrame) -> int:
         return df.agg(F.sum(F.col("lab").cast("decimal(38,0)"))).collect()[0][0]
@@ -811,7 +815,10 @@ def connected_component_labels_auto(edges: DataFrame) -> DataFrame:
             .unionAll(labels)
             .groupBy("node")
             .agg(F.min("lab").alias("lab"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        # lazy checkpoint: the label-sum certificate below is the action
+        # that materializes (and truncates) this pass — one job per pass
+        # instead of the former checkpoint-job + certificate-job (r13)
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
             return labels
@@ -831,7 +838,8 @@ def connected_component_labels_auto(edges: DataFrame) -> DataFrame:
                 F.col("x.node").alias("node"),
                 F.least(F.col("x.lab"), F.col("y.lab")).alias("lab"),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        # materialized by the certificate action below (r13, as above)
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
             return labels
@@ -894,6 +902,23 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # - the edge list is persisted: it is re-scanned every pass, and
     #   recomputing it would re-run the whole LSH+verify pipeline per
     #   iteration.
+    comp = _cc_component_labels(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("component_size"))
+    return comp.join(sizes, "component_id").select(
+        "doc_id", "component_id", "component_size"
+    ).orderBy("doc_id")
+
+
+def _cc_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component_id) labels of the verified near-dup graph — the
+    shared interior of dedup_connected_components, split out (r13) so the
+    canonical-selection queries built on top (dedup_keep_best_quality,
+    dedup_cluster_representatives) consume the labels directly instead of
+    the full registered query, whose component_size join and global
+    ORDER BY they immediately discarded: the size join added one exchange
+    and the sort a range-partitioned pass that the consumers' own window
+    re-shuffled anyway. Row set and values are exactly the labels the
+    registered query emits."""
     from pyspark import StorageLevel
 
     pairs = dedup_lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
@@ -916,11 +941,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_component_labels_auto(edges)
     edges.unpersist()
 
-    comp = labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("component_id"))
-    sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("component_size"))
-    return comp.join(sizes, "component_id").select(
-        "doc_id", "component_id", "component_size"
-    ).orderBy("doc_id")
+    return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("component_id"))
 
 
 DELTA_MOD = 5  # docs with doc_id % 5 == 0 play the "newly arrived" batch
@@ -1166,7 +1187,10 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     # representatives; sizes ride the same window spec.
     from pyspark.sql.window import Window
 
-    cc = dedup_connected_components(spark, sf_dir).select("doc_id", "component_id")
+    # r13: consume the shared label helper — the registered CC query's
+    # component_size join and ORDER BY were dead weight here (see
+    # _cc_component_labels); output rows are unchanged.
+    cc = _cc_component_labels(spark, sf_dir)
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").alias("n_chars")
     )
@@ -1268,9 +1292,10 @@ def pagerank_ranks(
     """Power-iteration PageRank over a directed edge list (s, d) with no
     dangling nodes (every s has out-degree >= 1). Per pass ONE shuffle
     (contributions grouped by destination); contribution = rank/out_degree
-    computed map-side; lineage truncated per pass with localCheckpoint so
-    the plan stays constant-size across iterations. Returns (doc_id, rank).
-    """
+    computed map-side; lineage truncated per pass with localCheckpoint
+    (lazy until the final pass, so the whole fixed-K loop executes as one
+    chained job — r13) so the plan stays constant-size across
+    iterations. Returns (doc_id, rank), materialized."""
     from pyspark import StorageLevel
 
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
@@ -1293,20 +1318,34 @@ def pagerank_ranks(
 
     ranks = nodes.select("doc_id", F.lit(1.0 / n_nodes).alias("rank"))
     base = (1.0 - damping) / n_nodes
-    for _ in range(iters):
-        contribs = (
+    # r13 (optimization round): two per-pass changes, value-identical.
+    # (1) The old per-pass `nodes LEFT JOIN contribs` + coalesce(in_sum, 0)
+    #     is redundant on THIS graph: the edge list is symmetrized, so
+    #     every node has in-degree >= 1 and the contribution aggregate
+    #     already emits exactly one row per node — the left join never
+    #     produced a null-padded row, it only added a join (an exchange
+    #     of the node table) to every one of the K passes. Plan diff:
+    #     3 -> 2 operators per pass, one fewer join input per pass.
+    # (2) localCheckpoint is EAGER only on the final pass: the lazy
+    #     intermediate checkpoints still truncate lineage once
+    #     materialized (retry safety at scale is unchanged), but all K
+    #     passes now execute as ONE chained job at the final eager
+    #     materialization instead of K separate jobs — per-pass job
+    #     launch + scheduling was the dominant wall cost of the loop at
+    #     bench scale (the shuffles are tiny). The caches released below
+    #     are only released AFTER that materialization, so no pass ever
+    #     recomputes the LSH lineage.
+    for it in range(iters):
+        ranks = (
             edges_deg.join(ranks, edges_deg.s == ranks.doc_id)
             .select(F.col("d").alias("doc_id"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("doc_id")
             .agg(F.sum("c").alias("in_sum"))
-        )
-        ranks = (
-            nodes.join(contribs, "doc_id", "left")
             .select(
                 "doc_id",
-                (F.lit(base) + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))).alias("rank"),
+                (F.lit(base) + F.lit(damping) * F.col("in_sum")).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=(it == iters - 1))
         )
     # the eager checkpoint above materialized the final ranks, so the
     # edge/node caches are dead weight — release them here instead of
@@ -1817,7 +1856,10 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the window never sees a skewed partition). Swapping the keep
     policy is a one-line ORDER BY change; the expensive parts (LSH,
     verification, clustering) are untouched."""
-    labels = dedup_connected_components(spark, sf_dir).select("doc_id", "component_id")
+    # r13: shared label helper, not the registered CC query — the size
+    # join + global sort it appends were discarded here (see
+    # _cc_component_labels); output rows are unchanged.
+    labels = _cc_component_labels(spark, sf_dir)
     d = table(spark, sf_dir, "documents")
     q = d.select(
         "doc_id",

@@ -47,6 +47,35 @@ from statistics import median
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
+
+def parse_bench_stdout(stdout: str) -> dict:
+    """Locate the DIAGNOSTICS object in bench.py stdout. Since r13
+    bench.py prints two JSON lines — full diagnostics first, then the
+    compact driver-contract line last (sized for the driver's ~2000-char
+    tail window) — so the last line no longer carries the noise block /
+    cpu axis this tool pins. Walk the lines from the end and return the
+    first object with a diagnostics marker ('noise' for a full sweep,
+    'aux_queries_cpu_user_sec' for --aux-only); fall back to the last
+    parseable object (pre-r13 single-line output)."""
+    fallback: dict | None = None
+    for ln in reversed(stdout.strip().splitlines()):
+        ln = ln.strip()
+        if not ln.startswith("{"):
+            continue
+        try:
+            doc = json.loads(ln)
+        except ValueError:
+            continue
+        if not isinstance(doc, dict):
+            continue
+        if "noise" in doc or "aux_queries_cpu_user_sec" in doc:
+            return doc
+        if fallback is None:
+            fallback = doc
+    if fallback is None:
+        raise ValueError("no JSON object found in bench.py stdout")
+    return fallback
+
 CPU_PIN_NOTE = (
     "query_cpu_pins pin the floor-INSENSITIVE auxiliary statistic: each "
     "query's RAW system-wide user+nice CPU seconds per sample "
@@ -201,7 +230,7 @@ def main() -> int:
                  "--aux-only"],
                 capture_output=True, text=True, check=True, cwd=HERE,
             )
-            run = json.loads(proc.stdout.strip().splitlines()[-1])
+            run = parse_bench_stdout(proc.stdout)
             if run.get("aux_errors"):
                 print(f"run {i + 1} had errors: {run['aux_errors']}",
                       file=sys.stderr)
@@ -289,7 +318,7 @@ def main() -> int:
                 [sys.executable, os.path.join(HERE, "bench.py")],
                 capture_output=True, text=True, check=True, cwd=HERE,
             )
-            run = json.loads(proc.stdout.strip().splitlines()[-1])
+            run = parse_bench_stdout(proc.stdout)
             if run.get("errors"):
                 print(f"run {i + 1} had errors: {run['errors']}",
                       file=sys.stderr)
@@ -388,8 +417,7 @@ def main() -> int:
                 check=True,
                 cwd=HERE,
             )
-            line = proc.stdout.strip().splitlines()[-1]
-            run = json.loads(line)
+            run = parse_bench_stdout(proc.stdout)
             if run.get("errors"):
                 print(f"run {i + 1} had errors: {run['errors']}", file=sys.stderr)
                 return 1
