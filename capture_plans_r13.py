@@ -93,7 +93,9 @@ def main() -> None:
     orig_ckpt = ClassicDF.localCheckpoint
     ClassicDF.localCheckpoint = lambda self, eager=True: self  # type: ignore
     try:
-        pairs = dd.dedup_lsh_verified_pairs(spark, SF_DIR).select("doc_a", "doc_b")
+        # mirror the query path: consumers use the unsorted interior (r13)
+        pairs_fn = getattr(dd, "_verified_pairs_df", dd.dedup_lsh_verified_pairs)
+        pairs = pairs_fn(spark, SF_DIR).select("doc_a", "doc_b")
         edges = pairs.select(
             F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
         ).unionAll(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))

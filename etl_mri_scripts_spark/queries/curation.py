@@ -17,7 +17,7 @@ from ..operators.rank import (
     group_running_sum,
 )
 from ..tables import table
-from .dedup import _VERIFIED_PAIRS_DUCK, dedup_lsh_verified_pairs
+from .dedup import _VERIFIED_PAIRS_DUCK, _verified_pairs_df
 from .registry import query
 from .sampling import FRACTION_PCT
 
@@ -109,7 +109,9 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    vp = dedup_lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # r13: unsorted interior — the registered query's global ORDER BY is
+    # dead weight under the semi-join here (see dedup._verified_pairs_df).
+    vp = _verified_pairs_df(spark, sf_dir).select("doc_a", "doc_b")
     drop_ids = vp.join(
         e.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi"
     ).select(F.col("doc_b").alias("doc_id"))

@@ -225,6 +225,17 @@ def dedup_ngram_jaccard_pairs_diagnostic(spark: SparkSession, sf_dir: str) -> Da
     # small-corpus ground-truth tool for validating dedup_jaccard_dfcap and
     # the MinHash/LSH paths — never the production plan. At scale use
     # dedup_jaccard_dfcap (df-capped, bounded bucket fan-out) below.
+    return _ngram_jaccard_pairs_df(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _ngram_jaccard_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — the UNSORTED interior of
+    dedup_ngram_jaccard_pairs_diagnostic, split out (r13) so consumers
+    that discard the ordering (dedup_lsh_quality_eval's truth side) do
+    not inherit the global range sort: a Sort under the consumer's
+    Generate/persist/aggregate boundaries is NOT eliminated by the
+    optimizer, so the registered query's ORDER BY would otherwise run a
+    sampling pass + range exchange inside every consumer. Same rows."""
     sh = _exploded_shingles(spark, sf_dir, cache=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -242,7 +253,6 @@ def dedup_ngram_jaccard_pairs_diagnostic(spark: SparkSession, sf_dir: str) -> Da
         .join(sb, "doc_b")
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -372,6 +382,15 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross join exists anywhere in the plan. Band buckets are built from
     # the aggregated signature columns (cheap attribute refs); the self-join
     # sides share one computation via Spark's exchange reuse.
+    return _lsh_candidate_pairs_df(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _lsh_candidate_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_a, doc_b) LSH candidates — the UNSORTED interior of
+    dedup_minhash_lsh_candidates (r13, like _verified_pairs_df): the
+    verification pipeline consumes the candidates through joins, where
+    the optimizer happens to eliminate the sort today, but the
+    dependency is structural now rather than an optimizer behavior."""
     sigs = _minhash_signature_df(spark, sf_dir)
     bands = band_buckets_of(sigs)
     a = bands.alias("a")
@@ -385,7 +404,6 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -447,7 +465,23 @@ def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for candidate pairs by semi-joining the shingle table down to the
     # candidate docs first. At corpus scale the shingle re-scan touches only
     # docs that appear in some candidate pair.
-    cand = dedup_minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    return _verified_pairs_df(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _verified_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — the UNSORTED interior of
+    dedup_lsh_verified_pairs, split out (r13) for the seven consumers
+    that immediately discard the ordering (connected components,
+    pagerank representatives, triangle count, quality eval, the split
+    audit, the per-source dup summary, curation_funnel): the registered
+    query's global ORDER BY is a sampling pass + range exchange that the
+    optimizer can NOT eliminate once the pair plan sits under a
+    consumer's Generate/persist boundary (measured: 10 surviving
+    rangepartitioning exchanges in the pagerank loop-lineage capture,
+    plans/r13/pagerank_pass_after.txt). At corpus scale the pair set is
+    the near-dup graph's edge list — billions of rows at 100 TB — so a
+    dead global sort of it is a real pass. Same rows, same jaccard."""
+    cand = _lsh_candidate_pairs_df(spark, sf_dir).select("doc_a", "doc_b")
     sh = _exploded_shingles(spark, sf_dir, cache=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -466,7 +500,6 @@ def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -921,7 +954,7 @@ def _cc_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered query emits."""
     from pyspark import StorageLevel
 
-    pairs = dedup_lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _verified_pairs_df(spark, sf_dir).select("doc_a", "doc_b")
     # Symmetrize with ONE explode, not union of two selects: each union
     # branch would re-run the whole LSH+verify lineage (union branches
     # don't share unpersisted subtrees — same pitfall as the shingle
@@ -1450,7 +1483,7 @@ def dedup_pagerank_representatives(spark: SparkSession, sf_dir: str) -> DataFram
     from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
-    pairs = dedup_lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _verified_pairs_df(spark, sf_dir).select("doc_a", "doc_b")
     # symmetrized near-dup graph: no dangling nodes (every node has
     # out-degree >= 1), so PageRank mass is conserved without a dangling term
     edges = (
@@ -1529,7 +1562,7 @@ def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     e = (
-        dedup_lsh_verified_pairs(spark, sf_dir)
+        _verified_pairs_df(spark, sf_dir)
         .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -1785,10 +1818,10 @@ def dedup_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     action: the five scalars are single-row aggregates joined together,
     sharing the exploded-shingle cache underneath."""
     truth = (
-        dedup_ngram_jaccard_pairs_diagnostic(spark, sf_dir)
+        _ngram_jaccard_pairs_df(spark, sf_dir)
         .select("doc_a", "doc_b")
     )
-    found = dedup_lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    found = _verified_pairs_df(spark, sf_dir).select("doc_a", "doc_b")
     correct = found.join(truth, ["doc_a", "doc_b"], "left_semi")
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
@@ -1928,7 +1961,7 @@ def dedup_split_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the pair list against a (doc_id, split) projection plus a 6-cell
     aggregate. Cells are canonicalized unordered, so 'train|val' counts
     one way."""
-    pairs = dedup_lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _verified_pairs_df(spark, sf_dir).select("doc_a", "doc_b")
     d = table(spark, sf_dir, "documents").select("doc_id")
     hx = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4)
     split_of = d.select(
@@ -1996,7 +2029,7 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.row_number().over(w).alias("rn")
     )
     near = (
-        dedup_lsh_verified_pairs(spark, sf_dir)
+        _verified_pairs_df(spark, sf_dir)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("is_near", F.lit(1))
