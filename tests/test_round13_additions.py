@@ -64,8 +64,16 @@ def test_cpu_slack_replay_r12_corroborations_flip_zero_verdicts():
     """Retroactive safety: every cpu corroboration verdict recorded in
     the r12 driver bench and self-check re-adjudicates IDENTICALLY
     under the tightened cpu slack — the fix changes no settled
-    adjudication, only future sensitivity."""
-    with open(os.path.join(HERE, "BENCH_SELF_BASELINE.json")) as f:
+    adjudication, only future sensitivity.
+
+    The replay must use the cpu pins IN FORCE at the r12 adjudication
+    (frozen in tests/data/query_cpu_pins_r12.json), not the live
+    baseline: the r13 optimization round re-based query_cpu_pins on
+    the faster post-optimization kernel, and r12 readings are not
+    comparable to post-r13 bands."""
+    fixture = os.path.join(
+        HERE, "tests", "data", "query_cpu_pins_r12.json")
+    with open(fixture) as f:
         cpu_pins = json.load(f)["query_cpu_pins"]
     for fn in ("BENCH_r12.json", "BENCH_r12_SELF_CHECK.json"):
         with open(os.path.join(HERE, fn)) as f:
