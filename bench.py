@@ -383,6 +383,17 @@ def cpu_noise_slack(pin_median: float) -> float:
 CPU_WEATHER_MIN_REGRESSED = 3
 CPU_WEATHER_REGRESSED_FRAC = 0.5
 
+# Automated solo re-sample of flagged small-pin cpu regressions (r14,
+# r13 verdict finding #5): pins under CPU_RESAMPLE_MAX_PIN_S are the
+# fragile bands a user-CPU inflation episode can fake-regress (19 of 56
+# were sub-1 s at r13 close; two needed hand adjudication). Flagged
+# queries are re-run after the sweep and adjudicated on the MIN
+# re-sample — exculpatory-only, see the in-line comment at the call
+# site. Larger pins regressing on the 25% relative band are treated as
+# real findings and are NOT softened by re-sampling.
+CPU_RESAMPLE_RUNS = 5
+CPU_RESAMPLE_MAX_PIN_S = 2.0
+
 
 def cpu_weather_suspected(cpu_verdicts: dict) -> dict | None:
     """Advisory episode flag over a sweep's per-query cpu verdicts:
@@ -815,6 +826,25 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             return time.perf_counter() - t0
 
+    def clear_query_caches() -> None:
+        # r14 (r13 verdict finding #3): drop every cached intermediate
+        # BEFORE each query's run block, outside the timed region. The
+        # dedup family persists shingle/signature tables per invocation
+        # (CacheManager matches analyzed plans), so without this a
+        # query's run 1 could inherit caches built by an EARLIER query's
+        # runs and the sweep's storage footprint grew monotonically.
+        # Within a block, runs 2..N still share run 1's caches — the
+        # same warm-median statistic the pins were taken under (the
+        # median of 5 is a warm run either way), so pin comparisons are
+        # unaffected; only the cross-QUERY leakage is gone. Queries with
+        # an internal materialization point (the CC/pagerank family)
+        # release their caches in-query since r14 and are cold every
+        # run by construction.
+        try:
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001 — hygiene must never kill a sweep
+            pass
+
     def measure_aux() -> tuple[dict[str, float], dict[str, float], dict[str, str]]:
         """The census-promoted aux set (AUX_CPU_QUERIES), median-of-
         AUX_RUNS_PER_QUERY wall + system-wide user-cpu per query. Runs
@@ -827,6 +857,7 @@ def main() -> None:
             if name not in QUERIES:
                 a_errors[name] = "not registered"
                 continue
+            clear_query_caches()
             try:
                 ws: list[float] = []
                 cs: list[float] = []
@@ -925,6 +956,7 @@ def main() -> None:
         if name not in QUERIES:
             errors[name] = "not registered"
             continue
+        clear_query_caches()
         over_budget = time.perf_counter() - sweep_start > BUDGET_SECS
         n_runs = 2 if over_budget else RUNS_PER_QUERY
         try:
@@ -1168,6 +1200,68 @@ def main() -> None:
                         weather = cpu_weather_suspected(cpu_v)
                         if weather:
                             out["cpu_weather_suspected"] = weather
+                        # r14 (r13 verdict finding #5): AUTOMATED solo
+                        # re-sample of small-pin cpu regressions — the
+                        # in-run version of the r13c/r13d/r13e hand
+                        # adjudications (19 of 56 cpu pins are sub-1 s;
+                        # host user-CPU inflation episodes fake-regress
+                        # them). Each flagged query with a pin median
+                        # under CPU_RESAMPLE_MAX_PIN_S is re-run
+                        # CPU_RESAMPLE_RUNS times AFTER the sweep and
+                        # adjudicated on the MIN re-sample: min-of-N is
+                        # biased low, so it can only EXCULPATE a flag
+                        # (an episode that ended), never fake one — a
+                        # real kernel regression inflates every sample
+                        # including the min. Original verdicts stand in
+                        # cpu_corroboration; the resolved view is
+                        # cpu_regressed_after_resample.
+                        resample: dict[str, dict] = {}
+                        still_regressed: list[str] = []
+                        for rname in cpu_regressed:
+                            pin = (cpu_pins or {}).get(rname) or {}
+                            pmed = pin.get("median")
+                            if (
+                                pmed is None
+                                or pmed >= CPU_RESAMPLE_MAX_PIN_S
+                                or rname not in QUERIES
+                            ):
+                                still_regressed.append(rname)
+                                continue
+                            clear_query_caches()
+                            try:
+                                rs: list[float] = []
+                                for _ in range(CPU_RESAMPLE_RUNS):
+                                    rc0 = read_user_cpu_sec()
+                                    run(rname)
+                                    rc1 = read_user_cpu_sec()
+                                    if rc0 is not None and rc1 is not None:
+                                        rs.append(round(rc1 - rc0, 4))
+                            except Exception as exc:  # noqa: BLE001
+                                resample[rname] = {
+                                    "error": f"{type(exc).__name__}: {exc}"[:200]
+                                }
+                                still_regressed.append(rname)
+                                continue
+                            if not rs:
+                                still_regressed.append(rname)
+                                continue
+                            rv = query_verdicts(
+                                {rname: min(rs)},
+                                cpu_pins,
+                                slack_fn=cpu_noise_slack,
+                            )[rname]
+                            resample[rname] = {
+                                "samples": rs,
+                                "min": min(rs),
+                                "verdict_on_min": rv,
+                            }
+                            if rv == "regressed":
+                                still_regressed.append(rname)
+                        if resample:
+                            out["cpu_regressed_resample"] = resample
+                        out["cpu_regressed_after_resample"] = sorted(
+                            still_regressed
+                        )
             out["queries_normalized"] = per_q_norm
             out["query_verdicts"] = verdicts
             out["regressed_queries"] = sorted(

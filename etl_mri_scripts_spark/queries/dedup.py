@@ -147,7 +147,12 @@ def band_buckets_of(sigs: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
-def _exploded_shingles(spark: SparkSession, sf_dir: str, cache: bool = False) -> DataFrame:
+def _exploded_shingles(
+    spark: SparkSession,
+    sf_dir: str,
+    cache: bool = False,
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
     """(doc_id, shingle) rows — each doc's distinct 3-shingles.
 
     ``cache=True`` persists the exploded table (MEMORY_AND_DISK): queries
@@ -156,16 +161,33 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str, cache: bool = False) ->
     branch — exchange reuse only dedupes identical exchanges. At corpus
     scale the same decision shows up as materializing the shingle/signature
     table once before the joins.
+
+    ``caches`` (r14): callers with an internal materialization point (the
+    iterative CC/pagerank queries, whose labels are checkpointed before
+    the function returns) pass a list here; every persisted frame is
+    appended so the caller can release it the moment its own result is
+    materialized — executor storage stays bounded at scale instead of
+    squatting until session end (guide §5). Callers whose terminal action
+    runs after the query function returns cannot release safely and pass
+    nothing (the session owner clears between work units, as
+    check_window.py and bench.py do).
     """
     sh = shingles_of(table(spark, sf_dir, "documents"))
     if cache:
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        if caches is not None:
+            caches.append(sh)
     return sh
 
 
-def _minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_signature_df(
+    spark: SparkSession,
+    sf_dir: str,
+    caches: list[DataFrame] | None = None,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, m0..m7) MinHash signature via explode + groupBy-min.
 
     Each salted md5 is evaluated exactly once per (shingle, permutation);
@@ -174,10 +196,35 @@ def _minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline (which made the naive formulation ~20x slower). The shuffle
     payload is (doc_id, 8 x 32B hex) — negligible vs corpus bytes, and
     map-side partial min keeps the shuffle rows ~= distinct doc_ids.
+
+    ``shingles`` (r14): callers that ALSO materialize the exploded
+    shingle table (_verified_pairs_df, dedup_incremental_delta) pass
+    their cached (doc_id, shingle) frame so the signature derives from
+    it instead of re-splitting and re-exploding every document — one
+    shingle pass per cold execution instead of two. min(md5(seed:s))
+    over the same distinct shingle set is the same signature, so values
+    are identical; the hash family and count per query are unchanged
+    (the oracle contract). Callers that need only the signature
+    (dedup_minhash_signatures / _lsh_candidate_pairs_df standalone) omit
+    it and keep the leaner signature-only lineage.
     """
     from pyspark import StorageLevel
 
-    sig = minhash_signature_of(table(spark, sf_dir, "documents"))
+    if shingles is not None:
+        hashed = shingles.select(
+            "doc_id",
+            *[
+                F.md5(
+                    F.concat(F.lit(f"{seed}:"), F.col("shingle")).cast("binary")
+                ).alias(f"h{seed}")
+                for seed in range(N_MINHASH)
+            ],
+        )
+        sig = hashed.groupBy("doc_id").agg(
+            *[F.min(f"h{seed}").alias(f"m{seed}") for seed in range(N_MINHASH)]
+        )
+    else:
+        sig = minhash_signature_of(table(spark, sf_dir, "documents"))
     # Persist the signature table: it is tiny (n_docs x 8 hex digests) and
     # every LSH-family query (candidates, verified pairs, connected
     # components, incremental delta) starts from it. Spark's CacheManager
@@ -187,8 +234,13 @@ def _minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session's life; long-lived serving sessions must release between
     # work units with spark.catalog.clearCache() (check_window.py does,
     # per query) — no query-side unpersist is safe, since the consumer's
-    # action runs after this function returns.
-    return sig.persist(StorageLevel.MEMORY_AND_DISK)
+    # action runs after this function returns. Exception (r14): callers
+    # with an internal materialization point register the cache in
+    # ``caches`` and release it themselves (see _exploded_shingles).
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    if caches is not None:
+        caches.append(sig)
+    return sig
 
 _SHINGLES_DUCK = """
     list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
@@ -385,13 +437,19 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_candidate_pairs_df(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
-def _lsh_candidate_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_candidate_pairs_df(
+    spark: SparkSession,
+    sf_dir: str,
+    caches: list[DataFrame] | None = None,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """Distinct (doc_a, doc_b) LSH candidates — the UNSORTED interior of
     dedup_minhash_lsh_candidates (r13, like _verified_pairs_df): the
     verification pipeline consumes the candidates through joins, where
     the optimizer happens to eliminate the sort today, but the
-    dependency is structural now rather than an optimizer behavior."""
-    sigs = _minhash_signature_df(spark, sf_dir)
+    dependency is structural now rather than an optimizer behavior.
+    ``shingles``/``caches`` pass through to _minhash_signature_df (r14)."""
+    sigs = _minhash_signature_df(spark, sf_dir, caches=caches, shingles=shingles)
     bands = band_buckets_of(sigs)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -468,7 +526,9 @@ def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verified_pairs_df(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
-def _verified_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _verified_pairs_df(
+    spark: SparkSession, sf_dir: str, caches: list[DataFrame] | None = None
+) -> DataFrame:
     """(doc_a, doc_b, jaccard) — the UNSORTED interior of
     dedup_lsh_verified_pairs, split out (r13) for the seven consumers
     that immediately discard the ordering (connected components,
@@ -480,9 +540,37 @@ def _verified_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     rangepartitioning exchanges in the pagerank loop-lineage capture,
     plans/r13/pagerank_pass_after.txt). At corpus scale the pair set is
     the near-dup graph's edge list — billions of rows at 100 TB — so a
-    dead global sort of it is a real pass. Same rows, same jaccard."""
-    cand = _lsh_candidate_pairs_df(spark, sf_dir).select("doc_a", "doc_b")
-    sh = _exploded_shingles(spark, sf_dir, cache=True)
+    dead global sort of it is a real pass. Same rows, same jaccard.
+
+    r14: the signature derives from the SAME cached shingle table the
+    verify side scans (``shingles=sh``) — previously the cold lineage
+    split + exploded every document twice, once into the signature's
+    explode and once into the shingle cache. One pass now; identical
+    signatures (same salted-md5 family over the same distinct shingle
+    set).
+
+    r14 NEGATIVE RESULT (guide §1 — implemented, measured, reverted): a
+    candidate-doc semi-join pre-filter of the shingle table before the
+    verify join and the size aggregate (§2.3/§3.2). Value-identical
+    (every consumer inner-joins on ids drawn from cand), but measured
+    strictly worse at bench scale: +14 AQE jobs per consumer query
+    (candidate-pair cache + per-occurrence doc-set broadcast builds),
+    warm cpu 4.4 -> ~6.9 s. Root cause: the verify join already executes
+    as a broadcast of the candidate pairs over the CACHED shingle table
+    (plans/r14/dedup_lsh_verified_pairs_before.txt: 10 BHJ, 0 SMJ — the
+    shingle table is never shuffled), and the size aggregate is map-side
+    partial (its exchange carries ~doc-count rows, not shingle rows), so
+    the pre-filter paid 3 extra full probes of the shingle cache + 3
+    broadcast builds to avoid work the plan was not doing. At a scale
+    where the candidate set no longer broadcasts, the recipe to revisit
+    is a Bloom filter over candidate doc ids applied below the verify
+    join's exchange (guide §3.2; PySpark lacks df.stat.bloomFilter — use
+    the broadcast-semi form only while the distinct candidate-doc set
+    provably fits the 8 GB broadcast cap)."""
+    sh = _exploded_shingles(spark, sf_dir, cache=True, caches=caches)
+    cand = _lsh_candidate_pairs_df(
+        spark, sf_dir, caches=caches, shingles=sh
+    ).select("doc_a", "doc_b")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -954,7 +1042,14 @@ def _cc_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered query emits."""
     from pyspark import StorageLevel
 
-    pairs = _verified_pairs_df(spark, sf_dir).select("doc_a", "doc_b")
+    # r14: the labels are checkpoint-materialized by the CC loop's own
+    # certificate actions BEFORE this function returns, so this query has
+    # a safe release point for the whole LSH lineage's persisted
+    # intermediates (shingles, signatures, candidate pairs) — the
+    # remaining plan references only the checkpointed labels. Mirrors
+    # edges.unpersist() below (guide §5: unpersist when done).
+    caches: list[DataFrame] = []
+    pairs = _verified_pairs_df(spark, sf_dir, caches=caches).select("doc_a", "doc_b")
     # Symmetrize with ONE explode, not union of two selects: each union
     # branch would re-run the whole LSH+verify lineage (union branches
     # don't share unpersisted subtrees — same pitfall as the shingle
@@ -973,6 +1068,8 @@ def _cc_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = connected_component_labels_auto(edges)
     edges.unpersist()
+    for c in caches:
+        c.unpersist()
 
     return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("component_id"))
 
@@ -1067,7 +1164,12 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    sigs = _minhash_signature_df(spark, sf_dir)
+    # r14: signature derived from the cached shingle table (one split +
+    # explode pass per cold execution instead of two — identical
+    # signatures, see _minhash_signature_df). The shingle cache is
+    # hoisted above the bands so both consumers share it.
+    sh = _exploded_shingles(spark, sf_dir, cache=True)
+    sigs = _minhash_signature_df(spark, sf_dir, shingles=sh)
     bands = band_buckets_of(sigs).persist(StorageLevel.MEMORY_AND_DISK)
 
     cand = (
@@ -1081,7 +1183,6 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sh = _exploded_shingles(spark, sf_dir, cache=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("new_id"), "shingle")
     b = sh.select(F.col("doc_id").alias("base_id"), "shingle")
@@ -1224,10 +1325,18 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     # component_size join and ORDER BY were dead weight here (see
     # _cc_component_labels); output rows are unchanged.
     cc = _cc_component_labels(spark, sf_dir)
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.length("text").alias("n_chars")
+    # r14 (guide §2.3): n_chars projected AFTER the membership join — the
+    # before-plan decorated the whole corpus and broadcast it (see
+    # dedup_keep_best_quality, same shape); length() is cheap per row but
+    # the corpus-sized broadcast build side is the scale problem. Join
+    # and projection share a codegen stage, so text never crosses an
+    # exchange.
+    member_quality = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .join(cc, "doc_id")
+        .select("doc_id", "component_id", F.length("text").alias("n_chars"))
     )
-    member_quality = d.join(cc, "doc_id")
     w = Window.partitionBy("component_id").orderBy(F.desc("n_chars"), "doc_id")
     wsz = Window.partitionBy("component_id")
     return (
@@ -1328,7 +1437,21 @@ def pagerank_ranks(
     computed map-side; lineage truncated per pass with localCheckpoint
     (lazy until the final pass, so the whole fixed-K loop executes as one
     chained job — r13) so the plan stays constant-size across
-    iterations. Returns (doc_id, rank), materialized."""
+    iterations. Returns (doc_id, rank), materialized.
+
+    CALLER CONTRACT (r14, documenting the r13 optimization): every node
+    must ALSO have in-degree >= 1 — i.e. the node set must equal the
+    destination set, which a SYMMETRIZED edge list guarantees. r13
+    removed the per-pass ``nodes LEFT JOIN contribs`` because on such
+    graphs the contribution aggregate already emits exactly one row per
+    node; on a general directed edge list a node with out-edges but no
+    in-edges receives no contribution row and SILENTLY VANISHES from the
+    output (and a sink-only destination appears), instead of surfacing
+    with the base rank. The one production caller
+    (dedup_pagerank_representatives) symmetrizes; a future caller with
+    asymmetric edges must restore the left join against the node set or
+    pre-symmetrize. Pinned by tests/test_pagerank.py's asymmetric-graph
+    test."""
     from pyspark import StorageLevel
 
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
@@ -1483,7 +1606,12 @@ def dedup_pagerank_representatives(spark: SparkSession, sf_dir: str) -> DataFram
     from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
-    pairs = _verified_pairs_df(spark, sf_dir).select("doc_a", "doc_b")
+    # r14: same release point as _cc_component_labels — labels and ranks
+    # are both checkpoint-materialized below, so the LSH lineage's
+    # persisted intermediates are dead weight after pagerank_ranks
+    # returns (guide §5).
+    caches: list[DataFrame] = []
+    pairs = _verified_pairs_df(spark, sf_dir, caches=caches).select("doc_a", "doc_b")
     # symmetrized near-dup graph: no dangling nodes (every node has
     # out-degree >= 1), so PageRank mass is conserved without a dangling term
     edges = (
@@ -1506,6 +1634,8 @@ def dedup_pagerank_representatives(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("node").alias("doc_id"), F.col("lab").alias("component_id")
     )
     ranks = pagerank_ranks(spark, edges)  # releases the edge cache at exit
+    for c in caches:
+        c.unpersist()
     if not ranks.head(1):
         return spark.createDataFrame(
             [], "component_id long, representative_id long, pagerank double, component_size long"
@@ -1816,12 +1946,27 @@ def dedup_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagnostic); the found side is the production path. Here both run on
     the full small-sf corpus so the numbers are exact. One plan, one
     action: the five scalars are single-row aggregates joined together,
-    sharing the exploded-shingle cache underneath."""
+    sharing the exploded-shingle cache underneath.
+
+    r14: BOTH pair interiors are persisted — each is consumed twice (its
+    own count aggregate + the semi-join), and the r14 before-plan showed
+    the full truth and found pipelines duplicated (21 parquet scans, 45
+    cache scans, zero ReusedExchange: exchange reuse does not collapse
+    the pair joins), i.e. the all-pairs truth join and the LSH+verify
+    pipeline each executed twice per invocation — measured 17.5 cpu-s,
+    ~= 2 x (truth 4.3 + found 4.4). One materialization each now."""
+    from pyspark import StorageLevel
+
     truth = (
         _ngram_jaccard_pairs_df(spark, sf_dir)
         .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    found = _verified_pairs_df(spark, sf_dir).select("doc_a", "doc_b")
+    found = (
+        _verified_pairs_df(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     correct = found.join(truth, ["doc_a", "doc_b"], "left_semi")
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
@@ -1894,17 +2039,27 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _cc_component_labels); output rows are unchanged.
     labels = _cc_component_labels(spark, sf_dir)
     d = table(spark, sf_dir, "documents")
-    q = d.select(
+    from pyspark.sql.window import Window as W
+
+    # r14 (guide §2.3): quality is projected AFTER the membership join,
+    # not before — the r14 before-plan computed the double-split
+    # array_distinct quality expression for EVERY corpus row and then
+    # broadcast the decorated corpus as the join's build side; at 100 TB
+    # that is a full-corpus pass feeding an illegal broadcast. Joining
+    # first restricts the expression to cluster members, and the join +
+    # projection share one codegen stage, so the text column never
+    # crosses an exchange either way. Same expression per surviving row,
+    # so values are unchanged.
+    member = d.select("doc_id", "text").join(labels, "doc_id")
+    ranked = member.select(
         "doc_id",
+        "component_id",
         F.round(
             F.size(F.array_distinct(F.split("text", " ")))
             / F.size(F.split("text", " ")),
             6,
         ).alias("quality"),
-    )
-    from pyspark.sql.window import Window as W
-
-    ranked = labels.join(q, "doc_id").withColumn(
+    ).withColumn(
         "rn",
         F.row_number().over(
             W.partitionBy("component_id").orderBy(F.desc("quality"), F.asc("doc_id"))

@@ -45,6 +45,34 @@ def test_pagerank_matches_numpy_reference(spark, edges, n):
     assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
 
 
+def test_pagerank_asymmetric_graph_contract(spark):
+    # r14 (r13 verdict finding #1): pagerank_ranks requires every node to
+    # have in-degree >= 1 (symmetrized edges guarantee it). This test PINS
+    # the documented behavior on a graph that VIOLATES the contract — a
+    # pure source (out-edges, no in-edges) vanishes from the output and
+    # only destination nodes appear — so a future caller with asymmetric
+    # edges hits a test that names the restriction, and any future
+    # restoration of the per-pass node left-join flips this assertion
+    # deliberately rather than silently.
+    edges = [(0, 1), (1, 2), (2, 1)]  # 0 is a pure source; 1,2 form a cycle
+    edf = spark.createDataFrame(edges, "s long, d long")
+    got = {r["doc_id"]: r["rank"] for r in pagerank_ranks(spark, edf, iters=4).collect()}
+    assert set(got) == {1, 2}, (
+        "documented contract: nodes without in-edges drop out; symmetrize "
+        "the edge list (as dedup_pagerank_representatives does) for full "
+        "node coverage"
+    )
+    # on the CONTRACT-SATISFYING symmetrization of the same graph, every
+    # node survives and mass is conserved
+    sym = edges + [(d, s) for s, d in edges]
+    sdf = spark.createDataFrame(sorted(set(sym)), "s long, d long")
+    got_sym = {
+        r["doc_id"]: r["rank"] for r in pagerank_ranks(spark, sdf, iters=4).collect()
+    }
+    assert set(got_sym) == {0, 1, 2}
+    assert sum(got_sym.values()) == pytest.approx(1.0, rel=1e-9)
+
+
 def test_pagerank_star_hub_dominates(spark):
     edges = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
     edf = spark.createDataFrame(edges, "s long, d long")
