@@ -56,6 +56,37 @@ def _formatted_plan(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
+def _plans_of_all_queries(spark, sf_dir, render) -> dict[str, str]:
+    """name -> rendered plan for every registered query, built
+    THREAD-PARALLEL (r14, same §2.6 overlap as the parity sweep: plan
+    construction is py4j/JVM work that releases the GIL, and the
+    iterative queries run their certificate jobs during construction —
+    at sf0.001 both are latency, not compute). Each worker plans on an
+    isolated ``spark.newSession()`` (the imaging queries shrink the
+    Arrow batch conf at plan time) sharing the SparkContext."""
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    from etl_mri_scripts_spark.queries import QUERIES
+    from etl_mri_scripts_spark.session import tune
+
+    plans: dict[str, str] = {}
+    errors: dict[str, str] = {}
+
+    def one(item):
+        name, fn = item
+        try:
+            s = tune(spark.newSession())
+            plans[name] = render(fn(s, sf_dir))
+        except Exception:  # noqa: BLE001 — a failed plan must be named
+            errors[name] = traceback.format_exc(limit=3)
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(one, sorted(QUERIES.items())))
+    assert not errors, f"query construction failed: {errors}"
+    return plans
+
+
 def test_bernoulli_sample_plan_has_no_shuffle(spark, sf_dir):
     # The zero-shuffle claim: sampling is a pure scan->filter->project
     # (the final orderBy is the presentation sort the driver needs; at
@@ -126,8 +157,7 @@ def test_no_query_plans_a_cartesian_or_nested_loop(spark, sf_dir):
         "top_supplier_revenue_tiesafe",  # broadcast 1-row max agg (Q15 scalar)
     }
     offenders = {}
-    for name, fn in sorted(QUERIES.items()):
-        plan = _formatted_plan(fn(spark, sf_dir))
+    for name, plan in _plans_of_all_queries(spark, sf_dir, _formatted_plan).items():
         bad = [
             op
             for op in ("CartesianProduct", "BroadcastNestedLoopJoin")
@@ -171,8 +201,12 @@ def test_no_query_plans_a_single_partition_window(spark, sf_dir):
     from etl_mri_scripts_spark.queries import QUERIES
 
     offenders = {}
-    for name, fn in sorted(QUERIES.items()):
-        tree = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    trees = _plans_of_all_queries(
+        spark,
+        sf_dir,
+        lambda df: df._jdf.queryExecution().executedPlan().toString(),
+    )
+    for name, tree in trees.items():
         n = _count_single_partition_windows(tree)
         if n and name not in ALLOWED_SP_WINDOW_BOUNDS:
             offenders[name] = n
