@@ -918,9 +918,23 @@ def connected_component_labels_auto(edges: DataFrame) -> DataFrame:
     common case never pays the label self-join, the chain case never
     pays O(diameter) passes, and the monotone label-sum certificate
     carries across the hand-off because both stages decrease labels
-    toward the same fixpoint."""
+    toward the same fixpoint.
+
+    r14 session 2 (guide §2.4 "remove shuffles outright"): the identity
+    initialization (distinct over the edge list, lab = node) and the
+    first propagation pass (join + union + groupBy-min) are FUSED into
+    one aggregate — on a SYMMETRIC edge list (the stated input contract,
+    as in the siblings above) pass 1 from identity labels computes
+    exactly lab(v) = min(v, min(neighbors(v))) = least(d, min(s)) per
+    destination group, so a single groupBy-min over the edges IS the
+    init plus pass 1. Saves one shuffle (the distinct) and one full
+    join-union-agg pass per invocation; every subsequent pass and the
+    certificate protocol are unchanged, and the fixpoint (component
+    min per node) is the same labels row-for-row."""
     labels = (
-        edges.select(F.col("s").alias("node")).distinct().withColumn("lab", F.col("node"))
+        edges.groupBy("d")
+        .agg(F.min("s").alias("mn"))
+        .select(F.col("d").alias("node"), F.least("d", "mn").alias("lab"))
     ).localCheckpoint(eager=False)  # materialized by the first certificate
 
     def _label_sum(df: DataFrame) -> int:
@@ -1430,6 +1444,7 @@ def pagerank_ranks(
     edges: DataFrame,
     iters: int = PR_ITERS,
     damping: float = PR_DAMPING,
+    release_edges: bool = True,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list (s, d) with no
     dangling nodes (every s has out-degree >= 1). Per pass ONE shuffle
@@ -1451,7 +1466,14 @@ def pagerank_ranks(
     (dedup_pagerank_representatives) symmetrizes; a future caller with
     asymmetric edges must restore the left join against the node set or
     pre-symmetrize. Pinned by tests/test_pagerank.py's asymmetric-graph
-    test."""
+    test.
+
+    ``release_edges`` (r14): callers that still need the shared edge
+    cache after this returns — dedup_pagerank_representatives runs the
+    CC label loop CONCURRENTLY over the same persisted edges — pass
+    False and unpersist it themselves; unpersisting here would drop the
+    cached blocks out from under the sibling loop mid-pass and re-run
+    the whole LSH lineage from parquet."""
     from pyspark import StorageLevel
 
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
@@ -1507,7 +1529,8 @@ def pagerank_ranks(
     # edge/node caches are dead weight — release them here instead of
     # pinning one pair per call until session end (r6 review; the CC
     # sibling already does this)
-    edges.unpersist()
+    if release_edges:
+        edges.unpersist()
     edges_deg.unpersist()
     nodes.unpersist()
     return ranks
@@ -1626,14 +1649,35 @@ def dedup_pagerank_representatives(spark: SparkSession, sf_dir: str) -> DataFram
         .select(F.col("e.s").alias("s"), F.col("e.d").alias("d"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # labels first: materializes the edge cache, and the result is an
-    # eager localCheckpoint — safe to use after pagerank_ranks unpersists
-    # the shared edges on its way out
-    labels = connected_component_labels_auto(edges)
+    # r14 session 2 (guide §2.6 "overlap independent jobs"): the CC label
+    # loop and the PageRank power iteration are INDEPENDENT consumers of
+    # the same persisted edge list, but the old code ran them serially —
+    # the CC loop's blocking per-pass certificate collects left the
+    # cluster idle between passes while PageRank's single chained job
+    # waited its turn. Submitting them from two driver threads lets the
+    # scheduler back-fill: PageRank's long chained job fills the gaps
+    # between CC certificate passes. Safety: the first task to touch an
+    # uncomputed cached edge partition computes it under the block lock
+    # while the other job's task blocks and reads (no duplicated LSH
+    # lineage); results are unchanged because both loops are
+    # deterministic functions of the edge list and share no state beyond
+    # the read-only cache. pagerank_ranks gets release_edges=False so it
+    # cannot drop the shared cache while the CC loop is mid-pass; the
+    # release happens here, after BOTH results are checkpoint-
+    # materialized.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_labels = pool.submit(connected_component_labels_auto, edges)
+        f_ranks = pool.submit(
+            pagerank_ranks, spark, edges, PR_ITERS, PR_DAMPING, False
+        )
+        labels = f_labels.result()
+        ranks = f_ranks.result()
+    edges.unpersist()
     comp = labels.select(
         F.col("node").alias("doc_id"), F.col("lab").alias("component_id")
     )
-    ranks = pagerank_ranks(spark, edges)  # releases the edge cache at exit
     for c in caches:
         c.unpersist()
     if not ranks.head(1):
