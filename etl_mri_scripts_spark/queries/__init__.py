@@ -63,86 +63,53 @@ _DRIVER_ORDER = [
     "text_token_counts",  # sentinel
     "ann_bruteforce_topk",  # sentinel
     "pricing_summary",  # sentinel
-    "sample_hash_bernoulli",  # freshness: last driver row CORRECTNESS_r08.json
-    "sample_weighted_exact",  # freshness: last driver row CORRECTNESS_r08.json
-    "small_quantity_revenue_below_avg",  # freshness: last driver row CORRECTNESS_r08.json
-    "source_csv_roundtrip",  # freshness: last driver row CORRECTNESS_r08.json
-    "source_jsonl_roundtrip",  # freshness: last driver row CORRECTNESS_r08.json
-    "supplier_value_share_threshold",  # freshness: last driver row CORRECTNESS_r08.json
-    "text_tfidf_top_terms",  # freshness: last driver row CORRECTNESS_r08.json
-    "top_supplier_revenue_tiesafe",  # freshness: last driver row CORRECTNESS_r08.json
-    "vocab_zipf_slope",  # freshness: last driver row CORRECTNESS_r08.json
-    "window_first_last_nth",  # freshness: last driver row CORRECTNESS_r08.json
-    "window_lag_lead_delta",  # freshness: last driver row CORRECTNESS_r08.json
-    "window_moving_avg_frame",  # freshness: last driver row CORRECTNESS_r08.json
-    "window_rank_variants",  # freshness: last driver row CORRECTNESS_r08.json
-    "window_running_cumulative",  # freshness: last driver row CORRECTNESS_r08.json
-    "window_time_range_frame",  # freshness: last driver row CORRECTNESS_r08.json
-    "agg_median_abs_deviation",  # freshness: last driver row CORRECTNESS_r09.json
-    "ann_recall_eval",  # freshness: last driver row CORRECTNESS_r09.json
-    "ann_signbit_multiprobe_topk",  # freshness: last driver row CORRECTNESS_r09.json
-    "ann_truncated_recall_eval",  # freshness: last driver row CORRECTNESS_r09.json
-    "corpus_epochs_budget",  # freshness: last driver row CORRECTNESS_r09.json
-    "corpus_importance_weights",  # freshness: last driver row CORRECTNESS_r09.json
-    "customer_rfm_segments",  # freshness: last driver row CORRECTNESS_r09.json
-    "dedup_connected_components",  # freshness: last driver row CORRECTNESS_r09.json
-    "dedup_containment_pairs",  # freshness: last driver row CORRECTNESS_r09.json
-    "dedup_keep_best_quality",  # freshness: last driver row CORRECTNESS_r09.json
-    "dedup_lsh_quality_eval",  # freshness: last driver row CORRECTNESS_r09.json
-    "dedup_rate_by_source",  # freshness: last driver row CORRECTNESS_r09.json
-    "dedup_split_leakage_matrix",  # freshness: last driver row CORRECTNESS_r09.json
-    "dedup_triangle_count",  # freshness: last driver row CORRECTNESS_r09.json
-    "dedup_url_canonical",  # freshness: last driver row CORRECTNESS_r09.json
-    "disjunctive_bracket_revenue",  # freshness: last driver row CORRECTNESS_r09.json
-    "docs_compaction_plan",  # freshness: last driver row CORRECTNESS_r09.json
-    "embedding_dimension_variance",  # freshness: last driver row CORRECTNESS_r09.json
-    "events_conversion_latency",  # freshness: last driver row CORRECTNESS_r09.json
-    "events_daily_anomaly",  # freshness: last driver row CORRECTNESS_r09.json
-    "events_last_touch_attribution",  # freshness: last driver row CORRECTNESS_r09.json
-    "events_time_weighted_avg",  # freshness: last driver row CORRECTNESS_r09.json
-    "excess_volume_suppliers",  # freshness: last driver row CORRECTNESS_r09.json
-    "feature_zscore_standardize",  # freshness: last driver row CORRECTNESS_r09.json
-    "forecast_revenue_discount_band",  # freshness: last driver row CORRECTNESS_r09.json
-    "histogram_equi_depth",  # freshness: last driver row CORRECTNESS_r09.json
-    "image_dhash_near_dup",  # freshness: last driver row CORRECTNESS_r09.json
-    "imaging_key_parity_gate",  # freshness: last driver row CORRECTNESS_r09.json
-    "imaging_snr_metrics",  # freshness: last driver row CORRECTNESS_r09.json
-    "join_asof_last_view",  # freshness: last driver row CORRECTNESS_r09.json
+    "dedup_pagerank_representatives",  # re-check: implementation changed
+    "dedup_cluster_representatives",  # re-check: implementation changed
+    "dedup_lsh_verified_pairs",  # re-check: implementation changed
+    "dedup_incremental_delta",  # re-check: implementation changed
+    "dedup_minhash_lsh_candidates",  # re-check: implementation changed
+    "dedup_minhash_signatures",  # re-check: implementation changed
+    "curation_funnel",  # re-check: implementation changed
+    "dedup_connected_components",  # re-check: implementation changed
+    "dedup_keep_best_quality",  # re-check: implementation changed
+    "dedup_lsh_quality_eval",  # re-check: implementation changed
+    "dedup_rate_by_source",  # re-check: implementation changed
+    "dedup_split_leakage_matrix",  # re-check: implementation changed
+    "dedup_triangle_count",  # re-check: implementation changed
+    "join_bucketed_colocated",  # freshness: last driver row CORRECTNESS_r09.json
+    "join_key_skew_diagnostic",  # freshness: last driver row CORRECTNESS_r09.json
+    "label_entropy_by_source",  # freshness: last driver row CORRECTNESS_r09.json
+    "lineitem_numeric_correlations",  # freshness: last driver row CORRECTNESS_r09.json
+    "nation_market_share_in_region",  # freshness: last driver row CORRECTNESS_r09.json
+    "nation_pair_shipping_volume",  # freshness: last driver row CORRECTNESS_r09.json
+    "orders_crosstab_chi2",  # freshness: last driver row CORRECTNESS_r09.json
+    "partitioned_write_pruned_read",  # freshness: last driver row CORRECTNESS_r09.json
+    "profit_by_supp_nation_year",  # freshness: last driver row CORRECTNESS_r09.json
+    "returned_item_revenue_customers",  # freshness: last driver row CORRECTNESS_r09.json
+    "source_orc_roundtrip",  # freshness: last driver row CORRECTNESS_r09.json
+    "supplier_count_by_part_attrs",  # freshness: last driver row CORRECTNESS_r09.json
+    "text_adaptive_quality_threshold",  # freshness: last driver row CORRECTNESS_r09.json
+    "text_blocklist_scrub",  # freshness: last driver row CORRECTNESS_r09.json
+    "text_decontaminate_overlap",  # freshness: last driver row CORRECTNESS_r09.json
+    "agg_argmax_max_by",  # freshness: last driver row CORRECTNESS_r10.json
+    "agg_count_distinct_rollup",  # freshness: last driver row CORRECTNESS_r10.json
+    "agg_grouping_sets",  # freshness: last driver row CORRECTNESS_r10.json
+    "agg_histogram_width_bucket",  # freshness: last driver row CORRECTNESS_r10.json
+    "agg_minmax_per_group",  # freshness: last driver row CORRECTNESS_r10.json
+    "agg_percentiles_exact",  # freshness: last driver row CORRECTNESS_r10.json
+    "agg_skew_salted_two_stage",  # freshness: last driver row CORRECTNESS_r10.json
+    "agg_stats_moments",  # freshness: last driver row CORRECTNESS_r10.json
+    "ann_ivf_kmeans_topk",  # freshness: last driver row CORRECTNESS_r10.json
+    "ann_ivf_pq_topk",  # freshness: last driver row CORRECTNESS_r10.json
+    "ann_pq_adc_topk",  # freshness: last driver row CORRECTNESS_r10.json
+    "cdc_upsert_latest_wins",  # freshness: last driver row CORRECTNESS_r10.json
+    "conditional_agg_counters",  # freshness: last driver row CORRECTNESS_r10.json
+    "cube_status_priority",  # freshness: last driver row CORRECTNESS_r10.json
+    "data_profile_summary",  # freshness: last driver row CORRECTNESS_r10.json
+    "date_format_monthly_rollup",  # freshness: last driver row CORRECTNESS_r10.json
+    "distinct_sorted_dimension",  # freshness: last driver row CORRECTNESS_r10.json
     # ===== next-round freshness queue (stalest beyond this
     # window; uncomment = next round's mechanical cut) =====
-    # "join_bucketed_colocated",  # last driver row CORRECTNESS_r09.json
-    # "join_key_skew_diagnostic",  # last driver row CORRECTNESS_r09.json
-    # "label_entropy_by_source",  # last driver row CORRECTNESS_r09.json
-    # "lineitem_numeric_correlations",  # last driver row CORRECTNESS_r09.json
-    # "nation_market_share_in_region",  # last driver row CORRECTNESS_r09.json
-    # "nation_pair_shipping_volume",  # last driver row CORRECTNESS_r09.json
-    # "orders_crosstab_chi2",  # last driver row CORRECTNESS_r09.json
-    # "partitioned_write_pruned_read",  # last driver row CORRECTNESS_r09.json
-    # "profit_by_supp_nation_year",  # last driver row CORRECTNESS_r09.json
-    # "returned_item_revenue_customers",  # last driver row CORRECTNESS_r09.json
-    # "source_orc_roundtrip",  # last driver row CORRECTNESS_r09.json
-    # "supplier_count_by_part_attrs",  # last driver row CORRECTNESS_r09.json
-    # "text_adaptive_quality_threshold",  # last driver row CORRECTNESS_r09.json
-    # "text_blocklist_scrub",  # last driver row CORRECTNESS_r09.json
-    # "text_decontaminate_overlap",  # last driver row CORRECTNESS_r09.json
-    # "agg_argmax_max_by",  # last driver row CORRECTNESS_r10.json
-    # "agg_count_distinct_rollup",  # last driver row CORRECTNESS_r10.json
-    # "agg_grouping_sets",  # last driver row CORRECTNESS_r10.json
-    # "agg_histogram_width_bucket",  # last driver row CORRECTNESS_r10.json
-    # "agg_minmax_per_group",  # last driver row CORRECTNESS_r10.json
-    # "agg_percentiles_exact",  # last driver row CORRECTNESS_r10.json
-    # "agg_skew_salted_two_stage",  # last driver row CORRECTNESS_r10.json
-    # "agg_stats_moments",  # last driver row CORRECTNESS_r10.json
-    # "ann_ivf_kmeans_topk",  # last driver row CORRECTNESS_r10.json
-    # "ann_ivf_pq_topk",  # last driver row CORRECTNESS_r10.json
-    # "ann_pq_adc_topk",  # last driver row CORRECTNESS_r10.json
-    # "cdc_upsert_latest_wins",  # last driver row CORRECTNESS_r10.json
-    # "conditional_agg_counters",  # last driver row CORRECTNESS_r10.json
-    # "cube_status_priority",  # last driver row CORRECTNESS_r10.json
-    # "data_profile_summary",  # last driver row CORRECTNESS_r10.json
-    # "date_format_monthly_rollup",  # last driver row CORRECTNESS_r10.json
-    # "dedup_pagerank_representatives",  # last driver row CORRECTNESS_r10.json
-    # "distinct_sorted_dimension",  # last driver row CORRECTNESS_r10.json
     # "dq_uniqueness_report",  # last driver row CORRECTNESS_r10.json
     # "field_target_parse",  # last driver row CORRECTNESS_r10.json
     # "filter_project_arith",  # last driver row CORRECTNESS_r10.json
@@ -155,6 +122,26 @@ _DRIVER_ORDER = [
     # "late_lines_priority_by_status",  # last driver row CORRECTNESS_r10.json
     # "middle_n_selection",  # last driver row CORRECTNESS_r10.json
     # "pack_sequences_concat",  # last driver row CORRECTNESS_r10.json
+    # "partitioned_dynamic_pruning",  # last driver row CORRECTNESS_r10.json
+    # "sample_stratified_exact",  # last driver row CORRECTNESS_r10.json
+    # "scan_aggregate_pushdown",  # last driver row CORRECTNESS_r10.json
+    # "sketch_countmin_heavy_hitters",  # last driver row CORRECTNESS_r10.json
+    # "sketch_kmv_distinct_by_nation",  # last driver row CORRECTNESS_r10.json
+    # "source_cap_downsample",  # last driver row CORRECTNESS_r10.json
+    # "split_group_consistent",  # last driver row CORRECTNESS_r10.json
+    # "split_hash_bucket",  # last driver row CORRECTNESS_r10.json
+    # "text_bigram_pmi",  # last driver row CORRECTNESS_r10.json
+    # "text_langid_confusion",  # last driver row CORRECTNESS_r10.json
+    # "text_perplexity_proxy",  # last driver row CORRECTNESS_r10.json
+    # "text_vocabulary_ranked",  # last driver row CORRECTNESS_r10.json
+    # "training_shard_assignment",  # last driver row CORRECTNESS_r10.json
+    # "window_session_10m_gap",  # last driver row CORRECTNESS_r10.json
+    # "window_sliding_hourly_30m",  # last driver row CORRECTNESS_r10.json
+    # "agg_trimmed_winsorized_stats",  # last driver row CORRECTNESS_r11.json
+    # "ann_bucketed_signbit_topk",  # last driver row CORRECTNESS_r11.json
+    # "ann_ivf_by_label_topk",  # last driver row CORRECTNESS_r11.json
+    # "cohort_retention_weekly",  # last driver row CORRECTNESS_r11.json
+    # "corpus_drift_psi",  # last driver row CORRECTNESS_r11.json
 ]
 
 
